@@ -1,0 +1,180 @@
+"""Fit a partitioner from a Dataset + the vectorized assignment stage.
+
+This is the Ray-Data translation of the reference pipeline steps 2-3c
+(SURVEY.md §3.1): ``analyze()`` -> driver-side sample -> fit -> broadcast ->
+``flatMapToPair(placeObject)``. Here:
+
+* analyze  = one ``ds.aggregate(Min/Max/Count)`` pass over slim columns
+* sample   = ``ds.random_sample(fraction, seed)`` -> ``take_all`` of
+  envelopes only (bounded by the RDDSampleUtils policy: O(samples) driver
+  memory, independent of dataset size)
+* broadcast = ``ray.put(partitioner)`` once; tasks resolve the ObjectRef
+  through a per-worker cache
+* place    = ``map_batches(assign_fn, batch_format="pyarrow")`` appending an
+  exploded ``part_id`` column (boundary duplication for extended geometries)
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geom import wkb as _wkb
+from .base import SpatialPartitioner, get_sample_count, pad_boundary
+from .kdb import KDBTree
+from .quadtree import QuadTree, equal_grid
+
+_REF_CACHE: dict[bytes, SpatialPartitioner] = {}
+
+
+def resolve_ref(obj):
+    """ObjectRef -> value, cached per worker process."""
+    if isinstance(obj, ray.ObjectRef):
+        key = obj.binary()
+        if key not in _REF_CACHE:
+            _REF_CACHE[key] = ray.get(obj)
+        return _REF_CACHE[key]
+    return obj
+
+
+def dataset_envelope_stats(ds, x_col: str = "lon", y_col: str = "lat", geom_col: str | None = None):
+    """(count, (minx, miny, maxx, maxy)) — the analyze() step
+    (``SpatialRDD.java:470-503`` / StatCalculator)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    if geom_col is not None:
+        slim = ds.map_batches(_envelope_cols_fn(geom_col), batch_format="pyarrow")
+        row = slim.aggregate(
+            Min("__minx"), Min("__miny"), Max("__maxx"), Max("__maxy"), Count()
+        )
+        return row["count()"], (row["min(__minx)"], row["min(__miny)"], row["max(__maxx)"], row["max(__maxy)"])
+    row = ds.select_columns([x_col, y_col]).aggregate(Min(x_col), Min(y_col), Max(x_col), Max(y_col), Count())
+    return row["count()"], (row[f"min({x_col})"], row[f"min({y_col})"], row[f"max({x_col})"], row[f"max({y_col})"])
+
+
+def _envelope_cols_fn(geom_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        env = _wkb.envelopes_from_wkb(batch[geom_col].to_pylist())
+        return pa.table(
+            {
+                "__minx": env[:, 0],
+                "__miny": env[:, 1],
+                "__maxx": env[:, 2],
+                "__maxy": env[:, 3],
+            }
+        )
+
+    return fn
+
+
+def sample_envelopes(
+    ds,
+    total: int,
+    num_partitions: int,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    geom_col: str | None = None,
+    seed: int = 42,
+    sample_number: int = -1,
+) -> np.ndarray:
+    """Driver-side envelope sample per the RDDSampleUtils count policy."""
+    n_samples = get_sample_count(num_partitions, total, sample_number)
+    fraction = min(1.0, n_samples / max(1, total))
+    if geom_col is not None:
+        slim = ds.map_batches(_envelope_cols_fn(geom_col), batch_format="pyarrow")
+        cols = ["__minx", "__miny", "__maxx", "__maxy"]
+    else:
+        slim = ds.select_columns([x_col, y_col])
+        cols = None
+    sampled = slim if fraction >= 1.0 else slim.random_sample(fraction, seed=seed)
+    tbl = sampled.to_pandas()  # bounded: O(sample count) envelopes only
+    if cols:
+        return tbl[cols].to_numpy(dtype=np.float64)
+    xy = tbl[[x_col, y_col]].to_numpy(dtype=np.float64)
+    return np.column_stack([xy, xy])
+
+
+def fit_partitioner(
+    samples: np.ndarray,
+    boundary: tuple[float, float, float, float],
+    num_partitions: int,
+    grid_type: Literal["kdbtree", "quadtree", "equalgrid"] = "kdbtree",
+) -> SpatialPartitioner:
+    padded = pad_boundary(boundary)
+    if grid_type == "kdbtree":
+        return KDBTree(samples, padded, num_partitions)
+    if grid_type == "quadtree":
+        return QuadTree(samples, padded, num_partitions)
+    if grid_type == "equalgrid":
+        return equal_grid(padded, num_partitions)
+    raise ValueError(f"unsupported grid type {grid_type!r} (RTREE/Hilbert/Voronoi are dead in the reference too)")
+
+
+def fit_partitioner_from_dataset(
+    ds,
+    num_partitions: int,
+    grid_type: str = "kdbtree",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    geom_col: str | None = None,
+    boundary: tuple[float, float, float, float] | None = None,
+    seed: int = 42,
+) -> SpatialPartitioner:
+    total, env = dataset_envelope_stats(ds, x_col, y_col, geom_col)
+    if boundary is not None:
+        env = (
+            min(env[0], boundary[0]),
+            min(env[1], boundary[1]),
+            max(env[2], boundary[2]),
+            max(env[3], boundary[3]),
+        )
+    samples = sample_envelopes(ds, total, num_partitions, x_col, y_col, geom_col, seed)
+    return fit_partitioner(samples, env, num_partitions, grid_type)
+
+
+def make_assign_fn(
+    partitioner_ref,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    geom_col: str | None = None,
+    radius: float = 0.0,
+):
+    """map_batches fn appending an exploded int32 ``part_id`` column.
+
+    Points (x/y columns, radius 0) land in exactly one partition (half-open
+    rule); WKB geometries and radius-expanded points (distance joins, =
+    CircleRDD) duplicate into every intersecting partition. Rows outside the
+    grid are dropped, matching the reference shuffle.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        part = resolve_ref(partitioner_ref)
+        if geom_col is None and radius == 0.0:
+            x = batch[x_col].to_numpy(zero_copy_only=False)
+            y = batch[y_col].to_numpy(zero_copy_only=False)
+            pid = part.place_points(x, y)
+            keep = pid >= 0
+            out = batch.filter(pa.array(keep))
+            return out.append_column("part_id", pa.array(pid[keep], type=pa.int32()))
+        if geom_col is None:
+            x = batch[x_col].to_numpy(zero_copy_only=False)
+            y = batch[y_col].to_numpy(zero_copy_only=False)
+            envs = np.column_stack([x - radius, y - radius, x + radius, y + radius])
+            ri, pid = part.place_envelopes(envs)
+        else:
+            envs = _wkb.envelopes_from_wkb(batch[geom_col].to_pylist())
+            if radius:
+                envs = envs + np.array([-radius, -radius, radius, radius])
+            is_point = np.array(
+                [isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in batch[geom_col].to_pylist()]
+            )
+            ri, pid = part.place_mixed(envs, is_point)
+        order = np.argsort(ri, kind="stable")
+        ri, pid = ri[order], pid[order]
+        out = batch.take(pa.array(ri))
+        return out.append_column("part_id", pa.array(pid, type=pa.int32()))
+
+    return fn
