@@ -1,0 +1,520 @@
+"""Partitioned spatial join — the engine's heart.
+
+Ray-Data translation of ``JoinQuery.spatialJoin`` (``core/.../spatialOperator/
+JoinQuery.java:527-581``) per SURVEY.md §3.1: instead of Spark's
+``zipPartitions`` over two co-partitioned RDDs, both sides are normalized to
+a common slim schema, tagged with ``__side``, assigned exploded ``part_id``
+columns from ONE fitted partitioner (boundary duplication), unioned, and
+shuffled ONCE with ``groupby("part_id")``; each group runs a local
+STRtree-index join (``RightIndexLookupJudgement`` envelope-candidates ->
+exact-predicate refine, ``JudgementBase.java:205-246``) followed by the
+reference-point dedup (``DuplicatesFilter.java:46-67`` /
+``GeomUtils.isDuplicate:327-350``) evaluated against the group's own
+half-open extent — so no second dedup shuffle is needed.
+
+Distance joins follow ``JoinQuery.DistanceJoinQuery`` (``JoinQuery.java:
+332-520``): the left side acts as CircleRDD (envelope expanded by the
+radius, treated as non-point for dedup), refine is ``distance(l, r) <= r``.
+
+Scale notes: driver state is O(sample + leaves); the single groupby is the
+only all-to-all; callers should project payload columns away and re-attach
+by key afterwards (SURVEY.md §7.3 wide-row rule). Output is streamed blocks,
+never materialized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..conf import DEFAULT_CONF, SpatialConf
+from ..geom import wkb as _wkb
+from ..geom.core import Geometry, GeometryType
+from ..geom import ops as _ops
+from ..geom import predicates as P
+from ..geom.strtree import STRtree
+from ..partition.assign import resolve_ref
+from ..partition.base import pad_boundary
+from ..partition.kdb import KDBTree
+from ..partition.quadtree import QuadTree, equal_grid
+
+_POINT_FALSE = {"contains", "covers", "equals", "overlaps", "crosses"}  # poly can't be inside a point
+_INTERNAL = ["__x", "__y", "__wkb", "__e0", "__e1", "__e2", "__e3", "__pt", "__rad"]
+
+
+# ---------------------------------------------------------------------------
+# side normalization
+# ---------------------------------------------------------------------------
+
+def _prepare_side(ds, geom, prefix: str, radius: float = 0.0, circle: bool = False):
+    """Normalize one side to prefixed user columns + internal geometry columns.
+
+    ``geom``: ("xcol", "ycol") for point sides or "wkb_col" for general.
+
+    ``circle=True`` reproduces CircleRDD (``Circle.java:68-82``): the row
+    becomes a circle at its MBR center with per-row radius
+    ``max(radius, mbr_diag/2)``; ``__x/__y`` hold the center,
+    ``__rad`` the effective radius, ``__pt`` False (circles dedup like
+    extended geometries).
+    """
+    is_point_side = isinstance(geom, (tuple, list))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if is_point_side:
+            x = batch[geom[0]].to_numpy(zero_copy_only=False).astype(np.float64)
+            y = batch[geom[1]].to_numpy(zero_copy_only=False).astype(np.float64)
+            wkb_col = pa.nulls(n, type=pa.binary())
+            env = np.column_stack([x, y, x, y])
+            is_pt = np.full(n, radius == 0.0)
+        else:
+            blobs = batch[geom].to_pylist()
+            env = _wkb.envelopes_from_wkb(blobs)
+            is_pt = np.array(
+                [isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in blobs]
+            ) & (radius == 0.0)
+            x = np.where(is_pt, env[:, 0], np.nan)
+            y = np.where(is_pt, env[:, 1], np.nan)
+            wkb_col = batch[geom]
+        if circle and radius > 0.0:
+            cx = (env[:, 0] + env[:, 2]) / 2.0
+            cy = (env[:, 1] + env[:, 3]) / 2.0
+            rad = np.maximum(
+                radius, np.hypot(env[:, 2] - env[:, 0], env[:, 3] - env[:, 1]) / 2.0
+            )
+            env = np.column_stack([cx - rad, cy - rad, cx + rad, cy + rad])
+            x, y = cx, cy
+            is_pt = np.zeros(n, dtype=bool)
+        elif radius > 0.0:
+            rad = np.full(n, radius)
+            env = env + np.array([-radius, -radius, radius, radius])
+        else:
+            rad = np.zeros(n)
+        e0, e1, e2, e3 = env[:, 0], env[:, 1], env[:, 2], env[:, 3]
+        cols = {prefix + name: batch[name] for name in batch.column_names}
+        cols.update(
+            {
+                "__x": pa.array(np.asarray(x, dtype=np.float64), type=pa.float64()),
+                "__y": pa.array(np.asarray(y, dtype=np.float64), type=pa.float64()),
+                "__wkb": wkb_col,
+                "__e0": pa.array(e0, type=pa.float64()),
+                "__e1": pa.array(e1, type=pa.float64()),
+                "__e2": pa.array(e2, type=pa.float64()),
+                "__e3": pa.array(e3, type=pa.float64()),
+                "__pt": pa.array(np.asarray(is_pt, dtype=bool), type=pa.bool_()),
+                "__rad": pa.array(rad, type=pa.float64()),
+            }
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _env_stats(prepared):
+    from ray.data.aggregate import Count, Max, Min
+
+    row = prepared.aggregate(Min("__e0"), Min("__e1"), Max("__e2"), Max("__e3"), Count())
+    return row["count()"], (row["min(__e0)"], row["min(__e1)"], row["max(__e2)"], row["max(__e3)"])
+
+
+def _fit(samples, boundary, n_parts, grid_type):
+    padded = pad_boundary(boundary)
+    if grid_type == "kdbtree":
+        return KDBTree(samples, padded, n_parts)
+    if grid_type == "quadtree":
+        return QuadTree(samples, padded, n_parts)
+    if grid_type == "equalgrid":
+        return equal_grid(padded, n_parts)
+    raise ValueError(f"grid type {grid_type!r}")
+
+
+def _assign(prepared, part_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        part = resolve_ref(part_ref)
+        envs = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
+        )
+        is_pt = batch["__pt"].to_numpy(zero_copy_only=False)
+        ri, pid = part.place_mixed(envs, is_pt)
+        order = np.argsort(ri, kind="stable")
+        ri, pid = ri[order], pid[order]
+        out = batch.take(pa.array(ri))
+        return out.append_column("part_id", pa.array(pid, type=pa.int32()))
+
+    return prepared.map_batches(fn, batch_format="pyarrow")
+
+
+def _pad_union(left, right, l_cols, r_cols, l_schema, r_schema):
+    """Give both sides the same column set (nulls for the other side's
+    columns) so ``Dataset.union`` has one schema."""
+    order = l_cols + r_cols + _INTERNAL + ["part_id", "__side"]
+
+    def pad(missing_schema, side_val):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = dict(zip(batch.column_names, batch.columns))
+            for name in missing_schema.names:
+                cols[name] = pa.nulls(n, type=missing_schema.field(name).type)
+            cols["__side"] = pa.array(np.full(n, side_val, dtype=np.int8))
+            return pa.table({k: cols[k] for k in order})
+
+        return fn
+
+    lp = left.map_batches(pad(r_schema, 0), batch_format="pyarrow")
+    rp = right.map_batches(pad(l_schema, 1), batch_format="pyarrow")
+    return lp.union(rp)
+
+
+# ---------------------------------------------------------------------------
+# per-group join kernel
+# ---------------------------------------------------------------------------
+
+def _pair_mask_distance(lt, rt, li, ri, radius, inclusive):
+    """SQL DistanceJoinExec semantics: true geometric distance(l, r) <=/< radius."""
+    both_pts = bool(lt["ispt"][li].all() and rt["ispt"][ri].all()) if len(li) else True
+    if both_pts:
+        d = np.hypot(lt["x"][li] - rt["x"][ri], lt["y"][li] - rt["y"][ri])
+        return (d <= radius) if inclusive else (d < radius)
+    lg = _geom_cache(lt)
+    rg = _geom_cache(rt)
+    out = np.zeros(len(li), dtype=bool)
+    for k in range(len(li)):
+        d = _ops.distance(lg(int(li[k])), rg(int(ri[k])))
+        out[k] = d <= radius if inclusive else d < radius
+    return out
+
+
+def _pair_mask_circle(lt, rt, li, ri, predicate):
+    """CircleRDD semantics (``Circle.java:132-222``): the left row is a
+    circle (center __x/__y, per-row radius __rad).
+
+    * covers (considerBoundaryIntersection=false): every VERTEX of the right
+      geometry within the radius (Circle.covers checks ring/line vertices)
+    * intersects (=true): distance(center point, right geometry) <= radius
+    """
+    out = np.zeros(len(li), dtype=bool)
+    if not len(li):
+        return out
+    cx, cy, rad = lt["x"][li], lt["y"][li], lt["rad"][li]
+    r_pt = rt["ispt"][ri]
+    # point rights: both predicates reduce to center distance <= radius
+    if r_pt.any():
+        idx = np.nonzero(r_pt)[0]
+        d = np.hypot(cx[idx] - rt["x"][ri[idx]], cy[idx] - rt["y"][ri[idx]])
+        out[idx] = d <= rad[idx]
+    rest = np.nonzero(~r_pt)[0]
+    if len(rest):
+        rg = _geom_cache(rt)
+        for k in rest:
+            g = rg(int(ri[k]))
+            if predicate == "covers":
+                pts = g.all_coords()
+                out[k] = bool(
+                    np.all(np.hypot(pts[:, 0] - cx[k], pts[:, 1] - cy[k]) <= rad[k])
+                )
+            else:  # intersects
+                d = _ops.points_to_geometry_distance(
+                    np.array([cx[k]]), np.array([cy[k]]), g
+                )[0]
+                out[k] = d <= rad[k]
+    return out
+
+
+def _geom_cache(side):
+    cache: dict[int, Geometry] = {}
+
+    def get(i: int) -> Geometry:
+        g = cache.get(i)
+        if g is None:
+            blob = side["wkb"][i]
+            if blob is None:
+                g = Geometry.point(side["x"][i], side["y"][i])
+            else:
+                g = _wkb.from_wkb(blob)
+            cache[i] = g
+        return g
+
+    return get
+
+
+_POLYGONAL_FIRST_BYTEPAIRS = {3, 6}  # wkb type codes Polygon / MultiPolygon
+
+
+def _wkb_kinds(blobs):
+    """Geometry type code per row (or -1 for point rows carried as x/y)."""
+    import struct
+
+    out = np.empty(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        if b is None:
+            out[i] = -1
+        else:
+            code = struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)[0]
+            out[i] = (code & 0x0FFFFFFF) % 1000
+    return out
+
+
+def _pair_mask_predicate(lt, rt, li, ri, predicate):
+    n = len(li)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    l_pt = lt["ispt"][li]
+    r_pt = rt["ispt"][ri]
+    l_kind = lt["kind"][li]
+    r_kind = rt["kind"][ri]
+
+    # fast path A: polygonal-left x point-right, grouped by left geometry
+    fa = ~l_pt & np.isin(l_kind, (3, 6)) & r_pt
+    if fa.any() and predicate in ("contains", "covers", "intersects", "touches", "disjoint"):
+        idx = np.nonzero(fa)[0]
+        out[idx] = _locate_grouped(lt, rt, li[idx], ri[idx], predicate, container="l")
+        fa_done = fa
+    else:
+        fa_done = np.zeros(n, dtype=bool)
+
+    # fast path B: point-left x polygonal-right
+    fb = ~fa_done & l_pt & ~r_pt & np.isin(r_kind, (3, 6))
+    if fb.any() and predicate in ("within", "covered_by", "intersects", "touches", "disjoint"):
+        idx = np.nonzero(fb)[0]
+        out[idx] = _locate_grouped(lt, rt, li[idx], ri[idx], _flip(predicate), container="r")
+        fb_done = fb
+    else:
+        fb_done = np.zeros(n, dtype=bool)
+
+    # fast path C: point x point
+    fc = ~fa_done & ~fb_done & l_pt & r_pt
+    if fc.any():
+        idx = np.nonzero(fc)[0]
+        eq = (lt["x"][li[idx]] == rt["x"][ri[idx]]) & (lt["y"][li[idx]] == rt["y"][ri[idx]])
+        if predicate in ("intersects", "equals", "contains", "covers", "within", "covered_by"):
+            out[idx] = eq
+        elif predicate == "disjoint":
+            out[idx] = ~eq
+        # touches/crosses/overlaps between points: always False
+        fc_done = fc
+    else:
+        fc_done = np.zeros(n, dtype=bool)
+
+    rest = ~fa_done & ~fb_done & ~fc_done
+    if rest.any():
+        # point-vs-polygonal combos where the predicate is trivially False
+        if predicate in _POINT_FALSE:
+            triv = rest & ((l_pt & ~r_pt) | (~l_pt & r_pt))
+            # contains(point, polygonal) etc. can never hold when the
+            # container has lower dimension; equals point-vs-area false too
+            rest = rest & ~triv
+        lg = _geom_cache(lt)
+        rg = _geom_cache(rt)
+        fn = P.PREDICATES[predicate]
+        for k in np.nonzero(rest)[0]:
+            out[k] = fn(lg(int(li[k])), rg(int(ri[k])))
+    return out
+
+
+def _flip(predicate: str) -> str:
+    return {"within": "contains", "covered_by": "covers"}.get(predicate, predicate)
+
+
+def _locate_grouped(lt, rt, li, ri, predicate, container: str):
+    """Vectorized polygon-vs-points evaluation, grouping candidate pairs by
+    the container geometry. ``predicate`` is expressed container-side
+    (contains/covers/intersects/touches/disjoint)."""
+    if container == "l":
+        cont, cont_idx, px, py, pidx = lt, li, rt["x"], rt["y"], ri
+    else:
+        cont, cont_idx, px, py, pidx = rt, ri, lt["x"], lt["y"], li
+    out = np.zeros(len(li), dtype=bool)
+    cg = _geom_cache(cont)
+    order = np.argsort(cont_idx, kind="stable")
+    sorted_ci = cont_idx[order]
+    bounds = np.nonzero(np.diff(sorted_ci))[0] + 1
+    groups = np.split(order, bounds)
+    for grp in groups:
+        g = cg(int(cont_idx[grp[0]]))
+        loc = P.locate_points_in_geometry(px[pidx[grp]], py[pidx[grp]], g)
+        if predicate == "contains":
+            out[grp] = loc == P.INTERIOR
+        elif predicate in ("covers", "intersects"):
+            out[grp] = loc >= P.BOUNDARY
+        elif predicate == "touches":
+            out[grp] = loc == P.BOUNDARY
+        else:  # disjoint
+            out[grp] = loc == P.EXTERIOR
+    return out
+
+
+def make_group_join_kernel(
+    l_cols: list[str],
+    r_cols: list[str],
+    predicate: str,
+    extents: np.ndarray,
+    radius: float | None = None,
+    inclusive: bool = True,
+    circle: bool = False,
+):
+    """The map_groups fn: one co-partitioned group -> joined rows."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt_tbl = tbl.filter(pa.array(lmask))
+        rt_tbl = tbl.filter(pa.array(~lmask))
+        out_schema_cols = l_cols + r_cols
+
+        def empty():
+            arrays = [lt_tbl[c].take(pa.array([], type=pa.int64())) for c in l_cols] + [
+                rt_tbl[c].take(pa.array([], type=pa.int64())) for c in r_cols
+            ]
+            return pa.table(dict(zip(out_schema_cols, arrays)))
+
+        if lt_tbl.num_rows == 0 or rt_tbl.num_rows == 0:
+            return empty()
+
+        def side_arrays(t):
+            return {
+                "x": t["__x"].to_numpy(zero_copy_only=False),
+                "y": t["__y"].to_numpy(zero_copy_only=False),
+                "e": np.column_stack(
+                    [t[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
+                ),
+                "ispt": t["__pt"].to_numpy(zero_copy_only=False).astype(bool),
+                "wkb": t["__wkb"].to_pylist(),
+                "rad": t["__rad"].to_numpy(zero_copy_only=False),
+            }
+
+        lt = side_arrays(lt_tbl)
+        rt = side_arrays(rt_tbl)
+        lt["kind"] = _wkb_kinds(lt["wkb"])
+        rt["kind"] = _wkb_kinds(rt["wkb"])
+
+        # candidate generation: index the smaller side, probe with the larger
+        # (auto build side; reference default is configurable, JoinQuery zips
+        # stream side against build side's STRtree)
+        if lt_tbl.num_rows <= rt_tbl.num_rows:
+            tree = STRtree(lt["e"])
+            ri_c, li_c = tree.query_batch(rt["e"])
+        else:
+            tree = STRtree(rt["e"])
+            li_c, ri_c = tree.query_batch(lt["e"])
+
+        # exact refine
+        if radius is not None and circle:
+            keep = _pair_mask_circle(lt, rt, li_c, ri_c, predicate)
+        elif radius is not None:
+            keep = _pair_mask_distance(lt, rt, li_c, ri_c, radius, inclusive)
+        else:
+            keep = _pair_mask_predicate(lt, rt, li_c, ri_c, predicate)
+        li_c, ri_c = li_c[keep], ri_c[keep]
+
+        # reference-point dedup (only non-point x non-point pairs can duplicate)
+        if len(li_c):
+            pid = int(tbl["part_id"][0].as_py())
+            ext = extents[pid]
+            both_ext = ~lt["ispt"][li_c] & ~rt["ispt"][ri_c]
+            if both_ext.any():
+                le, re_ = lt["e"][li_c], rt["e"][ri_c]
+                ix = np.maximum(le[:, 0], re_[:, 0])
+                iy = np.maximum(le[:, 1], re_[:, 1])
+                ax = np.minimum(le[:, 2], re_[:, 2])
+                ay = np.minimum(le[:, 3], re_[:, 3])
+                env_disjoint = (ix > ax) | (iy > ay)
+                in_extent = (ix >= ext[0]) & (ix < ext[2]) & (iy >= ext[1]) & (iy < ext[3])
+                dup = both_ext & ~env_disjoint & ~in_extent
+                li_c, ri_c = li_c[~dup], ri_c[~dup]
+
+        arrays = [lt_tbl[c].take(pa.array(li_c)) for c in l_cols] + [
+            rt_tbl[c].take(pa.array(ri_c)) for c in r_cols
+        ]
+        return pa.table(dict(zip(out_schema_cols, arrays)))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def spatial_join(
+    left,
+    right,
+    predicate: str = "intersects",
+    *,
+    left_geom=("lon", "lat"),
+    right_geom=("lon", "lat"),
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+    num_partitions: int | None = None,
+    conf: SpatialConf = DEFAULT_CONF,
+    radius: float | None = None,
+    inclusive: bool = True,
+    circle: bool = False,
+):
+    """Inner predicate/distance join of two Datasets.
+
+    Returns a Dataset whose columns are the left columns prefixed with
+    ``lprefix`` followed by the right columns prefixed with ``rprefix``.
+    ``predicate(left_geom_value, right_geom_value)`` must hold; with
+    ``radius`` set, the condition is ``distance(l, r) <= radius`` instead
+    (Sedona inner RangeJoinExec / DistanceJoinExec semantics — semi / anti /
+    outer joins live on the broadcast path, as in the reference
+    ``JoinQueryDetector.scala:317-318``).
+    """
+    lprep = _prepare_side(left, left_geom, lprefix, radius=radius or 0.0, circle=circle)
+    rprep = _prepare_side(right, right_geom, rprefix)
+
+    l_user = [lprefix + c for c in left.schema().names]
+    r_user = [rprefix + c for c in right.schema().names]
+
+    l_total, l_env = _env_stats(lprep)
+    r_total, r_env = _env_stats(rprep)
+    boundary = (
+        min(l_env[0], r_env[0]),
+        min(l_env[1], r_env[1]),
+        max(l_env[2], r_env[2]),
+        max(l_env[3], r_env[3]),
+    )
+    if num_partitions is None:
+        num_partitions = conf.derive_num_partitions(
+            max(l_total, r_total), left.num_blocks() + right.num_blocks()
+        )
+    dominant = lprep if conf.partition_side == "left" else rprep
+    dom_total = l_total if conf.partition_side == "left" else r_total
+    from ..partition.base import get_sample_count
+
+    n_samples = get_sample_count(num_partitions, dom_total, conf.sample_number)
+    frac = min(1.0, n_samples / max(1, dom_total))
+    slim = dominant.select_columns(["__e0", "__e1", "__e2", "__e3"])
+    sample_df = (slim if frac >= 1.0 else slim.random_sample(frac, seed=conf.seed)).to_pandas()
+    samples = sample_df.to_numpy(dtype=np.float64)
+
+    part = _fit(samples, boundary, num_partitions, conf.grid_type)
+    part_ref = ray.put(part)
+
+    la = _assign(lprep, part_ref)
+    ra = _assign(rprep, part_ref)
+
+    l_arrow = lprep.schema().base_schema
+    r_arrow = rprep.schema().base_schema
+    l_schema = pa.schema([(n, l_arrow.field(n).type) for n in l_user])
+    r_schema = pa.schema([(n, r_arrow.field(n).type) for n in r_user])
+    unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
+
+    kernel = make_group_join_kernel(
+        l_user, r_user, predicate, part.dedup_extents(), radius=radius, inclusive=inclusive, circle=circle
+    )
+    return unioned.groupby("part_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def distance_join(left, right, radius: float, *, inclusive: bool = True, **kw):
+    """Pairs with ``distance(l, r) <= radius`` (JoinQuery.DistanceJoinQueryFlat)."""
+    return spatial_join(left, right, radius=radius, inclusive=inclusive, **kw)
+
+
+def spatial_join_count(left, right, predicate: str = "intersects", *, left_key: str, **kw):
+    """(window, count) per left row — JoinQuery.SpatialJoinQueryCountByKey
+    (``JoinQuery.java:273-279``): groupby the window key over the flat join."""
+    joined = spatial_join(left, right, predicate, **kw)
+    lprefix = kw.get("lprefix", "l_")
+    return joined.groupby(lprefix + left_key).count()
