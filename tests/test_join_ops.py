@@ -1,0 +1,163 @@
+"""Broadcast join, kNN query/join, range query, distance join (SQL mode)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from incubator_sedona_ray.geom import Geometry
+from incubator_sedona_ray.geom.wkb import to_wkb
+from incubator_sedona_ray.join import (
+    broadcast_spatial_join,
+    distance_join,
+    knn_join,
+    knn_query,
+    range_query,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _points_df(n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": rng.uniform(0, 100, n),
+            "lat": rng.uniform(0, 100, n),
+        }
+    )
+
+
+def _zones_df():
+    rows = []
+    for bx in range(0, 100, 20):
+        for by in range(0, 100, 20):
+            rows.append({"zone_id": f"{bx}:{by}", "geom": to_wkb(Geometry.box(bx, by, bx + 20, by + 20))})
+    return pd.DataFrame(rows)
+
+
+def _expected_pairs(pts, zones_df):
+    out = set()
+    for _, z in zones_df.iterrows():
+        bx, by = map(int, z.zone_id.split(":"))
+        m = (pts.lon >= bx) & (pts.lon <= bx + 20) & (pts.lat >= by) & (pts.lat <= by + 20)
+        for pid in pts.pid[m]:
+            out.add((int(pid), z.zone_id))
+    return out
+
+
+def test_broadcast_inner_matches_bruteforce():
+    pts = _points_df()
+    zones = _zones_df()
+    ds = ray.data.from_pandas(pts)
+    out = broadcast_spatial_join(
+        ds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom", how="inner"
+    ).to_pandas()
+    got = set(zip(out.pid.astype(int), out.z_zone_id))
+    assert got == _expected_pairs(pts, zones)
+
+
+def test_broadcast_semi_anti_outer():
+    pts = _points_df()
+    # zones covering only the left half
+    zones = _zones_df()
+    zones = zones[zones.zone_id.str.startswith(("0:", "20:", "40:"))].reset_index(drop=True)
+    ds = ray.data.from_pandas(pts)
+    semi = broadcast_spatial_join(ds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom", how="left_semi").to_pandas()
+    anti = broadcast_spatial_join(ds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom", how="left_anti").to_pandas()
+    in_left = pts.lon <= 60.0
+    assert set(semi.pid) == set(pts.pid[in_left])
+    assert set(anti.pid) == set(pts.pid[~in_left])
+    assert len(semi) + len(anti) == len(pts)
+    outer = broadcast_spatial_join(ds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom", how="left_outer").to_pandas()
+    # every left row appears; unmatched rows carry null zone
+    assert set(outer.pid) == set(pts.pid)
+    assert set(outer.loc[outer.z_zone_id.isna(), "pid"]) == set(pts.pid[~in_left])
+
+
+def test_broadcast_agrees_with_partitioned():
+    pts = _points_df(300, seed=5)
+    zones = _zones_df()
+    ds = ray.data.from_pandas(pts)
+    b = broadcast_spatial_join(ds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom").to_pandas()
+    from incubator_sedona_ray.join import spatial_join
+
+    p = spatial_join(
+        ray.data.from_pandas(zones),
+        ds,
+        "covers",
+        left_geom="geom",
+        right_geom=("lon", "lat"),
+        num_partitions=4,
+    ).to_pandas()
+    assert set(zip(b.pid.astype(int), b.z_zone_id)) == set(zip(p.r_pid.astype(int), p.l_zone_id))
+
+
+def test_knn_query_closed_form():
+    # rings of 8 points at radii 1..10 around (50, 50) — F4 fixture style
+    rows = []
+    pid = 0
+    for r in range(1, 11):
+        for a in range(8):
+            ang = 2 * np.pi * a / 8
+            rows.append({"pid": pid, "lon": 50 + r * np.cos(ang), "lat": 50 + r * np.sin(ang), "ring": r})
+            pid += 1
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = knn_query(ds, Geometry.point(50, 50), k=16, id_col="pid").to_pandas()
+    assert len(out) == 16
+    assert set(out.ring) == {1, 2}  # exactly the two innermost rings
+    assert out.dist.is_monotonic_increasing
+
+
+def test_knn_join_matches_bruteforce():
+    pts = _points_df(500, seed=21)
+    rng = np.random.default_rng(3)
+    queries = pd.DataFrame(
+        {"query_id": np.arange(5), "qx": rng.uniform(0, 100, 5), "qy": rng.uniform(0, 100, 5)}
+    )
+    ds = ray.data.from_pandas(pts).repartition(4)
+    out = knn_join(ds, queries, k=7, right_geom=("lon", "lat"), right_id="pid").to_pandas()
+    assert len(out) == 35
+    for _, q in queries.iterrows():
+        d = np.hypot(pts.lon - q.qx, pts.lat - q.qy)
+        expect = set(pts.pid.iloc[np.argsort(d, kind="stable")[:7]])
+        got = set(out.loc[out.query_id == q.query_id, "pid"])
+        assert got == expect
+        ranks = sorted(out.loc[out.query_id == q.query_id, "rank"])
+        assert ranks == list(range(1, 8))
+
+
+def test_range_query():
+    pts = _points_df(300, seed=9)
+    ds = ray.data.from_pandas(pts)
+    win = Geometry.box(10, 10, 40, 40)
+    out = range_query(ds, win, "covers", geom=("lon", "lat")).to_pandas()
+    m = (pts.lon >= 10) & (pts.lon <= 40) & (pts.lat >= 10) & (pts.lat <= 40)
+    assert set(out.pid) == set(pts.pid[m])
+
+
+def test_distance_join_sql_semantics():
+    a = pd.DataFrame({"aid": [0, 1], "lon": [0.0, 50.0], "lat": [0.0, 50.0]})
+    b = pd.DataFrame({"bid": [0, 1, 2], "lon": [3.0, 50.0, 54.0], "lat": [4.0, 52.0, 50.0]})
+    out = distance_join(
+        ray.data.from_pandas(a),
+        ray.data.from_pandas(b),
+        radius=5.0,
+        left_geom=("lon", "lat"),
+        right_geom=("lon", "lat"),
+        num_partitions=1,
+    ).to_pandas()
+    got = set(zip(out.l_aid, out.r_bid))
+    # (0,0): dist 5 inclusive; (1,1): dist 2; (1,2): dist 4
+    assert got == {(0, 0), (1, 1), (1, 2)}
+    strict = distance_join(
+        ray.data.from_pandas(a),
+        ray.data.from_pandas(b),
+        radius=5.0,
+        inclusive=False,
+        left_geom=("lon", "lat"),
+        right_geom=("lon", "lat"),
+        num_partitions=1,
+    ).to_pandas()
+    assert set(zip(strict.l_aid, strict.r_bid)) == {(1, 1), (1, 2)}
