@@ -1,0 +1,141 @@
+"""In-memory raster grid + RS_ functions.
+
+Replaces the reference's GeoTools ``GridCoverage2D`` surface
+(``common/.../raster/RasterConstructors.java:48-95``, ``PixelFunctions.java:
+39-80`` RS_Value/RS_Values, ``RasterOutputs``) with a plain
+(bands, H, W) ndarray + affine anchor. GeoTIFF decode is STUBBED (no
+rasterio/GDAL in this environment) behind ``from_geotiff``; the Ray-side
+plumbing — broadcast the raster once via ``ray.put``, vectorized
+world->grid->value lookups inside an actor-pool ``map_batches`` stage — is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..partition.assign import resolve_ref
+
+
+@dataclass
+class Raster:
+    """North-up=False convention: row 0 anchored at (x0, y0) growing upward;
+    grid col = floor((x - x0)/pixel_w), row = floor((y - y0)/pixel_h).
+    (FIXTURES.md F5: value under a point == data[floor(y)][floor(x)] for the
+    unit raster anchored at the origin.)"""
+
+    data: np.ndarray  # (bands, H, W) float64
+    x0: float = 0.0
+    y0: float = 0.0
+    pixel_w: float = 1.0
+    pixel_h: float = 1.0
+    srid: int = 0
+    nodata: float | None = None
+
+    @property
+    def num_bands(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[2]
+
+    def world_to_grid(self, xs: np.ndarray, ys: np.ndarray):
+        col = np.floor((np.asarray(xs, dtype=np.float64) - self.x0) / self.pixel_w).astype(np.int64)
+        row = np.floor((np.asarray(ys, dtype=np.float64) - self.y0) / self.pixel_h).astype(np.int64)
+        return col, row
+
+
+def make_empty_raster(bands: int, width: int, height: int, x0=0.0, y0=0.0, pixel_size=1.0) -> Raster:
+    """RS_MakeEmptyRaster (``RasterConstructors.java:72``)."""
+    return Raster(np.zeros((bands, height, width)), x0, y0, pixel_size, pixel_size)
+
+
+def from_geotiff(blob: bytes) -> Raster:
+    """RS_FromGeoTiff (``RasterConstructors.java:41-48``). STUB: GeoTIFF
+    decoding needs rasterio/GDAL, unavailable in this container."""
+    raise NotImplementedError(
+        "GeoTIFF decode requires rasterio/GDAL (not in this environment); "
+        "construct Raster from arrays or use fake_checkerboard_raster for tests"
+    )
+
+
+def fake_checkerboard_raster(width: int = 256, height: int = 256) -> Raster:
+    """Deterministic test raster: value[y][x] = y*width + x (FIXTURES.md F5)."""
+    yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    return Raster((yy * width + xx).astype(np.float64)[None, :, :])
+
+
+def rs_value(raster: Raster, xs: np.ndarray, ys: np.ndarray, band: int = 1) -> np.ndarray:
+    """RS_Value semantics (``PixelFunctions.java:39-80``): band is 1-based,
+    out-of-extent or nodata -> NaN (the reference returns SQL NULL)."""
+    if band < 1 or band > raster.num_bands:
+        return np.full(len(np.atleast_1d(xs)), np.nan)
+    col, row = raster.world_to_grid(xs, ys)
+    ok = (col >= 0) & (col < raster.width) & (row >= 0) & (row < raster.height)
+    out = np.full(len(col), np.nan)
+    vals = raster.data[band - 1, row[ok], col[ok]]
+    if raster.nodata is not None:
+        vals = np.where(vals == raster.nodata, np.nan, vals)
+    out[ok] = vals
+    return out
+
+
+class RasterValueLookup:
+    """Actor-pool map_batches stage: holds the broadcast raster once per
+    actor (the 'model loaded once per worker' analog, SURVEY.md §2.3) and
+    appends a ``band_value`` column per batch."""
+
+    def __init__(self, raster_ref, band: int = 1, x_col: str = "lon", y_col: str = "lat", out_col: str = "band_value"):
+        self.raster: Raster = resolve_ref(raster_ref)
+        self.band = band
+        self.x_col, self.y_col, self.out_col = x_col, y_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch[self.x_col].to_numpy(zero_copy_only=False)
+        y = batch[self.y_col].to_numpy(zero_copy_only=False)
+        vals = rs_value(self.raster, x, y, self.band)
+        return batch.append_column(self.out_col, pa.array(vals, type=pa.float64()))
+
+
+def zonal_stats(
+    ds,
+    raster_ref,
+    *,
+    band: int = 1,
+    zone_col: str = "band_value",
+    value_col: str | None = None,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    concurrency: int | tuple[int, int] = (1, 4),
+):
+    """Raster-tile <-> vector zonal assignment: look up each point's raster
+    zone (actor pool), then aggregate per zone. Returns a Dataset
+    (zone, n [, sum_value]); NaN zones (outside the raster) are dropped."""
+    from ray.data.aggregate import Count, Sum
+
+    looked = ds.map_batches(
+        RasterValueLookup,
+        fn_constructor_kwargs={"raster_ref": raster_ref, "band": band, "x_col": x_col, "y_col": y_col, "out_col": zone_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def drop_nan(batch: pa.Table) -> pa.Table:
+        z = batch[zone_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isnan(z)))
+
+    looked = looked.map_batches(drop_nan, batch_format="pyarrow")
+    aggs = [Count(alias_name="n")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    return looked.groupby(zone_col).aggregate(*aggs)

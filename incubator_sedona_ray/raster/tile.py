@@ -1,0 +1,163 @@
+"""Pixel / tile assignment — vectorized ports of the reference's viz
+formulas, so tile ids match exactly:
+
+* world -> pixel: ``RasterizationUtils.FindOnePixelCoordinate``
+  (``viz/.../utils/RasterizationUtils.java:59-100``): linear scale + clamp
+  of the max edge into the last pixel
+* pixel -> 1D pixel id: ``Encode2DTo1DId`` (``:173``): ``px + py * resX``
+* pixel -> tile id: ``VisualizationPartitioner.Calculate2DPartitionId``
+  (``viz/.../core/VisualizationPartitioner.java:105-112``; note the
+  Y-FLIP: tile row 0 is the TOP row) then ``Encode2DTo1DId(partX, partY)``
+
+The heatmap pipeline (SURVEY.md §3.3) = ``tile_assign`` ->
+``groupby(pixel_id).sum(weight)``, with per-batch partial bincount
+pre-aggregation so the shuffle moves one row per distinct pixel per batch,
+not one row per input point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def world_to_pixel(
+    x: np.ndarray,
+    y: np.ndarray,
+    boundary: tuple[float, float, float, float],
+    res_x: int,
+    res_y: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized FindOnePixelCoordinate. Returns int64 (px, py); points
+    outside the boundary produce out-of-range pixels — filter with
+    ``(0 <= px) & (px < res_x) & ...`` (the reference drops them at encode)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    minx, miny, maxx, maxy = (float(v) for v in boundary)
+    w, h = maxx - minx, maxy - miny
+    fx = (x - minx) / w * res_x
+    fy = (y - miny) / h * res_y
+    px = fx.astype(np.int64)
+    py = fy.astype(np.int64)
+    xrem = (x - minx) % w
+    yrem = (y - miny) % h
+    px = np.where((xrem == 0.0) & (fx != 0.0), px - 1, px)
+    py = np.where((yrem == 0.0) & (fy != 0.0), py - 1, py)
+    px = np.where(px >= res_x, px - 1, px)
+    py = np.where(py >= res_y, py - 1, py)
+    return px, py
+
+
+def encode_pixel_id(px: np.ndarray, py: np.ndarray, res_x: int) -> np.ndarray:
+    return np.asarray(px, dtype=np.int64) + np.asarray(py, dtype=np.int64) * res_x
+
+
+def pixel_to_tile(
+    px: np.ndarray,
+    py: np.ndarray,
+    res_x: int,
+    res_y: int,
+    part_x: int,
+    part_y: int,
+) -> np.ndarray:
+    """CalculatePartitionId: tile column px//(resX/partX), tile row
+    FLIPPED (partY-1 - py//(resY/partY)), encoded as col + row*partX."""
+    ix = res_x // part_x
+    iy = res_y // part_y
+    tx = np.asarray(px, dtype=np.int64) // ix
+    ty = part_y - 1 - np.asarray(py, dtype=np.int64) // iy
+    return tx + ty * part_x
+
+
+def tile_assign_batch_fn(
+    boundary: tuple[float, float, float, float],
+    res_x: int,
+    res_y: int,
+    part_x: int,
+    part_y: int,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    drop_outside: bool = True,
+):
+    """map_batches stage appending ``pixel_x, pixel_y, pixel_id, tile_id``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        px, py = world_to_pixel(x, y, boundary, res_x, res_y)
+        inside = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y)
+        if drop_outside and not inside.all():
+            batch = batch.filter(pa.array(inside))
+            px, py = px[inside], py[inside]
+        pid = encode_pixel_id(px, py, res_x)
+        tid = pixel_to_tile(px, py, res_x, res_y, part_x, part_y)
+        return (
+            batch.append_column("pixel_x", pa.array(px))
+            .append_column("pixel_y", pa.array(py))
+            .append_column("pixel_id", pa.array(pid))
+            .append_column("tile_id", pa.array(tid))
+        )
+
+    return fn
+
+
+def heatmap_counts(
+    ds,
+    boundary: tuple[float, float, float, float],
+    res_x: int,
+    res_y: int,
+    part_x: int,
+    part_y: int,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    weight_col: str | None = None,
+):
+    """HeatMap.Visualize steps 1-2 (``viz/.../HeatMap.java:133`` +
+    ``VisualizationOperator.Rasterize``): per-pixel weight sums.
+
+    Pre-aggregates inside each batch (one output row per DISTINCT pixel per
+    batch) so the ``groupby(pixel_id)`` shuffle is tiny, then sums partials.
+    Returns a Dataset (pixel_id, pixel_x, pixel_y, tile_id, weight).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        px, py = world_to_pixel(x, y, boundary, res_x, res_y)
+        inside = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y)
+        px, py = px[inside], py[inside]
+        pid = encode_pixel_id(px, py, res_x)
+        w = (
+            batch[weight_col].to_numpy(zero_copy_only=False)[inside]
+            if weight_col
+            else np.ones(len(pid))
+        )
+        upid, inv = np.unique(pid, return_inverse=True)
+        wsum = np.bincount(inv, weights=w)
+        upx = upid % res_x
+        upy = upid // res_x
+        return pa.table(
+            {
+                "pixel_id": upid,
+                "pixel_x": upx,
+                "pixel_y": upy,
+                "tile_id": pixel_to_tile(upx, upy, res_x, res_y, part_x, part_y),
+                "weight": wsum,
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("pixel_id").aggregate(Sum("weight", alias_name="weight"))
+
+    def reattach(batch: pa.Table) -> pa.Table:
+        pid = batch["pixel_id"].to_numpy(zero_copy_only=False)
+        px = pid % res_x
+        py = pid // res_x
+        return (
+            batch.append_column("pixel_x", pa.array(px))
+            .append_column("pixel_y", pa.array(py))
+            .append_column("tile_id", pa.array(pixel_to_tile(px, py, res_x, res_y, part_x, part_y)))
+        )
+
+    return agg.map_batches(reattach, batch_format="pyarrow")
