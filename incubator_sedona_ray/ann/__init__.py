@@ -1,0 +1,4 @@
+"""Approximate-nearest-neighbour search over embedding columns."""
+
+from .brute import topk_cosine  # noqa: F401
+from .lsh import topk_cosine_lsh  # noqa: F401

@@ -1,0 +1,15 @@
+"""Deduplication operators for training-data pipelines (driver brief:
+first-class components alongside the spatial engine).
+
+* :mod:`.exact`   — content-hash exact dedup (hash-partition + per-group min)
+* :mod:`.minhash` — MinHash + LSH banding near-dup (shingle -> minhash ->
+  band groupby -> verified Jaccard -> connected components)
+* :mod:`.simhash` — 64-bit SimHash with banded candidate generation
+* :mod:`.ngram`   — n-gram Jaccard verification kernel
+* :mod:`.embed`   — embedding-cosine near-dup
+"""
+
+from .exact import add_text_hash_fn, dedup_exact  # noqa: F401
+from .minhash import minhash_dedup  # noqa: F401
+from .simhash import simhash_batch_fn, simhash_dedup  # noqa: F401
+from .embed import embedding_dedup  # noqa: F401

@@ -1,0 +1,80 @@
+"""Embedding-cosine near-duplicate detection.
+
+Pairs with cosine similarity >= threshold. Candidate generation via
+random-hyperplane LSH buckets (sign bits of R projections) so only
+bucket-local pairs are compared; exact cosine verify. With ``brute=True``
+(small tables / oracle parity) all pairs are compared via one blocked
+matmul against the broadcast normalized matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..partition.assign import resolve_ref
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embedding_dedup(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+    brute: bool = False,
+):
+    """Returns pairs_df (a < b, cosine >= threshold)."""
+    if brute:
+        df = ds.select_columns([id_col, vec_col]).to_pandas()
+        ids = df[id_col].to_numpy()
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sim = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sim[iu] >= threshold
+        order = np.argsort(ids, kind="stable")
+        # ids may be unsorted; emit canonical a<b by value
+        a = ids[iu[0][mask]]
+        b = ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi, "cosine": sim[iu][mask]})
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    planes_ref = ray.put(rng.standard_normal((dim, n_planes)))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        planes = resolve_ref(planes_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        bits = (_normalize(m) @ planes) > 0
+        key = np.zeros(len(m), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            key |= bits[:, j].astype(np.int64) << j
+        return pa.table({id_col: batch[id_col], "bucket": key, vec_col: batch[vec_col]})
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(bucket, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sim = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sim[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": sim[iu][mask]})
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,35 @@
+"""Exact dedup: sha256(text) -> hash-partitioned groupby -> keep the row
+with the minimum id per hash. One shuffle over (hash, id) — payload columns
+can be re-attached afterwards by id to keep the exchange slim.
+
+sha256 (not a faster non-crypto hash) so the DuckDB oracle computes the
+identical keys (`sha256(text)`)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def add_text_hash_fn(text_col: str = "text", out_col: str = "text_hash"):
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
+        return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+
+    return fn
+
+
+def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_cols: list[str] | None = None):
+    """Dataset -> surviving rows (min id per distinct text). Returns columns
+    [id_col, text_hash] + keep_cols."""
+    hashed = ds.map_batches(add_text_hash_fn(text_col), batch_format="pyarrow")
+    cols = [id_col, "text_hash"] + (keep_cols or [])
+    slim = hashed.select_columns(cols)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return slim.groupby("text_hash").map_groups(keep_min, batch_format="pandas")

@@ -1,0 +1,159 @@
+"""Dedup family, text analysis and ANN over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from incubator_sedona_ray.ann import topk_cosine, topk_cosine_lsh
+from incubator_sedona_ray.dedup import dedup_exact, embedding_dedup, minhash_dedup, simhash_dedup
+from incubator_sedona_ray.dedup.ngram import char_shingles, jaccard, ngram_jaccard
+from incubator_sedona_ray.text.analysis import LangId, quality_fn, token_count_fn, fingerprint_fn
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups():
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # append exact dups (higher ids) and near-dups (small tail edit)
+    base = df.head(20).copy()
+    exact = base.copy()
+    exact["doc_id"] = exact["doc_id"] + 100_000
+    near = base.copy()
+    near["doc_id"] = near["doc_id"] + 200_000
+    near["text"] = near["text"] + " zzz"
+    return pd.concat([df, exact, near], ignore_index=True)
+
+
+def test_dedup_exact():
+    df = _docs_with_dups()
+    ds = ray.data.from_pandas(df)
+    out = dedup_exact(ds).to_pandas()
+    # exact dup ids (base+100000) must all be gone; near dups survive
+    assert not any(out.doc_id >= 100_000) or all(out.doc_id >= 200_000) or True
+    survivors = set(out.doc_id)
+    for i in df.head(20).doc_id:
+        assert int(i) in survivors
+        assert int(i) + 100_000 not in survivors  # exact dup dropped
+        assert int(i) + 200_000 in survivors      # near-dup kept by exact dedup
+    # count: unique texts
+    assert len(out) == df.text.nunique()
+
+
+def test_minhash_dedup_catches_near_dups():
+    df = _docs_with_dups()
+    ds = ray.data.from_pandas(df)
+    survivors, pairs = minhash_dedup(ds, threshold=0.8)
+    surv = set(survivors.doc_id)
+    # NOTE: the driver corpus itself contains genuine near-dups (e.g. docs 8
+    # and 12 at jaccard 0.985), so originals are NOT all guaranteed to
+    # survive — only the min id per duplicate component is.
+    for i in df.head(20).doc_id:
+        i = int(i)
+        assert i + 100_000 not in surv  # planted exact dup: jaccard 1.0
+        assert i + 200_000 not in surv, f"planted near-dup {i + 200_000} survived"
+    assert 0 in surv  # global min id always survives
+    assert len(surv) >= 100  # no mass false-positive deletion
+    assert (pairs.jaccard >= 0.8).all()
+
+
+def test_simhash_dedup():
+    df = _docs_with_dups()
+    ds = ray.data.from_pandas(df)
+    survivors, pairs = simhash_dedup(ds, max_hamming=3)
+    surv = set(survivors.doc_id)
+    for i in df.head(20).doc_id:
+        assert int(i) + 100_000 not in surv  # exact dup has identical simhash
+    assert 0 in surv  # min id survives (corpus has intrinsic near-dups)
+    assert len(surv) >= 100
+    assert (pairs.ham <= 3).all()
+
+
+def test_ngram_jaccard_kernel():
+    assert ngram_jaccard("hello world", "hello world") == 1.0
+    assert ngram_jaccard("hello world", "totally different text") < 0.2
+    a = char_shingles("abcdefgh", 3)
+    b = char_shingles("abcdefgh", 3)
+    assert jaccard(a, b) == 1.0
+
+
+def test_embedding_dedup_brute_vs_lsh():
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    # plant two exact dups
+    dup = df.head(2).copy()
+    dup["vec_id"] = dup["vec_id"] + 10_000
+    full = pd.concat([df, dup], ignore_index=True)
+    ds = ray.data.from_pandas(full)
+    pairs_brute = embedding_dedup(ds, threshold=0.999, brute=True)
+    got = set(zip(pairs_brute.a, pairs_brute.b))
+    for i in dup.vec_id:
+        assert (int(i) - 10_000, int(i)) in got
+    pairs_lsh = embedding_dedup(ds, threshold=0.999, n_planes=10)
+    got_lsh = set(zip(pairs_lsh.a, pairs_lsh.b))
+    # identical vectors share every LSH bucket -> always found
+    for i in dup.vec_id:
+        assert (int(i) - 10_000, int(i)) in got_lsh
+
+
+def test_ann_topk_exact_and_lsh_recall():
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = pd.DataFrame(
+        {"query_id": np.arange(3), "qvec": df.embedding.head(3).to_numpy()}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = topk_cosine(ds, queries, k=10).to_pandas()
+    assert len(out) == 30
+    # the query vector itself (cosine 1) must be rank 1
+    for qi in range(3):
+        sub = out[out.query_id == qi].sort_values("rank")
+        assert sub.iloc[0].vec_id == df.vec_id.iloc[qi]
+        assert sub.iloc[0].cosine == pytest.approx(1.0)
+        assert sub.cosine.is_monotonic_decreasing
+    # brute-force numpy cross-check
+    m = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = mn @ mn[qi]
+        order = np.lexsort((df.vec_id.to_numpy(), -sims))[:10]
+        expect = set(df.vec_id.to_numpy()[order])
+        got = set(out[out.query_id == qi].vec_id)
+        assert got == expect
+    # LSH recall@10: i.i.d.-random embeddings are the worst case for
+    # hyperplane LSH (no cluster structure), so probe half the buckets here
+    lsh = topk_cosine_lsh(ds, queries, k=10, n_planes=8, n_probe=128).to_pandas()
+    recall = len(set(zip(lsh.query_id, lsh.vec_id)) & set(zip(out.query_id, out.vec_id))) / 30
+    assert recall >= 0.7
+
+
+def test_text_analysis_stages():
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    ds = ray.data.from_pandas(df)
+    out = ds.map_batches(quality_fn(), batch_format="pyarrow").map_batches(
+        token_count_fn(), batch_format="pyarrow"
+    ).map_batches(fingerprint_fn(), batch_format="pyarrow").to_pandas()
+    assert (out.n_chars_q == df.text.str.len()).all()
+    assert (out.n_tokens == df.text.str.split().str.len()).all()
+    assert (out.alpha_ratio <= 1.0).all() and (out.alpha_ratio >= 0.0).all()
+    # fingerprint is deterministic
+    out2 = ds.map_batches(fingerprint_fn(), batch_format="pyarrow").to_pandas()
+    assert (out.fingerprint.to_numpy() == out2.fingerprint.to_numpy()).all()
+
+
+def test_langid_actor_stage():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat and it was happy with his life",
+                "der Hund ist nicht auf der Straße und das ist für die Katze",
+                "le chat est dans la maison et il est pour les enfants qui",
+                "el perro es un animal que vive en la casa con los niños",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out.lang_pred) == ["en", "de", "fr", "es"]
