@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator pipelines, and
+oracle_sql() DuckDB equivalents (run side-by-side at sf=0.01).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Design notes for oracle parity (the driver hashes sorted values):
+* every computed float that reaches an output is either (a) produced by the
+  bit-identical expression tree in numpy and SQL (geocode arithmetic, grid
+  cells, alpha_ratio) or (b) an order-insensitive exact value (min/max,
+  integer sums/counts); raw distances / cosines are ranked on, never output
+* spatial predicates are evaluated on axis-aligned zone squares whose
+  membership SQL expresses as BETWEEN — the geometry kernel is exercised,
+  the oracle stays expressible
+* Ray is initialised by the driver; nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +17,618 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from incubator_sedona_ray.conf import SpatialConf
+from incubator_sedona_ray.geom import Geometry
+from incubator_sedona_ray.geom import ops as _gops
+from incubator_sedona_ray.geom import wkb as _wkb
+from incubator_sedona_ray.encoders import geohash as _geohash, grid as _grid, h3lite as _h3, s2 as _s2
+from incubator_sedona_ray.join import (
+    broadcast_spatial_join,
+    knn_join,
+    knn_query,
+    range_query,
+    spatial_join,
+)
+from incubator_sedona_ray.raster.tile import (
+    encode_pixel_id,
+    heatmap_counts,
+    pixel_to_tile,
+    tile_assign_batch_fn,
+    world_to_pixel,
+)
+from incubator_sedona_ray.text.geocode import geocode_docs_batch, sql_exprs
+from incubator_sedona_ray.text.analysis import LangId, fingerprint_fn, quality_fn, token_count_fn
+from incubator_sedona_ray.dedup import dedup_exact, minhash_dedup, simhash_batch_fn
+from incubator_sedona_ray.ann import topk_cosine, topk_cosine_lsh
+from incubator_sedona_ray.sources.multimodal import DecodeImage, payload_meta_fn
+from incubator_sedona_ray.pipelines import flagship_pipeline
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored literally in the SQL below)
+# ---------------------------------------------------------------------------
+
+GRID_LEVEL = 6
+ZN_X, ZN_Y, ZN_STEP, ZN_SIDE = 18, 9, 20.0, 15.0  # zone lattice
+RANGE_BOX = (-90.0, 0.0, 0.0, 45.0)
+DIST_MOD, DIST_RADIUS = 4, 15.005  # no lattice distance within 3e-6 of radius
+KNN_QUERIES = [(0, -60.0, -30.0), (1, -20.0, -10.0), (2, 20.0, 10.0), (3, 60.0, 30.0)]
+KNN_K = 5
+TILE_RES_X, TILE_RES_Y, TILE_PX, TILE_PY = 1024, 512, 8, 8
+HM_RES_X, HM_RES_Y = 256, 128
+WORLD = (-180.0, -90.0, 180.0, 90.0)
+ANN_K, ANN_NQ = 10, 4
+EMB_DUP_THRESHOLD = 0.4
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+LON_SQL, LAT_SQL = sql_exprs("doc_id")
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _geo_docs(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(geocode_docs_batch, batch_format="pyarrow")
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _zones_table() -> pa.Table:
+    ids, wkbs = [], []
+    for xi in range(ZN_X):
+        for yi in range(ZN_Y):
+            x0 = -180.0 + ZN_STEP * xi
+            y0 = -90.0 + ZN_STEP * yi
+            ids.append(xi * ZN_Y + yi)
+            wkbs.append(_wkb.to_wkb(Geometry.box(x0, y0, x0 + ZN_SIDE, y0 + ZN_SIDE)))
+    return pa.table({"zone_id": pa.array(ids, type=pa.int64()), "geom": pa.array(wkbs, type=pa.binary())})
+
+
+_ZONES_SQL = f"""
+  SELECT (xi * {ZN_Y} + yi) AS zone_id,
+         (-180.0 + {ZN_STEP} * xi) AS x0,
+         (-90.0 + {ZN_STEP} * yi) AS y0
+  FROM range({ZN_X}) tx(xi), range({ZN_Y}) ty(yi)
+"""
+_PTS_SQL = f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_geocode(sf_dir: str):
+    return _geo_docs(sf_dir)
+
+
+def q_grid_cells(sf_dir: str):
+    def add_cell(batch: pa.Table) -> pa.Table:
+        cell = _grid.cell_ids(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            GRID_LEVEL,
+        )
+        return pa.table({"doc_id": batch["doc_id"], "cell_id": pa.array(cell)})
+
+    return _geo_docs(sf_dir).map_batches(add_cell, batch_format="pyarrow")
+
+
+def q_range_query(sf_dir: str):
+    win = Geometry.box(*RANGE_BOX)
+    return range_query(_geo_docs(sf_dir), win, "covers", geom=("lon", "lat"))
+
+
+def q_pip_join(sf_dir: str):
+    zones = ray.data.from_arrow(_zones_table())
+    joined = spatial_join(
+        zones,
+        _geo_docs(sf_dir),
+        "covers",
+        left_geom="geom",
+        right_geom=("lon", "lat"),
+        num_partitions=8,
+        conf=SpatialConf(grid_type="kdbtree"),
+    )
+    return _rename(joined.select_columns(["l_zone_id", "r_doc_id"]), {"l_zone_id": "zone_id", "r_doc_id": "doc_id"})
+
+
+def q_pip_join_broadcast(sf_dir: str):
+    out = broadcast_spatial_join(
+        _geo_docs(sf_dir),
+        _zones_table(),
+        "covered_by",
+        big_geom=("lon", "lat"),
+        small_geom="geom",
+        how="inner",
+        small_prefix="z_",
+    )
+    return _rename(out.select_columns(["z_zone_id", "doc_id"]), {"z_zone_id": "zone_id"})
+
+
+def q_pip_join_count(sf_dir: str):
+    counts = q_pip_join(sf_dir).groupby("zone_id").count()
+    return _rename(counts, {"count()": "n_docs"})
+
+
+def q_distance_join(sf_dir: str):
+    def subset(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % DIST_MOD == 0))
+
+    pts = _geo_docs(sf_dir).map_batches(subset, batch_format="pyarrow")
+    joined = spatial_join(
+        pts,
+        pts,
+        radius=DIST_RADIUS,
+        left_geom=("lon", "lat"),
+        right_geom=("lon", "lat"),
+        num_partitions=4,
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch["l_doc_id"].to_numpy(zero_copy_only=False)
+        b = batch["r_doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(a < b))
+        return pa.table({"a_id": t["l_doc_id"], "b_id": t["r_doc_id"]})
+
+    return joined.map_batches(ordered, batch_format="pyarrow")
+
+
+def q_knn_join(sf_dir: str):
+    queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "qx", "qy"])
+    out = knn_join(
+        _geo_docs(sf_dir), queries, k=KNN_K, right_geom=("lon", "lat"), right_id="doc_id"
+    )
+    return out.select_columns(["query_id", "doc_id", "rank"])
+
+
+def q_knn_query(sf_dir: str):
+    out = knn_query(_geo_docs(sf_dir), Geometry.point(0.0, 0.0), k=10, id_col="doc_id").to_pandas()
+    out = out.sort_values(["dist", "doc_id"], kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"doc_id": out.doc_id, "rank": np.arange(1, len(out) + 1, dtype=np.int64)})
+
+
+def q_tile_assign(sf_dir: str):
+    out = _geo_docs(sf_dir).map_batches(
+        tile_assign_batch_fn(WORLD, TILE_RES_X, TILE_RES_Y, TILE_PX, TILE_PY),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "pixel_x", "pixel_y", "tile_id"])
+
+
+def q_zonal_tile_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        geocode_docs_batch, batch_format="pyarrow"
+    )
+    tiled = docs.map_batches(
+        tile_assign_batch_fn(WORLD, TILE_RES_X, TILE_RES_Y, TILE_PX, TILE_PY),
+        batch_format="pyarrow",
+    )
+    return tiled.groupby("tile_id").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_envelope_aggr(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    row = _geo_docs(sf_dir).aggregate(Min("lon"), Min("lat"), Max("lon"), Max("lat"))
+    return pd.DataFrame(
+        [
+            {
+                "min_lon": row["min(lon)"],
+                "min_lat": row["min(lat)"],
+                "max_lon": row["max(lon)"],
+                "max_lat": row["max(lat)"],
+            }
+        ]
+    )
+
+
+def q_heatmap(sf_dir: str):
+    hm = heatmap_counts(_geo_docs(sf_dir), WORLD, HM_RES_X, HM_RES_Y, 4, 4)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "weight": batch["weight"].cast(pa.int64()),
+            }
+        )
+
+    return hm.map_batches(shape, batch_format="pyarrow")
+
+
+def q_st_zone_stats(sf_dir: str):
+    rows = []
+    t = _zones_table()
+    for zid, blob in zip(t["zone_id"].to_pylist(), t["geom"].to_pylist()):
+        g = _wkb.from_wkb(blob)
+        c = _gops.centroid(g)
+        rows.append(
+            {
+                "zone_id": zid,
+                "area": _gops.area(g),
+                "perimeter": _gops.length(g),
+                "cx": float(c.coords[0]),
+                "cy": float(c.coords[1]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup_exact(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_token_count(sf_dir: str):
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(token_count_fn(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality(sf_dir: str):
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(quality_fn(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars_q", "n_alpha", "n_digits", "n_spaces", "alpha_ratio"])
+
+
+def q_lang_count(sf_dir: str):
+    out = _docs(sf_dir, columns=["doc_id", "lang"]).groupby("lang").count()
+    return _rename(out, {"count()": "n"})
+
+
+def q_ann_topk(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = (
+        ds.to_pandas()
+        .sort_values("vec_id")
+        .head(ANN_NQ)
+        .rename(columns={"vec_id": "query_id", "embedding": "qvec"})
+    )
+    out = topk_cosine(ds, qdf, k=ANN_K)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    from incubator_sedona_ray.dedup import embedding_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_dedup(ds, threshold=EMB_DUP_THRESHOLD, brute=True)
+    return pairs[["a", "b"]].astype(np.int64)
+
+
+def q_window_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column("hour_id", pa.array(us // 3_600_000_000))
+
+    out = (
+        ev.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Count(alias_name="n"), Min("value", alias_name="min_value"), Max("value", alias_name="max_value"))
+    )
+    return out
+
+
+def q_sessionize(sf_dir: str):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = int((np.diff(us) > SESSION_GAP_US).sum()) if len(us) > 1 else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [gaps + 1]})
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_top_users(sf_dir: str):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = _rename(ev.groupby("user_id").count(), {"count()": "n"})
+    df = counts.to_pandas().sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort").head(10)
+    return df.reset_index(drop=True)
+
+
+def q_multimodal_meta(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = pa.array([t.encode() for t in batch["text"].to_pylist()], type=pa.binary())
+        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
+
+    out = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        payload_meta_fn("payload"), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "n_bytes", "sha_prefix"])
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q_s2_cells(sf_dir: str):
+    def add(batch: pa.Table) -> pa.Table:
+        cells = _s2.cells_for_points(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            10,
+        )
+        return pa.table({"doc_id": batch["doc_id"], "s2_cell": pa.array(cells)})
+
+    return _geo_docs(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+def q_geohash(sf_dir: str):
+    def add(batch: pa.Table) -> pa.Table:
+        gh = _geohash.encode_many(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            6,
+        )
+        return pa.table({"doc_id": batch["doc_id"], "geohash": pa.array(list(gh), type=pa.string())})
+
+    return _geo_docs(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+def q_h3_cells(sf_dir: str):
+    def add(batch: pa.Table) -> pa.Table:
+        cells = _h3.cell_ids(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            5,
+        )
+        return pa.table({"doc_id": batch["doc_id"], "hex_cell": pa.array(cells)})
+
+    return _geo_docs(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_minhash_survivors(sf_dir: str):
+    survivors, _ = minhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
+    return survivors
+
+
+def q_simhash(sf_dir: str):
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        simhash_batch_fn(), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fingerprint_fn(), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = (
+        ds.to_pandas()
+        .sort_values("vec_id")
+        .head(ANN_NQ)
+        .rename(columns={"vec_id": "query_id", "embedding": "qvec"})
+    )
+    out = topk_cosine_lsh(ds, qdf, k=ANN_K, n_planes=8, n_probe=64)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_flagship(sf_dir: str):
+    out = flagship_pipeline(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    return out.select_columns(["url", "lang", "lon", "lat", "s2_cell", "zone_zone_cc", "tile_id"])
+
+
+def q_image_decode_fake(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = pa.array([t.encode() for t in batch["text"].to_pylist()], type=pa.binary())
+        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
+
+    out = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"bin_col": "payload", "fake": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["doc_id", "img_width", "img_height", "img_channels"])
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke: runs, >=0 rows, stable schema)."""
+    return q_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geocode": q_geocode,
+        "grid_cells": q_grid_cells,
+        "range_query": q_range_query,
+        "pip_join": q_pip_join,
+        "pip_join_broadcast": q_pip_join_broadcast,
+        "pip_join_count": q_pip_join_count,
+        "distance_join": q_distance_join,
+        "knn_join": q_knn_join,
+        "knn_query": q_knn_query,
+        "tile_assign": q_tile_assign,
+        "zonal_tile_stats": q_zonal_tile_stats,
+        "envelope_aggr": q_envelope_aggr,
+        "heatmap": q_heatmap,
+        "st_zone_stats": q_st_zone_stats,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_count": q_lang_count,
+        "ann_topk": q_ann_topk,
+        "embed_dup_pairs": q_embed_dup_pairs,
+        "window_agg": q_window_agg,
+        "sessionize": q_sessionize,
+        "top_users": q_top_users,
+        "multimodal_meta": q_multimodal_meta,
+        # rows-only checks (non-SQL-expressible)
+        "s2_cells": q_s2_cells,
+        "geohash": q_geohash,
+        "h3_cells": q_h3_cells,
+        "langid": q_langid,
+        "minhash_survivors": q_minhash_survivors,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "flagship_pages": q_flagship,
+        "image_decode_fake": q_image_decode_fake,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    px_sql = f"CAST(floor((lon + 180.0) / 360.0 * {TILE_RES_X}) AS BIGINT)"
+    py_sql = f"CAST(floor((lat + 90.0) / 180.0 * {TILE_RES_Y}) AS BIGINT)"
+    # the clamp rules of FindOnePixelCoordinate never fire for this lattice
+    # (lon in [-180, 179.99], lat in [-90, 89.99]) — see raster/tile.py
+    tile_sql = (
+        f"(({px_sql} // {TILE_RES_X // TILE_PX}) + "
+        f"({TILE_PY - 1} - ({py_sql} // {TILE_RES_Y // TILE_PY})) * {TILE_PX})"
+    )
+    hm_px = f"CAST(floor((lon + 180.0) / 360.0 * {HM_RES_X}) AS BIGINT)"
+    hm_py = f"CAST(floor((lat + 90.0) / 180.0 * {HM_RES_Y}) AS BIGINT)"
+    dsq = "((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))"
+    return {
+        "geocode": f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents",
+        "grid_cells": (
+            f"WITH pts AS ({_PTS_SQL}) "
+            f"SELECT doc_id, {_grid.sql_expr('lon', 'lat', GRID_LEVEL)} AS cell_id FROM pts"
+        ),
+        "range_query": (
+            f"WITH pts AS ({_PTS_SQL}) SELECT doc_id, lon, lat FROM pts "
+            f"WHERE lon >= {RANGE_BOX[0]} AND lon <= {RANGE_BOX[2]} "
+            f"AND lat >= {RANGE_BOX[1]} AND lat <= {RANGE_BOX[3]}"
+        ),
+        "pip_join": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
+            f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
+            f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
+        ),
+        "pip_join_broadcast": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
+            f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
+            f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
+        ),
+        "pip_join_count": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
+            f"SELECT z.zone_id AS zone_id, COUNT(*) AS n_docs FROM zones z JOIN pts p ON "
+            f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE} "
+            f"GROUP BY z.zone_id"
+        ),
+        "distance_join": (
+            f"WITH pts AS ({_PTS_SQL}) "
+            f"SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM pts a, pts b "
+            f"WHERE a.doc_id % {DIST_MOD} = 0 AND b.doc_id % {DIST_MOD} = 0 "
+            f"AND a.doc_id < b.doc_id AND sqrt({dsq}) <= {DIST_RADIUS}"
+        ),
+        "knn_join": (
+            f"WITH pts AS ({_PTS_SQL}), q(query_id, qx, qy) AS (VALUES "
+            + ", ".join(f"({i}, {x}, {y})" for i, x, y in KNN_QUERIES)
+            + "), d AS (SELECT q.query_id, p.doc_id, "
+            "((p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy)) AS d2 "
+            "FROM q, pts p) "
+            "SELECT query_id, doc_id, rank FROM ("
+            "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rank FROM d"
+            f") WHERE rank <= {KNN_K}"
+        ),
+        "knn_query": (
+            f"WITH pts AS ({_PTS_SQL}), d AS (SELECT doc_id, (lon * lon + lat * lat) AS d2 FROM pts) "
+            "SELECT doc_id, rank FROM ("
+            "SELECT doc_id, row_number() OVER (ORDER BY d2, doc_id) AS rank FROM d) WHERE rank <= 10"
+        ),
+        "tile_assign": (
+            f"WITH pts AS ({_PTS_SQL}) "
+            f"SELECT doc_id, {px_sql} AS pixel_x, {py_sql} AS pixel_y, {tile_sql} AS tile_id FROM pts"
+        ),
+        "zonal_tile_stats": (
+            f"WITH pts AS (SELECT doc_id, n_chars, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents) "
+            f"SELECT {tile_sql} AS tile_id, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            f"FROM pts GROUP BY 1"
+        ),
+        "envelope_aggr": (
+            f"WITH pts AS ({_PTS_SQL}) SELECT MIN(lon) AS min_lon, MIN(lat) AS min_lat, "
+            f"MAX(lon) AS max_lon, MAX(lat) AS max_lat FROM pts"
+        ),
+        "heatmap": (
+            f"WITH pts AS ({_PTS_SQL}) "
+            f"SELECT ({hm_px} + {hm_py} * {HM_RES_X}) AS pixel_id, COUNT(*) AS weight FROM pts GROUP BY 1"
+        ),
+        "st_zone_stats": (
+            f"WITH zones AS ({_ZONES_SQL}) SELECT zone_id, {ZN_SIDE} * {ZN_SIDE} AS area, "
+            f"4 * {ZN_SIDE} AS perimeter, x0 + {ZN_SIDE} / 2 AS cx, y0 + {ZN_SIDE} / 2 AS cy FROM zones"
+        ),
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id, sha256(text) AS text_hash FROM documents GROUP BY sha256(text)"
+        ),
+        "token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens FROM documents"
+        ),
+        "quality": (
+            "WITH q AS (SELECT doc_id, length(text) AS n_chars_q, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, "
+            "length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents) "
+            "SELECT doc_id, n_chars_q, n_alpha, n_digits, n_spaces, "
+            "CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars_q, 1) AS DOUBLE) AS alpha_ratio FROM q"
+        ),
+        "lang_count": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "ann_topk": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c "
+            "FROM q, embeddings e) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM s"
+            f") WHERE rank <= {ANN_K}"
+        ),
+        "embed_dup_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id AND "
+            f"list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}"
+        ),
+        "window_agg": (
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, COUNT(*) AS n, "
+            "MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH d AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT user_id, 1 + COUNT(*) FILTER (WHERE prev IS NOT NULL AND "
+            f"epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}) AS n_sessions FROM d GROUP BY user_id"
+        ),
+        "top_users": (
+            "SELECT user_id, n FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) "
+            "ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
+        ),
+    }

@@ -353,6 +353,7 @@ def make_group_join_kernel(
     radius: float | None = None,
     inclusive: bool = True,
     circle: bool = False,
+    metrics_actor=None,
 ):
     """The map_groups fn: one co-partitioned group -> joined rows."""
 
@@ -424,6 +425,15 @@ def make_group_join_kernel(
                 dup = both_ext & ~env_disjoint & ~in_extent
                 li_c, ri_c = li_c[~dup], ri_c[~dup]
 
+        if metrics_actor is not None:
+            # per-partition accumulators (Metrics.scala:24-30 parity)
+            metrics_actor.report.remote(
+                int(tbl["part_id"][0].as_py()),
+                min(lt_tbl.num_rows, rt_tbl.num_rows),
+                max(lt_tbl.num_rows, rt_tbl.num_rows),
+                int(len(keep)),
+                int(len(li_c)),
+            )
         arrays = [lt_tbl[c].take(pa.array(li_c)) for c in l_cols] + [
             rt_tbl[c].take(pa.array(ri_c)) for c in r_cols
         ]
@@ -450,6 +460,7 @@ def spatial_join(
     radius: float | None = None,
     inclusive: bool = True,
     circle: bool = False,
+    metrics=None,
 ):
     """Inner predicate/distance join of two Datasets.
 
@@ -502,7 +513,14 @@ def spatial_join(
     unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
 
     kernel = make_group_join_kernel(
-        l_user, r_user, predicate, part.dedup_extents(), radius=radius, inclusive=inclusive, circle=circle
+        l_user,
+        r_user,
+        predicate,
+        part.dedup_extents(),
+        radius=radius,
+        inclusive=inclusive,
+        circle=circle,
+        metrics_actor=metrics.actor if metrics is not None else None,
     )
     return unioned.groupby("part_id").map_groups(kernel, batch_format="pyarrow")
 

@@ -1,0 +1,75 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode kernels (JPEG/PNG/audio) require libs absent from this container
+(PIL/ffmpeg) — they are STUBBED per the driver brief: ``DecodeImage`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decode derives (width, height, n_channels, features) from the payload
+bytes. The Ray-side plumbing — actor-pool stage, schema, small batch sizes
+for large binary payloads — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def payload_meta_fn(bin_col: str = "payload", prefix: str = ""):
+    """Vectorized metadata extraction over a binary column: byte length +
+    8-byte sha256 prefix (as hex) — cheap, exact, SQL-mirrorable."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch[bin_col].to_pylist()
+        n = pa.array([len(b) if b is not None else 0 for b in blobs], type=pa.int64())
+        digest = pa.array(
+            [hashlib.sha256(b).hexdigest()[:16] if b is not None else None for b in blobs],
+            type=pa.string(),
+        )
+        return batch.append_column(prefix + "n_bytes", n).append_column(prefix + "sha_prefix", digest)
+
+    return fn
+
+
+class DecodeImage:
+    """Actor-pool image decode stage.
+
+    Real decode is unavailable in this environment (no PIL/libjpeg):
+    construct with ``fake=True`` for a deterministic stand-in that exercises
+    the exact same batch plumbing (binary in -> fixed-shape feature columns
+    out). Use small ``batch_size`` (e.g. 64) in ``map_batches`` — payloads
+    are large and batches must fit the worker heap.
+    """
+
+    def __init__(self, bin_col: str = "payload", fake: bool = False, feat_dim: int = 8):
+        if not fake:
+            raise NotImplementedError(
+                "image decode requires PIL/libjpeg, not available in this container; "
+                "pass fake=True for the deterministic stand-in"
+            )
+        self.bin_col = bin_col
+        self.feat_dim = feat_dim
+
+    def _fake_decode(self, blob: bytes):
+        h = hashlib.sha256(blob).digest()
+        w = 16 + h[0] % 64
+        hgt = 16 + h[1] % 64
+        feats = np.frombuffer(h[2 : 2 + self.feat_dim], dtype=np.uint8).astype(np.float64) / 255.0
+        return w, hgt, 3, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, cs, feats = [], [], [], []
+        for blob in batch[self.bin_col].to_pylist():
+            w, h, c, f = self._fake_decode(blob or b"")
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            feats.append(f)
+        return (
+            batch.append_column("img_width", pa.array(ws, type=pa.int32()))
+            .append_column("img_height", pa.array(hs, type=pa.int32()))
+            .append_column("img_channels", pa.array(cs, type=pa.int32()))
+            .append_column("img_features", pa.array(feats, type=pa.list_(pa.float64())))
+        )

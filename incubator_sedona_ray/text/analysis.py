@@ -70,7 +70,8 @@ def quality_fn(text_col: str = "text"):
         alpha = pa.array(
             [len(re.findall(r"[A-Za-z]", t)) for t in texts.to_pylist()], type=pa.int64()
         )
-        digits = pa.array([sum(c.isdigit() for c in t) for t in texts.to_pylist()], type=pa.int64())
+        # ASCII [0-9] (not unicode isdigit) for DuckDB regexp parity
+        digits = pa.array([len(re.findall(r"[0-9]", t)) for t in texts.to_pylist()], type=pa.int64())
         spaces = pa.array([t.count(" ") for t in texts.to_pylist()], type=pa.int64())
         nc = n_chars.cast(pa.int64())
         ratio = pc.divide(

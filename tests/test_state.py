@@ -1,0 +1,78 @@
+"""Checkpointed partitioned write: atomicity markers, resume skip, manifest,
+metrics actor."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from incubator_sedona_ray.state import JoinMetrics, checkpointed_write, read_manifest
+from incubator_sedona_ray.state.manifest import read_checkpointed
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+OUT = "/tmp/ckpt_test_out"
+
+
+def _df(n=1000):
+    rng = np.random.default_rng(0)
+    return pd.DataFrame({"part_id": rng.integers(0, 8, n), "v": np.arange(n)})
+
+
+def test_checkpointed_write_and_resume():
+    shutil.rmtree(OUT, ignore_errors=True)
+    df = _df()
+    ds = ray.data.from_pandas(df)
+    manifest = checkpointed_write(ds, OUT, "part_id", lineage={"0": "root0"})
+    assert sorted(manifest["completed"]) == sorted(df.part_id.unique().tolist())
+    assert manifest["skipped_resume"] == []
+    total_rows = sum(m["rows"] for m in manifest["metrics"])
+    assert total_rows == len(df)
+    # all partitions have _SUCCESS
+    for p in df.part_id.unique():
+        assert os.path.exists(f"{OUT}/part_id={p}/_SUCCESS")
+
+    # simulate a partial failure: delete two partitions' markers + data
+    for p in [0, 1]:
+        shutil.rmtree(f"{OUT}/part_id={p}")
+    m2 = checkpointed_write(ray.data.from_pandas(df), OUT, "part_id")
+    assert sorted(m2["skipped_resume"]) == sorted(set(df.part_id.unique()) - {0, 1})
+    # only the two missing partitions were rewritten
+    assert sorted(m["part"] for m in m2["metrics"]) == [0, 1]
+
+    # full round-trip
+    back = read_checkpointed(OUT).to_pandas().sort_values("v").reset_index(drop=True)
+    assert len(back) == len(df)
+    assert set(back.v) == set(df.v)
+    mf = read_manifest(OUT)
+    assert sorted(mf["completed"]) == sorted(df.part_id.unique().tolist())
+
+
+def test_join_metrics_actor():
+    from incubator_sedona_ray.join import spatial_join
+    from incubator_sedona_ray.geom import Geometry
+    from incubator_sedona_ray.geom.wkb import to_wkb
+
+    zones = pd.DataFrame(
+        {"zone_id": [0, 1], "geom": [to_wkb(Geometry.box(0, 0, 50, 50)), to_wkb(Geometry.box(50, 0, 100, 50))]}
+    )
+    rng = np.random.default_rng(1)
+    pts = pd.DataFrame({"pid": np.arange(200), "lon": rng.uniform(0, 100, 200), "lat": rng.uniform(0, 50, 200)})
+    metrics = JoinMetrics()
+    joined = spatial_join(
+        ray.data.from_pandas(zones),
+        ray.data.from_pandas(pts),
+        "covers",
+        left_geom="geom",
+        right_geom=("lon", "lat"),
+        num_partitions=1,
+        metrics=metrics,
+    )
+    n = joined.count()
+    totals = metrics.totals()
+    assert totals["results"] == n
+    assert totals["candidates"] >= totals["results"]
+    assert totals["stream"] > 0
