@@ -24,9 +24,20 @@ def add_text_hash_fn(text_col: str = "text", out_col: str = "text_hash"):
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_cols: list[str] | None = None):
     """Dataset -> surviving rows (min id per distinct text). Returns columns
-    [id_col, text_hash] + keep_cols."""
+    [id_col, text_hash] + keep_cols.
+
+    Fast path (no keep_cols): a native ``groupby.aggregate(Min)`` — partial
+    per-block combine + one small shuffle, no per-group Python. With
+    keep_cols the representative ROW must survive, so it falls back to
+    per-group head(1)."""
     hashed = ds.map_batches(add_text_hash_fn(text_col), batch_format="pyarrow")
-    cols = [id_col, "text_hash"] + (keep_cols or [])
+    if not keep_cols:
+        from ray.data.aggregate import Min
+
+        slim = hashed.select_columns([id_col, "text_hash"])
+        return slim.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+
+    cols = [id_col, "text_hash"] + keep_cols
     slim = hashed.select_columns(cols)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:

@@ -118,6 +118,50 @@ def _env_stats(prepared):
     return row["count()"], (row["min(__e0)"], row["min(__e1)"], row["max(__e2)"], row["max(__e3)"])
 
 
+def _summarize_side(prepared, per_batch_cap: int = 4096):
+    """ONE pass computing analyze() stats AND the envelope sample together
+    (the reference needs two scans, SpatialRDD.java:470-503 + :230-241; we
+    fuse them). Emits one tiny summary row per batch: bbox, count, and an
+    evenly-spaced per-batch envelope subsample; the driver unions the
+    subsamples and thins them to the RDDSampleUtils policy count."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        e = [batch[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
+        if n == 0:
+            return pa.table(
+                {"minx": pa.array([], pa.float64()), "miny": pa.array([], pa.float64()),
+                 "maxx": pa.array([], pa.float64()), "maxy": pa.array([], pa.float64()),
+                 "n": pa.array([], pa.int64()), "sample": pa.array([], pa.list_(pa.float64()))}
+            )
+        take = min(n, per_batch_cap)
+        idx = np.unique(np.linspace(0, n - 1, take).astype(np.int64))
+        samp = np.column_stack([e[0][idx], e[1][idx], e[2][idx], e[3][idx]]).ravel()
+        return pa.table(
+            {
+                "minx": pa.array([float(e[0].min())]),
+                "miny": pa.array([float(e[1].min())]),
+                "maxx": pa.array([float(e[2].max())]),
+                "maxy": pa.array([float(e[3].max())]),
+                "n": pa.array([n], pa.int64()),
+                "sample": pa.array([samp], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = prepared.map_batches(summarize, batch_format="pyarrow").take_all()
+    if not rows:
+        return 0, (0.0, 0.0, 0.0, 0.0), np.empty((0, 4))
+    total = int(sum(r["n"] for r in rows))
+    env = (
+        min(r["minx"] for r in rows),
+        min(r["miny"] for r in rows),
+        max(r["maxx"] for r in rows),
+        max(r["maxy"] for r in rows),
+    )
+    samples = np.concatenate([np.asarray(r["sample"], dtype=np.float64).reshape(-1, 4) for r in rows])
+    return total, env, samples
+
+
 def _fit(samples, boundary, n_parts, grid_type):
     padded = pad_boundary(boundary)
     if grid_type == "kdbtree":
@@ -461,6 +505,7 @@ def spatial_join(
     inclusive: bool = True,
     circle: bool = False,
     metrics=None,
+    boundary: tuple[float, float, float, float] | None = None,
 ):
     """Inner predicate/distance join of two Datasets.
 
@@ -472,33 +517,52 @@ def spatial_join(
     outer joins live on the broadcast path, as in the reference
     ``JoinQueryDetector.scala:317-318``).
     """
+    self_join = right is left
     lprep = _prepare_side(left, left_geom, lprefix, radius=radius or 0.0, circle=circle)
     rprep = _prepare_side(right, right_geom, rprefix)
 
     l_user = [lprefix + c for c in left.schema().names]
     r_user = [rprefix + c for c in right.schema().names]
 
-    l_total, l_env = _env_stats(lprep)
-    r_total, r_env = _env_stats(rprep)
-    boundary = (
+    # ONE summary pass per distinct side (fused analyze + sample); a
+    # self-join reuses the right summary, expanding envelopes by the radius
+    rad = radius or 0.0
+    if self_join and not circle:
+        r_total, r_env, r_samples = _summarize_side(rprep)
+        l_total = r_total
+        l_env = (r_env[0] - rad, r_env[1] - rad, r_env[2] + rad, r_env[3] + rad)
+        l_samples = r_samples + np.array([-rad, -rad, rad, rad]) if rad else r_samples
+    else:
+        l_total, l_env, l_samples = _summarize_side(lprep)
+        r_total, r_env, r_samples = _summarize_side(rprep)
+    env = (
         min(l_env[0], r_env[0]),
         min(l_env[1], r_env[1]),
         max(l_env[2], r_env[2]),
         max(l_env[3], r_env[3]),
     )
-    if num_partitions is None:
-        num_partitions = conf.derive_num_partitions(
-            max(l_total, r_total), left.num_blocks() + right.num_blocks()
+    if boundary is not None:
+        env = (
+            min(env[0], boundary[0]),
+            min(env[1], boundary[1]),
+            max(env[2], boundary[2]),
+            max(env[3], boundary[3]),
         )
-    dominant = lprep if conf.partition_side == "left" else rprep
-    dom_total = l_total if conf.partition_side == "left" else r_total
+    boundary = env
+    if num_partitions is None:
+        num_partitions = conf.derive_num_partitions(max(l_total, r_total), 1)
     from ..partition.base import get_sample_count
 
-    n_samples = get_sample_count(num_partitions, dom_total, conf.sample_number)
-    frac = min(1.0, n_samples / max(1, dom_total))
-    slim = dominant.select_columns(["__e0", "__e1", "__e2", "__e3"])
-    sample_df = (slim if frac >= 1.0 else slim.random_sample(frac, seed=conf.seed)).to_pandas()
-    samples = sample_df.to_numpy(dtype=np.float64)
+    dom_total, dom_samples = (
+        (l_total, l_samples) if conf.partition_side == "left" else (r_total, r_samples)
+    )
+    n_samples = get_sample_count(num_partitions, max(dom_total, 2 * num_partitions), conf.sample_number)
+    if len(dom_samples) > n_samples:
+        # deterministic thinning of the per-batch subsamples to the policy count
+        keep = np.unique(np.linspace(0, len(dom_samples) - 1, n_samples).astype(np.int64))
+        samples = dom_samples[keep]
+    else:
+        samples = dom_samples
 
     part = _fit(samples, boundary, num_partitions, conf.grid_type)
     part_ref = ray.put(part)
