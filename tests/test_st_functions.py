@@ -1,0 +1,119 @@
+"""ST_ catalog golden tests (mirroring functionTestScala expectations where
+closed-form)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from incubator_sedona_ray.functions import FUNCTIONS, st_apply
+from incubator_sedona_ray.functions import st as S
+from incubator_sedona_ray.geom import Geometry
+from incubator_sedona_ray.geom.wkb import from_wkb, to_wkb
+from incubator_sedona_ray.geom.wkt import to_wkt
+
+SQ = to_wkb(Geometry.box(0, 0, 4, 4))
+TRI = to_wkb(Geometry.polygon([[0, 0], [6, 0], [0, 6]]))
+LINE = to_wkb(Geometry.linestring([[0, 0], [3, 4]]))
+PT = to_wkb(Geometry.point(1, 2))
+
+
+def test_catalog_size():
+    # breadth check: the catalog carries a meaningful share of the ~125
+    # vector functions in the reference registry
+    assert len(FUNCTIONS) >= 55
+
+
+def test_constructors():
+    pts = S.st_point([1.0, 2.0], [3.0, 4.0])
+    g = from_wkb(pts[0].as_py())
+    assert g == Geometry.point(1, 3)
+    wkts = S.st_geomfromwkt(["POINT (5 6)", None])
+    assert from_wkb(wkts[0].as_py()) == Geometry.point(5, 6)
+    assert wkts[1].as_py() is None
+    env = S.st_polygonfromenvelope([0.0], [0.0], [2.0], [3.0])
+    assert from_wkb(env[0].as_py()) == Geometry.box(0, 0, 2, 3)
+    gh = S.st_geomfromgeohash(["u4pruy"])
+    box = from_wkb(gh[0].as_py()).envelope()
+    assert box[0] <= 10.40744 <= box[2] and box[1] <= 57.64911 <= box[3]
+
+
+def test_measures():
+    assert S.st_area([SQ, TRI, LINE]).to_pylist() == [16.0, 18.0, 0.0]
+    assert S.st_length([SQ, LINE]).to_pylist() == [16.0, 5.0]
+    assert S.st_x([PT]).to_pylist() == [1.0]
+    assert S.st_y([PT]).to_pylist() == [2.0]
+    assert S.st_xmin([SQ]).to_pylist() == [0.0]
+    assert S.st_xmax([SQ]).to_pylist() == [4.0]
+    assert S.st_npoints([SQ, LINE]).to_pylist() == [5, 2]
+    assert S.st_geometrytype([SQ, PT]).to_pylist() == ["ST_Polygon", "ST_Point"]
+    assert S.st_distance([PT], [to_wkb(Geometry.point(4, 6))]).to_pylist() == [5.0]
+
+
+def test_distancesphere_known():
+    # Paris -> London great-circle ~343-344 km
+    paris = to_wkb(Geometry.point(2.3522, 48.8566))
+    london = to_wkb(Geometry.point(-0.1276, 51.5072))
+    d = S.st_distancesphere([paris], [london]).to_pylist()[0]
+    assert 330_000 < d < 350_000
+
+
+def test_transformers():
+    t = S.st_translate([PT], 10, 20)
+    assert from_wkb(t[0].as_py()) == Geometry.point(11, 22)
+    f = S.st_flipcoordinates([PT])
+    assert from_wkb(f[0].as_py()) == Geometry.point(2, 1)
+    r = S.st_reverse([LINE])
+    np.testing.assert_array_equal(from_wkb(r[0].as_py()).coords, [[3, 4], [0, 0]])
+    rp = S.st_reduceprecision([to_wkb(Geometry.point(1.23456, 7.891011))], 2)
+    assert from_wkb(rp[0].as_py()) == Geometry.point(1.23, 7.89)
+
+
+def test_topology():
+    c = S.st_centroid([SQ])
+    assert from_wkb(c[0].as_py()) == Geometry.point(2, 2)
+    e = S.st_envelope([TRI])
+    assert from_wkb(e[0].as_py()) == Geometry.box(0, 0, 6, 6)
+    h = S.st_convexhull([to_wkb(Geometry(("MultiPoint"), np.array([[0.0, 0], [2, 0], [1, 1], [1, 0.2]])))])
+    assert S.st_area([h[0].as_py()]).to_pylist()[0] == 1.0
+    b = S.st_boundary([SQ])
+    assert from_wkb(b[0].as_py()).kind == "LineString"
+    dumped = S.st_dump([to_wkb(Geometry("MultiPoint", np.array([[0.0, 0], [1, 1]])))])
+    assert len(dumped[0].as_py()) == 2
+    pos = S.st_pointonsurface([SQ])
+    g = from_wkb(pos[0].as_py())
+    assert 0 <= g.coords[0] <= 4
+
+
+def test_predicates_and_serde():
+    assert S.st_contains([SQ], [PT]).to_pylist() == [True]
+    assert S.st_within([PT], [SQ]).to_pylist() == [True]
+    assert S.st_disjoint([SQ], [to_wkb(Geometry.point(9, 9))]).to_pylist() == [True]
+    assert S.st_astext([PT]).to_pylist() == ["POINT (1 2)"]
+    gj = S.st_asgeojson([PT]).to_pylist()[0]
+    assert '"Point"' in gj
+    back = S.st_geomfromgeojson([gj])
+    assert from_wkb(back[0].as_py()) == Geometry.point(1, 2)
+    # round-trip polygon through geojson
+    gj2 = S.st_asgeojson([SQ]).to_pylist()[0]
+    assert from_wkb(S.st_geomfromgeojson([gj2])[0].as_py()) == from_wkb(SQ)
+
+
+def test_flags():
+    ring = to_wkb(Geometry.linestring([[0, 0], [1, 0], [1, 1], [0, 0]]))
+    open_line = LINE
+    assert S.st_isclosed([ring, open_line]).to_pylist() == [True, False]
+    assert S.st_isring([ring, open_line]).to_pylist() == [True, False]
+    bowtie = to_wkb(Geometry.linestring([[0, 0], [2, 2], [2, 0], [0, 2]]))
+    assert S.st_issimple([LINE, bowtie]).to_pylist() == [True, False]
+    assert S.st_isempty([PT]).to_pylist() == [False]
+
+
+def test_srid():
+    s = S.st_setsrid([PT], 4326)
+    assert S.st_srid(s).to_pylist() == [4326]
+
+
+def test_st_apply_stage():
+    batch = pa.table({"geom": [SQ, TRI]})
+    out = st_apply("st_area", "area", "geom")(batch)
+    assert out["area"].to_pylist() == [16.0, 18.0]
