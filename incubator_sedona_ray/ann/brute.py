@@ -38,8 +38,7 @@ def topk_cosine(
     qm = _normalize(np.stack(queries[query_vec].to_numpy()).astype(np.float64))
     q_ref = ray.put({"ids": queries[query_id].to_numpy(), "m": qm})
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        q = resolve_ref(q_ref)
+    def local_topk(batch: pa.Table, q) -> pa.Table:
         m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
         sim = q["m"] @ m.T  # (nq, nb)
         kk = min(k, sim.shape[1])
@@ -56,7 +55,9 @@ def topk_cosine(
             }
         )
 
-    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    from ..partition.assign import broadcast_map_batches
+
+    cand = broadcast_map_batches(ds, local_topk, {"q": q_ref})
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k).copy()

@@ -18,9 +18,8 @@ from ..partition.assign import resolve_ref
 from .brute import _normalize
 
 
-def add_bucket_fn(planes_ref, vec_col: str = "embedding", out_col: str = "bucket"):
-    def fn(batch: pa.Table) -> pa.Table:
-        planes = resolve_ref(planes_ref)
+def bucket_fn(vec_col: str = "embedding", out_col: str = "bucket"):
+    def fn(batch: pa.Table, planes) -> pa.Table:
         m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
         bits = (m @ planes) > 0
         key = np.zeros(len(m), dtype=np.int64)
@@ -65,10 +64,11 @@ def topk_cosine_lsh(
         allowed[int(qi)] = set(all_sigs[np.argsort(ham, kind="stable")[:n_probe]].tolist())
     q_ref = ray.put({"ids": queries[query_id].to_numpy(), "m": qm, "allowed": allowed})
 
-    bucketed = ds.map_batches(add_bucket_fn(planes_ref, vec_col), batch_format="pyarrow")
+    from ..partition.assign import broadcast_map_batches
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        q = resolve_ref(q_ref)
+    bucketed = broadcast_map_batches(ds, bucket_fn(vec_col), {"planes": planes_ref})
+
+    def local_topk(batch: pa.Table, q) -> pa.Table:
         bk = batch["bucket"].to_numpy(zero_copy_only=False)
         m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -94,7 +94,7 @@ def topk_cosine_lsh(
             }
         )
 
-    cand = bucketed.map_batches(local_topk, batch_format="pyarrow")
+    cand = broadcast_map_batches(bucketed, local_topk, {"q": q_ref})
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k).copy()

@@ -53,8 +53,7 @@ def embedding_dedup(
     dim = len(first[vec_col])
     planes_ref = ray.put(rng.standard_normal((dim, n_planes)))
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        planes = resolve_ref(planes_ref)
+    def bucket(batch: pa.Table, planes) -> pa.Table:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
         bits = (_normalize(m) @ planes) > 0
         key = np.zeros(len(m), dtype=np.int64)
@@ -62,7 +61,9 @@ def embedding_dedup(
             key |= bits[:, j].astype(np.int64) << j
         return pa.table({id_col: batch[id_col], "bucket": key, vec_col: batch[vec_col]})
 
-    bucketed = ds.select_columns([id_col, vec_col]).map_batches(bucket, batch_format="pyarrow")
+    from ..partition.assign import broadcast_map_batches
+
+    bucketed = broadcast_map_batches(ds.select_columns([id_col, vec_col]), bucket, {"planes": planes_ref})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

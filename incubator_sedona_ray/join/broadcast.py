@@ -93,8 +93,7 @@ def broadcast_spatial_join(
     idx_ref = small if isinstance(small, ray.ObjectRef) else build_broadcast_index(small, small_geom)
     big_is_point = isinstance(big_geom, (tuple, list))
 
-    def probe(batch: pa.Table) -> pa.Table:
-        idx: BroadcastIndex = resolve_ref(idx_ref)
+    def probe(batch: pa.Table, idx: BroadcastIndex) -> pa.Table:
         n = batch.num_rows
         if big_is_point:
             bx = batch[big_geom[0]].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -151,7 +150,12 @@ def broadcast_spatial_join(
             return out
         raise ValueError(f"unsupported how={how!r}")
 
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return big.map_batches(probe, batch_format="pyarrow", **kwargs)
+    # stateful stage = ACTOR POOL: the broadcast index is fetched ONCE per
+    # actor in __init__ (a bare fn doing ray.get per task blocks workers at
+    # stage start and the raylet churns the pool — measured as a serial
+    # bottleneck).
+    from ..partition.assign import broadcast_map_batches
+
+    return broadcast_map_batches(
+        big, probe, {"idx": idx_ref}, batch_format="pyarrow", concurrency=concurrency
+    )

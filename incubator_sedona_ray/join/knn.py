@@ -82,8 +82,7 @@ def knn_join(
         }
     )
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        q = resolve_ref(q_ref)
+    def local_topk(batch: pa.Table, q) -> pa.Table:
         x = batch[right_geom[0]].to_numpy(zero_copy_only=False).astype(np.float64)
         y = batch[right_geom[1]].to_numpy(zero_copy_only=False).astype(np.float64)
         # (nq, nb) distance matrix per batch — vectorized; batch_size bounds memory
@@ -101,7 +100,9 @@ def knn_join(
         out = out.append_column("dist", pa.array(d[qidx, rows], type=pa.float64()))
         return out
 
-    candidates = right.map_batches(local_topk, batch_format="pyarrow")
+    from ..partition.assign import broadcast_map_batches
+
+    candidates = broadcast_map_batches(right, local_topk, {"q": q_ref})
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         sort_cols = ["dist"] + ([right_id] if right_id else [])

@@ -174,8 +174,7 @@ def _fit(samples, boundary, n_parts, grid_type):
 
 
 def _assign(prepared, part_ref):
-    def fn(batch: pa.Table) -> pa.Table:
-        part = resolve_ref(part_ref)
+    def fn(batch: pa.Table, part) -> pa.Table:
         envs = np.column_stack(
             [batch[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
         )
@@ -186,7 +185,9 @@ def _assign(prepared, part_ref):
         out = batch.take(pa.array(ri))
         return out.append_column("part_id", pa.array(pid, type=pa.int32()))
 
-    return prepared.map_batches(fn, batch_format="pyarrow")
+    from ..partition.assign import broadcast_map_batches
+
+    return broadcast_map_batches(prepared, fn, {"part": part_ref})
 
 
 def _pad_union(left, right, l_cols, r_cols, l_schema, r_schema):

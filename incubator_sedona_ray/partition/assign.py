@@ -31,13 +31,51 @@ _REF_CACHE: dict[bytes, SpatialPartitioner] = {}
 
 
 def resolve_ref(obj):
-    """ObjectRef -> value, cached per worker process."""
+    """ObjectRef -> value, cached per worker process.
+
+    NOTE: only call from actor ``__init__`` (or driver code) — a plain
+    map_batches fn calling ``ray.get`` per task blocks workers at stage
+    start-up and the raylet churns the pool into a serial bottleneck. Use
+    :class:`BroadcastStage` to lift a fn + refs into an actor-pool stage."""
     if isinstance(obj, ray.ObjectRef):
         key = obj.binary()
         if key not in _REF_CACHE:
             _REF_CACHE[key] = ray.get(obj)
         return _REF_CACHE[key]
     return obj
+
+
+class BroadcastStage:
+    """Actor-pool map_batches stage: ``fn(batch, **resolved_refs)`` where
+    every ObjectRef in ``refs`` is fetched ONCE per actor."""
+
+    def __init__(self, fn, refs: dict):
+        self.fn = fn
+        self.resolved = {k: resolve_ref(v) for k, v in refs.items()}
+
+    def __call__(self, batch):
+        return self.fn(batch, **self.resolved)
+
+
+def default_pool():
+    """Autoscaling actor-pool size up to the session CPU count."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    return (1, max(1, ncpu))
+
+
+def broadcast_map_batches(ds, fn, refs: dict, *, batch_format="pyarrow", concurrency=None, **kw):
+    if concurrency is None:
+        concurrency = default_pool()
+    return ds.map_batches(
+        BroadcastStage,
+        fn_constructor_kwargs={"fn": fn, "refs": refs},
+        batch_format=batch_format,
+        concurrency=concurrency,
+        **kw,
+    )
 
 
 def dataset_envelope_stats(ds, x_col: str = "lon", y_col: str = "lat", geom_col: str | None = None):
