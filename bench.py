@@ -177,7 +177,7 @@ def run_bench() -> dict:
 
         withc = geo.map_batches(cells, batch_format="pyarrow")
         joined = broadcast_spatial_join(
-            withc, country_zones_table(), "covered_by", big_geom=("lon", "lat"), small_geom="geom", how="left_outer", small_prefix="z_",
+            withc, country_zones_table(), "covered_by", big_geom=("lon", "lat"), small_geom="geom", how="left_outer", small_prefix="z_", small_columns=["zone_cc"],
         )
         return joined.map_batches(tile_assign_batch_fn(WORLD, 1024, 512, 8, 8), batch_format="pyarrow")
 
@@ -241,13 +241,18 @@ def run_bench() -> dict:
 
     # q7: distance join on a thinned expanded point set
     def q7():
-        pts = expanded_pages(ray, n_docs, columns=["doc_id", "url"]).map_batches(geocode_batch, batch_format="pyarrow").select_columns(["doc_id", "lon", "lat"])
-
         def thin(b: pa.Table) -> pa.Table:
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             return b.filter(pa.array(ids % 50 == 0))
 
-        thinned = pts.map_batches(thin, batch_format="pyarrow")
+        # thin BEFORE geocode: every spatial_join pass re-executes this
+        # chain, so the predicate must be pushed ahead of the transform
+        thinned = (
+            expanded_pages(ray, n_docs, columns=["doc_id", "url"])
+            .map_batches(thin, batch_format="pyarrow")
+            .map_batches(geocode_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "lon", "lat"])
+        )
         joined = spatial_join(
             thinned, thinned, radius=1.0, left_geom=("lon", "lat"), right_geom=("lon", "lat"), num_partitions=max(8, NCPU)
         )
@@ -276,7 +281,8 @@ def run_scaling():
     SAME (larger) input; efficiency computed on the headline q1 wall time.
     The input is sized (BENCH_SCALING_EXPAND) so the 8-CPU run is compute-
     bound — scaling numbers on an overhead-bound toy input are meaningless."""
-    scaling_expand = os.environ.get("BENCH_SCALING_EXPAND", "4000")
+    scaling_expand = os.environ.get("BENCH_SCALING_EXPAND", "2000")
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -291,8 +297,17 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # the sandbox host's effective CPU speed swings 2-3x minute-to-minute,
+    # so interleave trials (lo, hi, lo, hi, ...) and take the per-level MIN
+    # — the canonical way to measure compute scaling on a noisy shared box
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    r_lo = r_hi = None
+    for _ in range(max(1, trials)):
+        a, b = run(lo), run(hi)
+        if r_lo is None or a["queries"]["q1_flagship_pages"] < r_lo["queries"]["q1_flagship_pages"]:
+            r_lo = a
+        if r_hi is None or b["queries"]["q1_flagship_pages"] < r_hi["queries"]["q1_flagship_pages"]:
+            r_hi = b
     t_lo = r_lo["queries"]["q1_flagship_pages"]
     t_hi = r_hi["queries"]["q1_flagship_pages"]
     eff = (t_lo / t_hi) / (hi / lo)

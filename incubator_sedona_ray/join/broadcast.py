@@ -76,6 +76,7 @@ def broadcast_spatial_join(
     how: str = "inner",
     big_side: str = "left",
     small_prefix: str = "z_",
+    small_columns: list[str] | None = None,
     radius: float | None = None,
     inclusive: bool = True,
     concurrency=None,
@@ -133,9 +134,10 @@ def broadcast_spatial_join(
             if how == "left_anti":
                 matched = ~matched
             return batch.filter(pa.array(matched))
+        out_names = small_columns if small_columns is not None else idx.table.column_names
         if how == "inner":
             out = batch.take(pa.array(bi))
-            for name in idx.table.column_names:
+            for name in out_names:
                 out = out.append_column(small_prefix + name, idx.table[name].take(pa.array(si)))
             return out
         if how == "left_outer":
@@ -143,7 +145,7 @@ def broadcast_spatial_join(
             unmatched = np.setdiff1d(np.arange(n), matched_rows, assume_unique=False)
             take_big = np.concatenate([bi, unmatched])
             out = batch.take(pa.array(take_big))
-            for name in idx.table.column_names:
+            for name in out_names:
                 col = idx.table[name].take(pa.array(si)).combine_chunks()
                 nulls = pa.nulls(len(unmatched), type=idx.table.field(name).type)
                 out = out.append_column(small_prefix + name, pa.concat_arrays([col, nulls]))

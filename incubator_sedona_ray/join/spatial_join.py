@@ -216,17 +216,29 @@ def _pad_union(left, right, l_cols, r_cols, l_schema, r_schema):
 # ---------------------------------------------------------------------------
 
 def _pair_mask_distance(lt, rt, li, ri, radius, inclusive):
-    """SQL DistanceJoinExec semantics: true geometric distance(l, r) <=/< radius."""
-    both_pts = bool(lt["ispt"][li].all() and rt["ispt"][ri].all()) if len(li) else True
-    if both_pts:
-        d = np.hypot(lt["x"][li] - rt["x"][ri], lt["y"][li] - rt["y"][ri])
-        return (d <= radius) if inclusive else (d < radius)
-    lg = _geom_cache(lt)
-    rg = _geom_cache(rt)
+    """SQL DistanceJoinExec semantics: true geometric distance(l, r) <=/< radius.
+
+    Point-ness is judged by the actual geometry (``wkb is None`` == a bare
+    point row), NOT the ``__pt`` dedup flag — radius expansion clears the
+    flag but the geometry is still a point, and the vectorized hypot path
+    must keep applying."""
+    if len(li) == 0:
+        return np.zeros(0, dtype=bool)
+    l_pt = np.array([lt["wkb"][int(i)] is None for i in li])
+    r_pt = np.array([rt["wkb"][int(i)] is None for i in ri])
     out = np.zeros(len(li), dtype=bool)
-    for k in range(len(li)):
-        d = _ops.distance(lg(int(li[k])), rg(int(ri[k])))
-        out[k] = d <= radius if inclusive else d < radius
+    pp = l_pt & r_pt
+    if pp.any():
+        idx = np.nonzero(pp)[0]
+        d = np.hypot(lt["x"][li[idx]] - rt["x"][ri[idx]], lt["y"][li[idx]] - rt["y"][ri[idx]])
+        out[idx] = (d <= radius) if inclusive else (d < radius)
+    rest = np.nonzero(~pp)[0]
+    if len(rest):
+        lg = _geom_cache(lt)
+        rg = _geom_cache(rt)
+        for k in rest:
+            d = _ops.distance(lg(int(li[k])), rg(int(ri[k])))
+            out[k] = d <= radius if inclusive else d < radius
     return out
 
 

@@ -66,12 +66,45 @@ def default_pool():
     return (1, max(1, ncpu))
 
 
-def broadcast_map_batches(ds, fn, refs: dict, *, batch_format="pyarrow", concurrency=None, **kw):
+SMALL_BROADCAST_BYTES = 16 << 20  # closure-capture threshold
+
+
+def broadcast_map_batches(
+    ds,
+    fn,
+    refs: dict,
+    *,
+    batch_format="pyarrow",
+    concurrency=None,
+    size_threshold: int = SMALL_BROADCAST_BYTES,
+    **kw,
+):
+    """Run ``fn(batch, **broadcast_values)`` over a Dataset.
+
+    Small broadcast values (< ``size_threshold`` pickled) are captured in
+    the task closure — the stage stays a stateless TASK and FUSES with
+    neighbouring map stages (zero extra object-store hops). Large values go
+    through ``ray.put`` + an actor pool that fetches once per actor
+    (``__init__``), never per task (a per-task blocking ``ray.get``
+    measurably serializes the whole stage)."""
+    import cloudpickle
+
+    vals = {k: (ray.get(v) if isinstance(v, ray.ObjectRef) else v) for k, v in refs.items()}
+    try:
+        approx = sum(len(cloudpickle.dumps(v)) for v in vals.values())
+    except Exception:
+        approx = size_threshold + 1
+    if approx <= size_threshold:
+        def wrapped(batch):
+            return fn(batch, **vals)
+
+        return ds.map_batches(wrapped, batch_format=batch_format, **kw)
+    big_refs = {k: (v if isinstance(refs[k], ray.ObjectRef) else ray.put(v)) for k, v in vals.items()}
     if concurrency is None:
         concurrency = default_pool()
     return ds.map_batches(
         BroadcastStage,
-        fn_constructor_kwargs={"fn": fn, "refs": refs},
+        fn_constructor_kwargs={"fn": fn, "refs": big_refs},
         batch_format=batch_format,
         concurrency=concurrency,
         **kw,

@@ -95,6 +95,7 @@ def flagship_pipeline(documents_ds, *, s2_level: int = 10, res: int = 1024, tile
         small_geom="geom",
         how="left_outer",
         small_prefix="zone_",
+        small_columns=["zone_cc"],
     )
     tiled = joined.map_batches(
         tile_assign_batch_fn(WORLD, res, res // 2, tiles, tiles), batch_format="pyarrow"
