@@ -111,3 +111,30 @@ def write_wkt(ds, path: str, geom_col: str = "geom"):
         return batch.drop_columns([geom_col]).append_column("wkt", pa.array(wkts))
 
     ds.map_batches(fn, batch_format="pyarrow").write_csv(path)
+
+
+def geojson_parse_fn(out_col: str = "geom"):
+    """Line-delimited GeoJSON feature -> (geom WKB, properties JSON string)
+    (GeoJsonReader parity, ``core/.../formatMapper/GeoJsonReader.java:39-81``:
+    keeps feature properties as carried payload)."""
+    from ..functions.st import st_geomfromgeojson
+
+    def fn(batch: pa.Table) -> pa.Table:
+        geoms, props = [], []
+        text_col = batch.column_names[0]
+        for line in batch[text_col].to_pylist():
+            doc = json.loads(line)
+            if doc.get("type") == "FeatureCollection":
+                raise ValueError("read_geojson expects line-delimited features; split collections upstream")
+            props.append(json.dumps(doc.get("properties", {}), sort_keys=True))
+            geom_doc = doc["geometry"] if doc.get("type") == "Feature" else doc
+            geoms.append(json.dumps(geom_doc))
+        wkbs = st_geomfromgeojson(geoms)
+        return pa.table({out_col: wkbs, "properties": pa.array(props, type=pa.string())})
+
+    return fn
+
+
+def read_geojson(path, **read_text_kwargs):
+    ds = ray.data.read_text(path, **read_text_kwargs)
+    return ds.map_batches(geojson_parse_fn(), batch_format="pyarrow")

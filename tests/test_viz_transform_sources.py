@@ -1,0 +1,216 @@
+"""Viz render/halo-blur, CRS transforms, geometry aggregates, sources."""
+
+import json
+import os
+import shutil
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from incubator_sedona_ray.functions.aggregates import collect_aggr, envelope_aggr, union_aggr, union_aggr_geoms
+from incubator_sedona_ray.functions.transform import (
+    lonlat_to_mercator,
+    mercator_to_lonlat,
+    st_transform_batch,
+    vincenty_distance,
+)
+from incubator_sedona_ray.geom import Geometry
+from incubator_sedona_ray.geom.wkb import from_wkb, to_wkb
+from incubator_sedona_ray.raster.viz import colorize, halo_rows, png_encode_rgb, render_tiles
+from incubator_sedona_ray.sources.readers import read_geojson, read_wkt_csv, write_wkt
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def test_mercator_known_values():
+    # known: (0,0) -> (0,0); lon 180 -> 20037508.34
+    x, y = lonlat_to_mercator(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+    assert x[0] == 0 and y[0] == 0
+    assert abs(x[1] - 20037508.342789244) < 1e-6
+    # round trip
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-179, 179, 100)
+    lat = rng.uniform(-84, 84, 100)
+    X, Y = lonlat_to_mercator(lon, lat)
+    lon2, lat2 = mercator_to_lonlat(X, Y)
+    np.testing.assert_allclose(lon, lon2, atol=1e-9)
+    np.testing.assert_allclose(lat, lat2, atol=1e-9)
+
+
+def test_transform_stage():
+    import pyarrow as pa
+
+    batch = pa.table({"lon": [10.0], "lat": [53.55]})
+    out = st_transform_batch("EPSG:4326", "EPSG:3857", "lon", "lat")(batch)
+    assert abs(out["x"][0].as_py() - 1113194.9079327357) < 1e-3  # 10 deg in mercator
+    with pytest.raises(NotImplementedError):
+        st_transform_batch("EPSG:4326", "EPSG:32633", "lon", "lat")
+
+
+def test_vincenty_known():
+    # Paris -> London WGS84 geodesic ~ 343.5 km (well-known)
+    d = vincenty_distance(2.3522, 48.8566, -0.1276, 51.5072)
+    assert 342_000 < d < 345_000
+    assert vincenty_distance(10, 50, 10, 50) == 0.0
+    # one degree of latitude at equator ~ 110.57 km
+    d1 = vincenty_distance(0, 0, 0, 1)
+    assert abs(d1 - 110_574) < 200
+
+
+# ---------------------------------------------------------------------------
+# aggregates
+# ---------------------------------------------------------------------------
+
+def test_envelope_and_union_aggr():
+    rows = [
+        {"k": 0, "geom": to_wkb(Geometry.box(0, 0, 1, 1))},
+        {"k": 0, "geom": to_wkb(Geometry.box(5, 5, 6, 6))},
+        {"k": 1, "geom": to_wkb(Geometry.box(-3, -3, -2, -2))},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    env = envelope_aggr(ds)
+    assert env.envelope() == (-3.0, -3.0, 6.0, 6.0)
+    grouped = union_aggr(ds, group_key="k").to_pandas()
+    g0 = from_wkb(grouped[grouped.k == 0].geom.iloc[0])
+    assert g0.kind == "MultiPolygon" and g0.num_geometries() == 2
+    # overlapping interiors -> NotImplementedError (documented limit)
+    with pytest.raises(NotImplementedError):
+        union_aggr_geoms([Geometry.box(0, 0, 2, 2), Geometry.box(1, 1, 3, 3)])
+    # touching squares are fine (disjoint interiors)
+    u = union_aggr_geoms([Geometry.box(0, 0, 1, 1), Geometry.box(1, 0, 2, 1)])
+    assert u.num_geometries() == 2
+
+
+def test_collect_aggr_window_dedup():
+    dup = to_wkb(Geometry.point(1, 1))
+    rows = [
+        {"k": "a", "geom": dup},
+        {"k": "a", "geom": dup},
+        {"k": "a", "geom": to_wkb(Geometry.point(2, 2))},
+    ]
+    out = collect_aggr(ray.data.from_pandas(pd.DataFrame(rows)), "geom", "k").to_pandas()
+    assert out.n.iloc[0] == 2  # duplicate geometry collapsed (JoinQuery.java:88-99)
+
+
+# ---------------------------------------------------------------------------
+# viz
+# ---------------------------------------------------------------------------
+
+def test_png_encoder_valid():
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]
+    png = png_encode_rgb(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (5, 4)
+    # decode the IDAT back and verify the pixel
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[png.index(b"IDAT") - 4 : png.index(b"IDAT")])[0]
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert raw[0] == 0 and raw[1:4] == b"\xff\x00\x00"
+
+
+def test_colorize_monotone():
+    rgb = colorize(np.array([0.0, 1.0, 10.0, 100.0]), 100.0)
+    assert rgb.shape == (4, 3)
+    assert tuple(rgb[0]) == (0, 0, 0)
+    sums = rgb.sum(axis=1)
+    assert (np.diff(sums) >= 0).all()
+
+
+def test_halo_blur_matches_global_blur():
+    # 16x16 raster, 2x2 tiles of 8x8, blur radius 2
+    res, parts, r = 16, 2, 2
+    rng = np.random.default_rng(4)
+    full = rng.integers(0, 10, size=(res, res)).astype(np.float64)  # [y][x]
+    ys, xs = np.nonzero(full >= 0)
+    weights = full[ys, xs]
+    df = pd.DataFrame({"pixel_x": xs, "pixel_y": ys, "weight": weights})
+    ds = ray.data.from_pandas(df)
+    tiles = render_tiles(ds, res, res, parts, parts, blur_radius=r, max_weight=float(full.max()), log_scale=False).to_pandas()
+    assert len(tiles) == 4
+    # reconstruct the blurred global raster from tile PNGs and compare reds
+    k = 2 * r + 1
+    pad = np.pad(full, r)
+    csum = np.cumsum(np.cumsum(np.pad(pad, ((1, 0), (1, 0))), axis=0), axis=1)
+    gblur = (csum[k:, k:] - csum[:-k, k:] - csum[k:, :-k] + csum[:-k, :-k]) / (k * k)
+    expect_rgb = colorize(gblur.ravel(), float(full.max()), False).reshape(res, res, 3)
+    ix = res // parts
+    for _, row in tiles.iterrows():
+        png = row.png
+        idat_off = png.index(b"IDAT")
+        ln = struct.unpack(">I", png[idat_off - 4 : idat_off])[0]
+        raw = zlib.decompress(png[idat_off + 4 : idat_off + 4 + ln])
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(ix, ix * 3 + 1)[:, 1:].reshape(ix, ix, 3)
+        img = img[::-1]  # un-flip: row 0 back to bottom
+        tx = row.tile_id % parts
+        ty = parts - 1 - row.tile_id // parts
+        sub = expect_rgb[ty * ix : (ty + 1) * ix, tx * ix : (tx + 1) * ix]
+        np.testing.assert_array_equal(img, sub)
+
+
+def test_halo_rows_duplication():
+    px = np.array([0, 7, 8, 15])
+    py = np.array([0, 7, 8, 15])
+    w = np.ones(4)
+    opx, opy, ow, ot = halo_rows(px, py, w, 16, 16, 2, 2, halo=2)
+    # originals kept + boundary pixels duplicated into neighbours
+    assert len(opx) > 4
+    assert ow.sum() > 4
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+def test_read_wkt_csv_and_write_wkt(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text('id,wkt\n1,"POINT (1 2)"\n2,"POLYGON ((0 0, 1 0, 1 1, 0 0))"\n3,"NOT A WKT"\n')
+    ds = read_wkt_csv(str(p), "wkt")
+    df = ds.to_pandas().sort_values("id")
+    assert len(df) == 2  # invalid row skipped (FormatMapper skip flag)
+    assert from_wkb(df[df.id == 1].geom.iloc[0]) == Geometry.point(1, 2)
+    out = str(tmp_path / "out")
+    write_wkt(ds, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    text = "".join(open(os.path.join(out, f)).read() for f in files)
+    assert "POINT (1 2)" in text
+
+
+def test_read_geojson(tmp_path):
+    p = tmp_path / "features.jsonl"
+    lines = [
+        json.dumps({"type": "Feature", "properties": {"name": "a"}, "geometry": {"type": "Point", "coordinates": [1, 2]}}),
+        json.dumps({"type": "Point", "coordinates": [3, 4]}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_geojson(str(p)).to_pandas()
+    assert len(df) == 2
+    geoms = sorted(from_wkb(b).coords.tolist() for b in df.geom)
+    assert geoms == [[1.0, 2.0], [3.0, 4.0]]
+    assert '"name": "a"' in df.properties.iloc[0]
+
+
+def test_geoparquet_bbox_pruning(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_sedona_ray.sources.readers import read_geoparquet
+
+    # two files with geo metadata bboxes far apart
+    for i, bbox in enumerate([[0, 0, 10, 10], [100, 100, 110, 110]]):
+        t = pa.table({"geom": [to_wkb(Geometry.point(bbox[0] + 1, bbox[1] + 1))], "i": [i]})
+        meta = {b"geo": json.dumps({"primary_column": "geom", "columns": {"geom": {"bbox": bbox}}}).encode()}
+        t = t.replace_schema_metadata(meta)
+        pq.write_table(t, tmp_path / f"part{i}.parquet")
+    ds = read_geoparquet(str(tmp_path), bbox_filter=(0, 0, 50, 50))
+    df = ds.to_pandas()
+    assert list(df.i) == [0]  # second file pruned by footer bbox
