@@ -17,6 +17,11 @@ class SpatialConf:
     sample_number: int = -1
     seed: int = 42
     target_rows_per_partition: int = 500_000    # scale guardrail for num_partitions derivation
+    # skew: leaves with sample share > salt_threshold x mean are split into
+    # hash salts (0 disables; see partition/salt.py). Applied automatically
+    # when one join side is a plain point side.
+    salt_threshold: float = 8.0
+    salt_max: int = 16
 
     def derive_num_partitions(self, total_rows: int, current_blocks: int) -> int:
         if self.num_partitions > 0:

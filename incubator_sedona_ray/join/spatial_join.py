@@ -578,6 +578,19 @@ def spatial_join(
         samples = dom_samples
 
     part = _fit(samples, boundary, num_partitions, conf.grid_type)
+
+    # explicit skew handling: salt hot leaves when safe (requires a side
+    # whose rows stay single-salt points — pairs of two replicated extended
+    # geometries would duplicate across salts)
+    salt_safe = isinstance(right_geom, (tuple, list)) or (
+        isinstance(left_geom, (tuple, list)) and not radius and not circle
+    )
+    if conf.salt_threshold > 0 and salt_safe and len(samples):
+        from ..partition.salt import SaltedPartitioner, leaf_sample_counts
+
+        counts = leaf_sample_counts(part, samples)
+        if (counts > conf.salt_threshold * max(counts.mean(), 1e-9)).any():
+            part = SaltedPartitioner(part, counts, conf.salt_threshold, conf.salt_max)
     part_ref = ray.put(part)
 
     la = _assign(lprep, part_ref)
