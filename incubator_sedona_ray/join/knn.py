@@ -111,3 +111,85 @@ def knn_join(
         return g
 
     return candidates.groupby(query_id).map_groups(global_topk, batch_format="pandas")
+
+
+def knn_join_partitioned(
+    right,
+    queries,
+    k: int,
+    *,
+    right_geom=("lon", "lat"),
+    query_x: str = "qx",
+    query_y: str = "qy",
+    query_id: str = "query_id",
+    right_id: str | None = None,
+    initial_radius: float | None = None,
+    max_rounds: int = 8,
+    conf=None,
+):
+    """kNN join via the PARTITIONED distance join with expanding radius —
+    the scale path when the query set is too large to broadcast (the
+    broadcast variant holds an (nq x batch) distance matrix per batch).
+
+    Completeness proof: a query's result is final once it has >= k
+    neighbours within radius r, because every unseen point is farther than
+    r >= its k-th neighbour distance. Queries short of k re-run with 2x the
+    radius (only the UNFINISHED queries re-join, so rounds shrink fast).
+    Exact — matches the broadcast variant row-for-row.
+    """
+    import pandas as pd
+    from ..conf import DEFAULT_CONF
+    from .spatial_join import spatial_join
+
+    conf = conf or DEFAULT_CONF
+    remaining = queries.reset_index(drop=True)
+    if initial_radius is None:
+        initial_radius = 1.0
+    results = []
+    r = float(initial_radius)
+    for _ in range(max_rounds):
+        if len(remaining) == 0:
+            break
+        qds = ray.data.from_pandas(remaining)
+        joined = spatial_join(
+            qds,
+            right,
+            radius=r,
+            left_geom=(query_x, query_y),
+            right_geom=right_geom,
+            lprefix="q_",
+            rprefix="",
+            conf=conf,
+        ).to_pandas()
+        done_ids = []
+        for qid, grp in joined.groupby("q_" + query_id):
+            if len(grp) >= k:
+                g = grp.copy()
+                qrow = remaining[remaining[query_id] == qid].iloc[0]
+                g["dist"] = np.hypot(g[right_geom[0]] - qrow[query_x], g[right_geom[1]] - qrow[query_y])
+                by = ["dist"] + ([right_id] if right_id else [])
+                g = g.sort_values(by, kind="mergesort").head(k)
+                g = g.drop(columns=[c for c in g.columns if c.startswith("q_")])
+                g[query_id] = qid
+                g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+                results.append(g)
+                done_ids.append(qid)
+        remaining = remaining[~remaining[query_id].isin(done_ids)]
+        r *= 2.0
+    if len(remaining):  # fewer than k points exist in range — return what we have
+        qds = ray.data.from_pandas(remaining)
+        joined = spatial_join(
+            qds, right, radius=r, left_geom=(query_x, query_y), right_geom=right_geom,
+            lprefix="q_", rprefix="", conf=conf,
+        ).to_pandas()
+        for qid, grp in joined.groupby("q_" + query_id):
+            qrow = remaining[remaining[query_id] == qid].iloc[0]
+            g = grp.copy()
+            g["dist"] = np.hypot(g[right_geom[0]] - qrow[query_x], g[right_geom[1]] - qrow[query_y])
+            by = ["dist"] + ([right_id] if right_id else [])
+            g = g.sort_values(by, kind="mergesort").head(k)
+            g = g.drop(columns=[c for c in g.columns if c.startswith("q_")])
+            g[query_id] = qid
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            results.append(g)
+    return pd.concat(results, ignore_index=True) if results else pd.DataFrame()

@@ -101,3 +101,18 @@ def flagship_pipeline(documents_ds, *, s2_level: int = 10, res: int = 1024, tile
         tile_assign_batch_fn(WORLD, res, res // 2, tiles, tiles), batch_format="pyarrow"
     )
     return tiled
+
+
+def run_flagship_checkpointed(documents_ds, out_dir: str, *, s2_level: int = 10, res: int = 1024, tiles: int = 8, metrics=None):
+    """Flagship pipeline -> tile-partitioned checkpointed parquet output.
+
+    Output layout: one directory per tile_id with atomic data + _SUCCESS
+    marker and a manifest carrying per-partition metrics; re-running with
+    the same out_dir skips completed tiles (north-rule "resumable from
+    checkpoint with per-partition lineage + metrics"). Tile ids are the
+    stable lineage names (deterministic pixel->tile formula)."""
+    from ..state.manifest import checkpointed_write
+
+    tiled = flagship_pipeline(documents_ds, s2_level=s2_level, res=res, tiles=tiles)
+    lineage = {str(t): f"tile:{t % tiles}x{t // tiles}" for t in range(tiles * tiles)}
+    return checkpointed_write(tiled, out_dir, "tile_id", lineage=lineage)
