@@ -14,6 +14,9 @@ class SpatialConf:
     partition_side: str = "left"                # sedona.join.spatitionside (dominant side for sampling)
     num_partitions: int = -1                    # sedona.join.numpartition (-1 = derive)
     auto_broadcast_threshold_bytes: int = 10 * 1024 * 1024  # sedona.join.autoBroadcastJoinThreshold
+    # auto-broadcast when a side has <= this many rows (0 = off; the
+    # reference's planner auto-broadcasts by size, JoinQueryDetector.scala:93-104)
+    auto_broadcast_rows: int = 0
     sample_number: int = -1
     seed: int = 42
     target_rows_per_partition: int = 500_000    # scale guardrail for num_partitions derivation

@@ -548,6 +548,20 @@ def spatial_join(
     else:
         l_total, l_env, l_samples = _summarize_side(lprep)
         r_total, r_env, r_samples = _summarize_side(rprep)
+    # auto-broadcast (JoinQueryDetector parity): a small-enough side skips
+    # the shuffle entirely — same output schema and rows as the partitioned
+    # plan (inner/non-circle only; metrics stay on the partitioned path)
+    if (
+        conf.auto_broadcast_rows > 0
+        and not circle
+        and metrics is None
+        and min(l_total, r_total) <= conf.auto_broadcast_rows
+    ):
+        return _broadcast_fallback(
+            left, right, predicate, left_geom, right_geom, lprefix, rprefix,
+            radius, inclusive, small_side="left" if l_total <= r_total else "right",
+        )
+
     env = (
         min(l_env[0], r_env[0]),
         min(l_env[1], r_env[1]),
@@ -613,6 +627,59 @@ def spatial_join(
         metrics_actor=metrics.actor if metrics is not None else None,
     )
     return unioned.groupby("part_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def _broadcast_fallback(left, right, predicate, left_geom, right_geom, lprefix, rprefix, radius, inclusive, small_side):
+    """Delegate a small-side join to the broadcast path, preserving the
+    partitioned join's output schema (lprefix/rprefix columns)."""
+    from .broadcast import broadcast_spatial_join
+
+    def _collect(ds):
+        return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+
+    def _rename(ds, prefix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([prefix + c for c in batch.column_names])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    if small_side == "right":
+        small_tbl = _collect(right)
+        out = broadcast_spatial_join(
+            _rename(left, lprefix),
+            small_tbl,
+            predicate,
+            big_geom=(
+                (lprefix + left_geom[0], lprefix + left_geom[1])
+                if isinstance(left_geom, (tuple, list))
+                else lprefix + left_geom
+            ),
+            small_geom=right_geom,
+            how="inner",
+            big_side="left",
+            small_prefix=rprefix,
+            radius=radius,
+            inclusive=inclusive,
+        )
+    else:
+        small_tbl = _collect(left)
+        out = broadcast_spatial_join(
+            _rename(right, rprefix),
+            small_tbl,
+            predicate,
+            big_geom=(
+                (rprefix + right_geom[0], rprefix + right_geom[1])
+                if isinstance(right_geom, (tuple, list))
+                else rprefix + right_geom
+            ),
+            small_geom=left_geom,
+            how="inner",
+            big_side="right",
+            small_prefix=lprefix,
+            radius=radius,
+            inclusive=inclusive,
+        )
+    return out
 
 
 def distance_join(left, right, radius: float, *, inclusive: bool = True, **kw):

@@ -161,3 +161,30 @@ def test_distance_join_sql_semantics():
         num_partitions=1,
     ).to_pandas()
     assert set(zip(strict.l_aid, strict.r_bid)) == {(1, 1), (1, 2)}
+
+
+def test_auto_broadcast_matches_partitioned():
+    from incubator_sedona_ray.conf import SpatialConf
+    from incubator_sedona_ray.join import spatial_join
+
+    pts = _points_df(300, seed=8)
+    zones = _zones_df()
+    zds = ray.data.from_pandas(zones)
+    pds = ray.data.from_pandas(pts)
+
+    def run(conf):
+        out = spatial_join(
+            zds, pds, "covers", left_geom="geom", right_geom=("lon", "lat"),
+            num_partitions=4, conf=conf,
+        ).to_pandas()
+        return set(zip(out.l_zone_id, out.r_pid))
+
+    part = run(SpatialConf(auto_broadcast_rows=0))
+    auto = run(SpatialConf(auto_broadcast_rows=1000))  # zones side qualifies
+    assert part == auto
+    # and with the SMALL side on the right (points big, zones small = left)
+    out2 = spatial_join(
+        pds, zds, "covered_by", left_geom=("lon", "lat"), right_geom="geom",
+        num_partitions=4, conf=SpatialConf(auto_broadcast_rows=1000),
+    ).to_pandas()
+    assert set(zip(out2.r_zone_id, out2.l_pid)) == part
