@@ -453,6 +453,80 @@ def q_image_decode_fake(sf_dir: str):
     return out.select_columns(["doc_id", "img_width", "img_height", "img_channels"])
 
 
+
+
+def q_pip_join_salted(sf_dir: str):
+    """Same join as pip_join but with aggressive salting forced on — the
+    driver-level proof that salted repartition preserves the pair set."""
+    zones = ray.data.from_arrow(_zones_table())
+    joined = spatial_join(
+        zones,
+        _geo_docs(sf_dir),
+        "covers",
+        left_geom="geom",
+        right_geom=("lon", "lat"),
+        num_partitions=8,
+        conf=SpatialConf(grid_type="kdbtree", salt_threshold=0.5, salt_max=4),
+    )
+    return _rename(joined.select_columns(["l_zone_id", "r_doc_id"]), {"l_zone_id": "zone_id", "r_doc_id": "doc_id"})
+
+
+def q_knn_join_partitioned(sf_dir: str):
+    """Expanding-radius partitioned kNN join — must equal the broadcast
+    kNN join (and the SQL oracle) row-for-row."""
+    from incubator_sedona_ray.join.knn import knn_join_partitioned
+
+    queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "qx", "qy"])
+    out = knn_join_partitioned(
+        _geo_docs(sf_dir), queries, k=KNN_K, right_geom=("lon", "lat"), right_id="doc_id",
+        initial_radius=8.0,
+    )
+    return out[["query_id", "doc_id", "rank"]]
+
+
+def q_spatial_sort(sf_dir: str):
+    """Spatial (cell-id) sort: order docs by grid cell then doc id — the
+    locality-clustering step before writing spatially-clustered files."""
+    cells = q_grid_cells(sf_dir)
+    df = cells.sort(["cell_id", "doc_id"]).to_pandas()
+    df["pos"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+def q_transform_mercator(sf_dir: str):
+    """EPSG:4326 -> 3857 transform (rows-only: log/tan are not bit-stable
+    across numpy and DuckDB libm)."""
+    from incubator_sedona_ray.functions.transform import st_transform_batch
+
+    out = _geo_docs(sf_dir).map_batches(
+        st_transform_batch("EPSG:4326", "EPSG:3857", "lon", "lat"), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "x", "y"])
+
+
+def q_union_aggr_zones(sf_dir: str):
+    """ST_Union_Aggr of the (disjoint) zone squares per lon column."""
+    from incubator_sedona_ray.functions.aggregates import union_aggr
+
+    zones = ray.data.from_arrow(_zones_table())
+
+    def add_col(batch: pa.Table) -> pa.Table:
+        zid = batch["zone_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("col_idx", pa.array(zid // ZN_Y))
+
+    cols = zones.map_batches(add_col, batch_format="pyarrow")
+    return union_aggr(cols, group_key="col_idx")
+
+
+def q_tile_render(sf_dir: str):
+    """Heatmap tiles rendered to PNG bytes (viz pipeline end-to-end)."""
+    from incubator_sedona_ray.raster.viz import render_tiles
+
+    hm = heatmap_counts(_geo_docs(sf_dir), WORLD, 128, 64, 4, 4)
+    tiles = render_tiles(hm, 128, 64, 4, 4, blur_radius=1)
+    return tiles.select_columns(["tile_id", "width", "height"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -469,9 +543,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_query": q_range_query,
         "pip_join": q_pip_join,
         "pip_join_broadcast": q_pip_join_broadcast,
+        "pip_join_salted": q_pip_join_salted,
         "pip_join_count": q_pip_join_count,
         "distance_join": q_distance_join,
         "knn_join": q_knn_join,
+        "knn_join_partitioned": q_knn_join_partitioned,
         "knn_query": q_knn_query,
         "tile_assign": q_tile_assign,
         "zonal_tile_stats": q_zonal_tile_stats,
@@ -488,7 +564,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "top_users": q_top_users,
         "multimodal_meta": q_multimodal_meta,
+        "spatial_sort": q_spatial_sort,
         # rows-only checks (non-SQL-expressible)
+        "transform_mercator": q_transform_mercator,
+        "union_aggr_zones": q_union_aggr_zones,
+        "tile_render": q_tile_render,
         "s2_cells": q_s2_cells,
         "geohash": q_geohash,
         "h3_cells": q_h3_cells,
@@ -535,6 +615,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
             f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
         ),
+        "pip_join_salted": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
+            f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
+            f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
+        ),
         "pip_join_count": (
             f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
             f"SELECT z.zone_id AS zone_id, COUNT(*) AS n_docs FROM zones z JOIN pts p ON "
@@ -548,6 +633,16 @@ def oracle_sql() -> dict[str, str]:
             f"AND a.doc_id < b.doc_id AND sqrt({dsq}) <= {DIST_RADIUS}"
         ),
         "knn_join": (
+            f"WITH pts AS ({_PTS_SQL}), q(query_id, qx, qy) AS (VALUES "
+            + ", ".join(f"({i}, {x}, {y})" for i, x, y in KNN_QUERIES)
+            + "), d AS (SELECT q.query_id, p.doc_id, "
+            "((p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy)) AS d2 "
+            "FROM q, pts p) "
+            "SELECT query_id, doc_id, rank FROM ("
+            "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rank FROM d"
+            f") WHERE rank <= {KNN_K}"
+        ),
+        "knn_join_partitioned": (
             f"WITH pts AS ({_PTS_SQL}), q(query_id, qx, qy) AS (VALUES "
             + ", ".join(f"({i}, {x}, {y})" for i, x, y in KNN_QUERIES)
             + "), d AS (SELECT q.query_id, p.doc_id, "
@@ -626,6 +721,12 @@ def oracle_sql() -> dict[str, str]:
         "top_users": (
             "SELECT user_id, n FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) "
             "ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "spatial_sort": (
+            f"WITH pts AS ({_PTS_SQL}), c AS (SELECT doc_id, "
+            f"{_grid.sql_expr('lon', 'lat', GRID_LEVEL)} AS cell_id FROM pts) "
+            "SELECT doc_id, cell_id, "
+            "row_number() OVER (ORDER BY cell_id, doc_id) AS pos FROM c"
         ),
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
