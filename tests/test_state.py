@@ -72,7 +72,15 @@ def test_join_metrics_actor():
         metrics=metrics,
     )
     n = joined.count()
+    # reports are fire-and-forget from workers; poll briefly for delivery
+    import time
+
     totals = metrics.totals()
+    for _ in range(20):
+        if totals["results"] == n:
+            break
+        time.sleep(0.25)
+        totals = metrics.totals()
     assert totals["results"] == n
     assert totals["candidates"] >= totals["results"]
     assert totals["stream"] > 0
