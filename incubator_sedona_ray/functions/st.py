@@ -490,3 +490,105 @@ def st_apply(func_name: str, out_col: str, *in_cols, args=()):
         return batch.append_column(out_col, fn(*cols, *args))
 
     return stage
+
+
+# -- linear referencing + extras (geom/linear.py kernels) -------------------
+
+from ..geom import linear as _lin  # noqa: E402
+
+
+def st_lineinterpolatepoint(col, fraction: float) -> pa.Array:
+    return _wkb_arr([None if g is None else _lin.line_interpolate_point(g, fraction) for g in _geoms(col)])
+
+
+def st_linesubstring(col, start: float, end: float) -> pa.Array:
+    return _wkb_arr([None if g is None else _lin.line_substring(g, start, end) for g in _geoms(col)])
+
+
+def st_linemerge(col) -> pa.Array:
+    return _wkb_arr([None if g is None else _lin.line_merge(g) for g in _geoms(col)])
+
+
+def st_frechetdistance(col_a, col_b) -> pa.Array:
+    ga, gb = _geoms(col_a), _geoms(col_b)
+    return pa.array(
+        [None if a is None or b is None else _lin.frechet_distance(a, b) for a, b in zip(ga, gb)],
+        type=pa.float64(),
+    )
+
+
+def st_addpoint(col, point_col, index: int = -1) -> pa.Array:
+    ga, gp = _geoms(col), _geoms(point_col)
+    return _wkb_arr([_lin.add_point(a, p, index) for a, p in zip(ga, gp)])
+
+
+def st_removepoint(col, index: int = -1) -> pa.Array:
+    return _wkb_arr([_lin.remove_point(g, index) for g in _geoms(col)])
+
+
+def st_setpoint(col, index: int, point_col) -> pa.Array:
+    ga, gp = _geoms(col), _geoms(point_col)
+    return _wkb_arr([_lin.set_point(a, index, p) for a, p in zip(ga, gp)])
+
+
+def st_linefrommultipoint(col) -> pa.Array:
+    return _wkb_arr([_lin.line_from_multipoint(g) for g in _geoms(col)])
+
+
+def st_normalize(col) -> pa.Array:
+    return _wkb_arr([None if g is None else _lin.normalize(g) for g in _geoms(col)])
+
+
+def st_minimumboundingcircle(col, quad_segs: int = 8) -> pa.Array:
+    from ..geom.ops import buffer_point
+
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        cx, cy, r = _lin.minimum_bounding_circle(g)
+        out.append(buffer_point(cx, cy, r, quad_segs, g.srid) if r > 0 else Geometry.point(cx, cy, g.srid))
+    return _wkb_arr(out)
+
+
+def st_intersection(col_a, col_b) -> pa.Array:
+    """Exact when one operand is convex (Sutherland–Hodgman); raises for
+    concave-vs-concave (needs GEOS — documented limit)."""
+    from ..geom.predicates import _edges, segments_intersect_any
+
+    out = []
+    for a, b in zip(_geoms(col_a), _geoms(col_b)):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        if _is_convex(b):
+            out.append(_lin.clip_convex(a, b))
+        elif _is_convex(a):
+            out.append(_lin.clip_convex(b, a))
+        else:
+            raise NotImplementedError("ST_Intersection needs one convex operand without GEOS")
+    return _wkb_arr(out)
+
+
+def _is_convex(g: Geometry) -> bool:
+    if g.kind != GeometryType.POLYGON or len(g.coords) != 1:
+        return False
+    r = np.asarray(g.coords[0], dtype=np.float64)
+    v = np.diff(r, axis=0)
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    nz = cross[cross != 0]
+    return bool(len(nz) == 0 or (nz > 0).all() or (nz < 0).all())
+
+
+def st_azimuth(col_a, col_b) -> pa.Array:
+    return st_angle(col_a, col_b)
+
+
+FUNCTIONS.update(
+    {
+        name[3:]: fn
+        for name, fn in list(globals().items())
+        if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
+    }
+)
