@@ -527,6 +527,19 @@ def q_tile_render(sf_dir: str):
     return tiles.select_columns(["tile_id", "width", "height"])
 
 
+def q_zone_clip_area(sf_dir: str):
+    """ST_Intersection (convex clip) of each zone square with a fixed box;
+    exact closed-form areas give a bit-exact SQL oracle."""
+    from incubator_sedona_ray.functions.st import st_intersection, st_area
+
+    t = _zones_table()
+    clip = _wkb.to_wkb(Geometry.box(-50.0, -50.0, 50.0, 50.0))
+    inter = st_intersection(t["geom"], pa.array([clip] * t.num_rows, type=pa.binary()))
+    areas = st_area(inter)
+    df = pd.DataFrame({"zone_id": t["zone_id"].to_pylist(), "clip_area": areas.to_pylist()})
+    return df[df.clip_area > 0].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "multimodal_meta": q_multimodal_meta,
         "spatial_sort": q_spatial_sort,
+        "zone_clip_area": q_zone_clip_area,
         # rows-only checks (non-SQL-expressible)
         "transform_mercator": q_transform_mercator,
         "union_aggr_zones": q_union_aggr_zones,
@@ -727,6 +741,12 @@ def oracle_sql() -> dict[str, str]:
             f"{_grid.sql_expr('lon', 'lat', GRID_LEVEL)} AS cell_id FROM pts) "
             "SELECT doc_id, cell_id, "
             "row_number() OVER (ORDER BY cell_id, doc_id) AS pos FROM c"
+        ),
+        "zone_clip_area": (
+            f"WITH zones AS ({_ZONES_SQL}), c AS (SELECT zone_id, "
+            f"greatest(0.0, least(x0 + {ZN_SIDE}, 50.0) - greatest(x0, -50.0)) * "
+            f"greatest(0.0, least(y0 + {ZN_SIDE}, 50.0) - greatest(y0, -50.0)) AS clip_area FROM zones) "
+            "SELECT zone_id, clip_area FROM c WHERE clip_area > 0"
         ),
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
