@@ -162,6 +162,12 @@ def _summarize_side(prepared, per_batch_cap: int = 4096):
     return total, env, samples
 
 
+def get_sample_count_safe(num_partitions: int, conf) -> int:
+    if conf.sample_number > 0:
+        return conf.sample_number
+    return max(2 * num_partitions, 1000)
+
+
 def _fit(samples, boundary, n_parts, grid_type):
     padded = pad_boundary(boundary)
     if grid_type == "kdbtree":
@@ -538,22 +544,37 @@ def spatial_join(
     r_user = [rprefix + c for c in right.schema().names]
 
     # ONE summary pass per distinct side (fused analyze + sample); a
-    # self-join reuses the right summary, expanding envelopes by the radius
+    # self-join reuses the right summary, expanding envelopes by the radius.
+    # FAST PATH: with caller-provided boundary + num_partitions, the fit
+    # only needs SAMPLES — read a few random blocks instead of a full pass
+    # (rows outside the given boundary would be dropped, so the caller's
+    # boundary must genuinely cover both sides).
     rad = radius or 0.0
+    cheap_fit = boundary is not None and num_partitions is not None
+
+    def summarize(prep):
+        if cheap_fit:
+            target = get_sample_count_safe(num_partitions, conf)
+            sampled = prep.randomize_block_order(seed=conf.seed).limit(max(target, 4 * num_partitions))
+            t, e, s = _summarize_side(sampled)
+            return max(t, 1), boundary, s
+        return _summarize_side(prep)
+
     if self_join and not circle:
-        r_total, r_env, r_samples = _summarize_side(rprep)
+        r_total, r_env, r_samples = summarize(rprep)
         l_total = r_total
         l_env = (r_env[0] - rad, r_env[1] - rad, r_env[2] + rad, r_env[3] + rad)
         l_samples = r_samples + np.array([-rad, -rad, rad, rad]) if rad else r_samples
     else:
-        l_total, l_env, l_samples = _summarize_side(lprep)
-        r_total, r_env, r_samples = _summarize_side(rprep)
+        l_total, l_env, l_samples = summarize(lprep)
+        r_total, r_env, r_samples = summarize(rprep)
     # auto-broadcast (JoinQueryDetector parity): a small-enough side skips
     # the shuffle entirely — same output schema and rows as the partitioned
     # plan (inner/non-circle only; metrics stay on the partitioned path)
     if (
         conf.auto_broadcast_rows > 0
         and not circle
+        and not cheap_fit  # sampled totals can't drive the broadcast decision
         and metrics is None
         and min(l_total, r_total) <= conf.auto_broadcast_rows
     ):
