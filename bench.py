@@ -201,7 +201,8 @@ def run_bench() -> dict:
         zones = ray.data.from_pandas(pd.DataFrame(zones_rows))
         pts = expanded_pages(ray, n_docs, columns=["doc_id", "url"]).map_batches(geocode_batch, batch_format="pyarrow").select_columns(["doc_id", "lon", "lat"])
         joined = spatial_join(
-            zones, pts, "covers", left_geom="geom", right_geom=("lon", "lat"), num_partitions=max(8, NCPU)
+            zones, pts, "covers", left_geom="geom", right_geom=("lon", "lat"),
+            num_partitions=max(8, NCPU), boundary=WORLD,  # known boundary -> block-sample fit, no full summary pass
         )
         return joined.count()
 
@@ -242,8 +243,13 @@ def run_bench() -> dict:
     # q7: distance join on a thinned expanded point set
     def q7():
         def thin(b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(ids % 50 == 0))
+            # hash-thin, NOT stride-thin: a stride aliases with the pages
+            # generator's domain cycle and lands 50 rows on each surviving
+            # coordinate -> quadratic self-join output
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ids * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(33)
+            return b.filter(pa.array((h % np.uint64(50)) == 0))
 
         # thin BEFORE geocode: every spatial_join pass re-executes this
         # chain, so the predicate must be pushed ahead of the transform
@@ -253,8 +259,11 @@ def run_bench() -> dict:
             .map_batches(geocode_batch, batch_format="pyarrow")
             .select_columns(["doc_id", "lon", "lat"])
         )
+        # radius sized to the country-box point density (~46 pts/deg^2 in the
+        # densest boxes): 0.1 deg keeps the output near-linear in the input
         joined = spatial_join(
-            thinned, thinned, radius=1.0, left_geom=("lon", "lat"), right_geom=("lon", "lat"), num_partitions=max(8, NCPU)
+            thinned, thinned, radius=0.1, left_geom=("lon", "lat"), right_geom=("lon", "lat"),
+            num_partitions=max(8, NCPU), boundary=WORLD,
         )
         return joined.count()
 

@@ -230,8 +230,10 @@ def _pair_mask_distance(lt, rt, li, ri, radius, inclusive):
     must keep applying."""
     if len(li) == 0:
         return np.zeros(0, dtype=bool)
-    l_pt = np.array([lt["wkb"][int(i)] is None for i in li])
-    r_pt = np.array([rt["wkb"][int(i)] is None for i in ri])
+    # O(side) None-scan once, then O(pairs) numpy indexing — never a Python
+    # loop over candidate pairs
+    l_pt = _wkb_none(lt)[li]
+    r_pt = _wkb_none(rt)[ri]
     out = np.zeros(len(li), dtype=bool)
     pp = l_pt & r_pt
     if pp.any():
@@ -282,6 +284,14 @@ def _pair_mask_circle(lt, rt, li, ri, predicate):
                 )[0]
                 out[k] = d <= rad[k]
     return out
+
+
+def _wkb_none(side) -> np.ndarray:
+    cached = side.get("wkbnone")
+    if cached is None:
+        cached = np.fromiter((w is None for w in side["wkb"]), dtype=bool, count=len(side["wkb"]))
+        side["wkbnone"] = cached
+    return cached
 
 
 def _geom_cache(side):
@@ -636,6 +646,10 @@ def spatial_join(
     l_schema = pa.schema([(n, l_arrow.field(n).type) for n in l_user])
     r_schema = pa.schema([(n, r_arrow.field(n).type) for n in r_user])
     unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
+    # the union carries BOTH sides' block lists; heavy upstream filters can
+    # leave thousands of near-empty blocks, and the sort-based groupby pays
+    # per-block costs — coalesce to a sane count first (no row movement)
+    unioned = unioned.repartition(max(2 * num_partitions, 64))
 
     kernel = make_group_join_kernel(
         l_user,
