@@ -289,7 +289,10 @@ def _pair_mask_circle(lt, rt, li, ri, predicate):
 def _wkb_none(side) -> np.ndarray:
     cached = side.get("wkbnone")
     if cached is None:
-        cached = np.fromiter((w is None for w in side["wkb"]), dtype=bool, count=len(side["wkb"]))
+        if side["wkb"] is None:  # pure point side, wkb column skipped entirely
+            cached = np.ones(len(side["x"]), dtype=bool)
+        else:
+            cached = np.fromiter((w is None for w in side["wkb"]), dtype=bool, count=len(side["wkb"]))
         side["wkbnone"] = cached
     return cached
 
@@ -300,7 +303,7 @@ def _geom_cache(side):
     def get(i: int) -> Geometry:
         g = cache.get(i)
         if g is None:
-            blob = side["wkb"][i]
+            blob = side["wkb"][i] if side["wkb"] is not None else None
             if blob is None:
                 g = Geometry.point(side["x"][i], side["y"][i])
             else:
@@ -314,10 +317,12 @@ def _geom_cache(side):
 _POLYGONAL_FIRST_BYTEPAIRS = {3, 6}  # wkb type codes Polygon / MultiPolygon
 
 
-def _wkb_kinds(blobs):
+def _wkb_kinds(blobs, n: int | None = None):
     """Geometry type code per row (or -1 for point rows carried as x/y)."""
     import struct
 
+    if blobs is None:
+        return np.full(int(n or 0), -1, dtype=np.int64)
     out = np.empty(len(blobs), dtype=np.int64)
     for i, b in enumerate(blobs):
         if b is None:
@@ -447,6 +452,10 @@ def make_group_join_kernel(
             return empty()
 
         def side_arrays(t):
+            wkb_col = t["__wkb"]
+            # pure point sides have an all-null wkb column: skip the Python
+            # list materialization entirely (hot-path win on big groups)
+            wkb = None if wkb_col.null_count == t.num_rows else wkb_col.to_pylist()
             return {
                 "x": t["__x"].to_numpy(zero_copy_only=False),
                 "y": t["__y"].to_numpy(zero_copy_only=False),
@@ -454,14 +463,14 @@ def make_group_join_kernel(
                     [t[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
                 ),
                 "ispt": t["__pt"].to_numpy(zero_copy_only=False).astype(bool),
-                "wkb": t["__wkb"].to_pylist(),
+                "wkb": wkb,
                 "rad": t["__rad"].to_numpy(zero_copy_only=False),
             }
 
         lt = side_arrays(lt_tbl)
         rt = side_arrays(rt_tbl)
-        lt["kind"] = _wkb_kinds(lt["wkb"])
-        rt["kind"] = _wkb_kinds(rt["wkb"])
+        lt["kind"] = _wkb_kinds(lt["wkb"], lt_tbl.num_rows)
+        rt["kind"] = _wkb_kinds(rt["wkb"], rt_tbl.num_rows)
 
         # candidate generation: index the smaller side, probe with the larger
         # (auto build side; reference default is configurable, JoinQuery zips
