@@ -243,6 +243,10 @@ def _face_uv_to_lonlat(face, u, v):
     return lon, lat
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def cell_bounds_lonlat(cell_id: int) -> tuple[float, float, float, float]:
     """Conservative (minlon, minlat, maxlon, maxlat) of one cell, from a 3x3
     sample grid in (s, t) plus explicit pole handling (the pole sits at the

@@ -27,12 +27,19 @@ def attach_payload(
     payload_key: str | None = None,
     strategy: str = "auto",
     broadcast_row_limit: int = 2_000_000,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Inner-join ``slim_result`` (rows to keep, e.g. spatial-join output)
     with ``payload_ds`` (wide rows) on ``key``. Output = payload columns +
     slim columns (slim's key column wins on name clashes)."""
     payload_key = payload_key or key
+    if num_partitions is None:
+        # one hash-aggregator actor per partition — cap by cluster CPUs or
+        # a small session deadlocks waiting for actor resources
+        try:
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 4
     if strategy == "auto":
         n = slim_result.count()
         strategy = "broadcast" if n <= broadcast_row_limit else "hash"

@@ -188,3 +188,31 @@ def test_auto_broadcast_matches_partitioned():
         num_partitions=4, conf=SpatialConf(auto_broadcast_rows=1000),
     ).to_pandas()
     assert set(zip(out2.r_zone_id, out2.l_pid)) == part
+
+
+def test_s2_cell_join_matches_bruteforce():
+    from incubator_sedona_ray.join.cell_join import s2_cell_join
+
+    # S2 cells are GEOGRAPHIC — keep the fixture on the real sphere
+    rng = np.random.default_rng(14)
+    n = 300
+    pts = pd.DataFrame({"pid": np.arange(n), "lon": rng.uniform(-60, 60, n), "lat": rng.uniform(-60, 60, n)})
+    zones = []
+    for bx in range(-60, 60, 24):
+        for by in range(-60, 60, 24):
+            zones.append({"zone_id": f"{bx}:{by}", "geom": to_wkb(Geometry.box(bx, by, bx + 24, by + 24))})
+    zones = pd.DataFrame(zones)
+    expected = set()
+    for _, z in zones.iterrows():
+        bx, by = map(int, z.zone_id.split(":"))
+        m = (pts.lon >= bx) & (pts.lon <= bx + 24) & (pts.lat >= by) & (pts.lat <= by + 24)
+        expected |= {(int(p), z.zone_id) for p in pts.pid[m]}
+    out = s2_cell_join(
+        ray.data.from_pandas(zones),
+        ray.data.from_pandas(pts),
+        "covers",
+        level=5,  # ~4.7-degree cells: coverings of 24-degree zones stay small
+        left_geom="geom",
+        right_geom=("lon", "lat"),
+    ).to_pandas()
+    assert set(zip(out.r_pid.astype(int), out.l_zone_id)) == expected
