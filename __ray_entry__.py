@@ -540,6 +540,18 @@ def q_zone_clip_area(sf_dir: str):
     return df[df.clip_area > 0].reset_index(drop=True)
 
 
+def q_pip_join_cells(sf_dir: str):
+    """The same PIP join via the S2 cell-id equi-join plan (reference's own
+    documented S2 workflow) — third implementation against the same oracle."""
+    from incubator_sedona_ray.join.cell_join import s2_cell_join
+
+    zones = ray.data.from_arrow(_zones_table())
+    joined = s2_cell_join(
+        zones, _geo_docs(sf_dir), "covers", level=5, left_geom="geom", right_geom=("lon", "lat")
+    )
+    return _rename(joined.select_columns(["l_zone_id", "r_doc_id"]), {"l_zone_id": "zone_id", "r_doc_id": "doc_id"})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -557,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": q_pip_join,
         "pip_join_broadcast": q_pip_join_broadcast,
         "pip_join_salted": q_pip_join_salted,
+        "pip_join_cells": q_pip_join_cells,
         "pip_join_count": q_pip_join_count,
         "distance_join": q_distance_join,
         "knn_join": q_knn_join,
@@ -630,6 +643,11 @@ def oracle_sql() -> dict[str, str]:
             f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
         ),
         "pip_join_salted": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
+            f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
+            f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
+        ),
+        "pip_join_cells": (
             f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
             f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
             f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
