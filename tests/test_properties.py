@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the geometry kernel: predicate
+algebra invariants that hold for ALL inputs — catches edge cases example
+tests miss."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from incubator_sedona_ray.geom import Geometry, ops
+from incubator_sedona_ray.geom import predicates as P
+from incubator_sedona_ray.geom.wkb import from_wkb, to_wkb
+from incubator_sedona_ray.geom.wkt import from_wkt, to_wkt
+
+# dyadic coordinates: exact in float64, no denormal pathology (a point at
+# y=1e-38 on a hull edge is a float-representation puzzle, not a geometry one)
+coord = st.integers(min_value=-8000, max_value=8000).map(lambda v: v / 8.0)
+
+
+@st.composite
+def boxes(draw):
+    x0, y0 = draw(coord), draw(coord)
+    w = draw(st.floats(min_value=0.125, max_value=100, allow_nan=False))
+    h = draw(st.floats(min_value=0.125, max_value=100, allow_nan=False))
+    return Geometry.box(x0, y0, x0 + w, y0 + h)
+
+
+@st.composite
+def points(draw):
+    return Geometry.point(draw(coord), draw(coord))
+
+
+@settings(max_examples=200, deadline=None)
+@given(boxes(), boxes())
+def test_predicate_algebra_boxes(a, b):
+    inter = P.intersects(a, b)
+    assert inter == P.intersects(b, a)  # symmetry
+    assert P.disjoint(a, b) == (not inter)
+    if P.contains(a, b):
+        assert P.covers(a, b) and inter
+        assert P.within(b, a)
+    if P.covers(a, b) and P.covers(b, a):
+        assert P.equals(a, b)
+    if P.touches(a, b):
+        assert inter and not P.overlaps(a, b)
+    # envelope-based truth for axis-aligned boxes
+    ae, be = a.envelope(), b.envelope()
+    env_inter = not (ae[2] < be[0] or be[2] < ae[0] or ae[3] < be[1] or be[3] < ae[1])
+    assert inter == env_inter
+
+
+@settings(max_examples=200, deadline=None)
+@given(boxes(), points())
+def test_point_in_box_consistency(box, p):
+    e = box.envelope()
+    x, y = float(p.coords[0]), float(p.coords[1])
+    inside_closed = e[0] <= x <= e[2] and e[1] <= y <= e[3]
+    inside_open = e[0] < x < e[2] and e[1] < y < e[3]
+    assert P.covers(box, p) == inside_closed
+    assert P.contains(box, p) == inside_open or (inside_closed and not inside_open and not P.contains(box, p))
+    loc = P.locate_points_in_geometry(np.array([x]), np.array([y]), box)[0]
+    assert (loc >= P.BOUNDARY) == inside_closed
+    assert (loc == P.INTERIOR) == inside_open
+
+
+@settings(max_examples=150, deadline=None)
+@given(boxes())
+def test_roundtrips_and_measures(g):
+    assert from_wkb(to_wkb(g)) == g
+    assert from_wkt(to_wkt(g)) == g
+    e = g.envelope()
+    assert abs(ops.area(g) - (e[2] - e[0]) * (e[3] - e[1])) < 1e-6 * max(1.0, ops.area(g))
+    assert ops.length(g) > 0
+    c = ops.centroid(g)
+    assert e[0] <= c.coords[0] <= e[2] and e[1] <= c.coords[1] <= e[3]
+    # translation invariance of area (up to shoelace float cancellation)
+    t = ops.translate(g, 13.25, -7.5)
+    assert abs(ops.area(t) - ops.area(g)) <= 1e-9 * max(1.0, abs(ops.area(g)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(points(), points())
+def test_distance_metric_axioms(p, q):
+    d = ops.distance(p, q)
+    assert d >= 0
+    assert d == ops.distance(q, p)
+    assert (d == 0) == (tuple(p.coords) == tuple(q.coords))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=20, unique=True))
+def test_convex_hull_properties(pts):
+    mp = Geometry("MultiPoint", np.array(pts, dtype=np.float64))
+    h = ops.convex_hull(mp)
+    if h.kind != "Polygon":
+        return  # collinear input
+    for x, y in pts:
+        assert P.covers(h, Geometry.point(x, y)), (x, y)
