@@ -553,9 +553,10 @@ def st_minimumboundingcircle(col, quad_segs: int = 8) -> pa.Array:
 
 
 def st_intersection(col_a, col_b) -> pa.Array:
-    """Exact when one operand is convex (Sutherland–Hodgman); raises for
-    concave-vs-concave (needs GEOS — documented limit)."""
-    from ..geom.predicates import _edges, segments_intersect_any
+    """General polygon intersection: direct Sutherland–Hodgman when one
+    operand is convex; otherwise ear-clip triangulation + pairwise convex
+    clips (exact PIECEWISE MultiPolygon — see geom/triangulate.py)."""
+    from ..geom import triangulate as _tri
 
     out = []
     for a, b in zip(_geoms(col_a), _geoms(col_b)):
@@ -567,7 +568,7 @@ def st_intersection(col_a, col_b) -> pa.Array:
         elif _is_convex(a):
             out.append(_lin.clip_convex(b, a))
         else:
-            raise NotImplementedError("ST_Intersection needs one convex operand without GEOS")
+            out.append(_tri.intersection(a, b))
     return _wkb_arr(out)
 
 

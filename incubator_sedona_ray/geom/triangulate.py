@@ -1,0 +1,137 @@
+"""Ear-clipping triangulation + general polygon intersection.
+
+Removes the "convex operands only" limit on ST_Intersection without a GEOS
+kernel: any SIMPLE polygon (no self-intersections; holes unsupported —
+documented) triangulates by ear clipping (public textbook algorithm,
+O(n^2)); the intersection of two polygons is then the collection of
+pairwise triangle∩triangle convex clips — an exact, possibly-undissolved
+piecewise representation of the intersection region. Area / centroid /
+containment on the piece set equal those of the dissolved region (pieces
+overlap only on measure-zero edges).
+
+``intersection_aggr`` folds: clipping convex pieces against the next
+polygon's triangles keeps every piece convex, so the fold stays exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import Geometry, GeometryType
+from .linear import clip_convex
+from .ops import ring_area
+
+
+def triangulate(poly: Geometry) -> list[np.ndarray]:
+    """Simple polygon (no holes) -> list of (3, 2) triangles."""
+    if poly.kind != GeometryType.POLYGON:
+        raise ValueError("triangulate needs a Polygon")
+    if len(poly.coords) > 1:
+        raise NotImplementedError("triangulation of polygons with holes is unsupported (no GEOS)")
+    ring = np.asarray(poly.coords[0], dtype=np.float64)[:-1]  # open ring
+    if ring_area(np.vstack([ring, ring[:1]])) < 0:
+        ring = ring[::-1]  # enforce CCW
+    idx = list(range(len(ring)))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        ear_found = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = ring[i0], ring[i1], ring[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 0:
+                continue  # reflex or degenerate vertex
+            # no other active vertex strictly inside the candidate ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                if _in_triangle(ring[j], a, b, c):
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([a, b, c]))
+                idx.pop(k)
+                ear_found = True
+                break
+        if not ear_found:  # numerically degenerate remainder
+            break
+    if len(idx) == 3:
+        a, b, c = ring[idx[0]], ring[idx[1]], ring[idx[2]]
+        if abs((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])) > 0:
+            tris.append(np.array([a, b, c]))
+    return tris
+
+
+def _in_triangle(p, a, b, c) -> bool:
+    """CLOSED-triangle membership (boundary counts): a vertex lying exactly
+    on a candidate ear's edge (e.g. a reflex vertex on the diagonal) must
+    BLOCK the ear, or the remainder ring self-overlaps."""
+    for q in (a, b, c):
+        if p[0] == q[0] and p[1] == q[1]:
+            return False  # coincident with an ear corner -> doesn't block
+    d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+    d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+    return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+
+def _is_convex_ring(ring: np.ndarray) -> bool:
+    v = np.diff(ring, axis=0)
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    nz = cross[cross != 0]
+    return bool(len(nz) == 0 or (nz > 0).all() or (nz < 0).all())
+
+
+def _convex_pieces(g: Geometry) -> list[Geometry]:
+    """Polygon/MultiPolygon -> list of convex polygon pieces."""
+    pieces = []
+    for part in g.parts():
+        if part.kind != GeometryType.POLYGON:
+            continue
+        ring = np.asarray(part.coords[0], dtype=np.float64)
+        if len(part.coords) == 1 and _is_convex_ring(ring):
+            pieces.append(part)
+        else:
+            pieces.extend(Geometry.polygon(t) for t in triangulate(part))
+    return pieces
+
+
+def intersection(a: Geometry, b: Geometry) -> Geometry:
+    """General polygon∩polygon as an exact piecewise MultiPolygon (convex
+    pieces; not dissolved — correct for area/centroid/containment)."""
+    out = []
+    for pa_ in _convex_pieces(a):
+        for pb in _convex_pieces(b):
+            clipped = clip_convex(pa_, pb)
+            if not clipped.is_empty and clipped.kind == GeometryType.POLYGON:
+                out.append(clipped.coords)
+    if not out:
+        return Geometry(GeometryType.GEOMETRYCOLLECTION, [])
+    if len(out) == 1:
+        return Geometry(GeometryType.POLYGON, out[0])
+    return Geometry(GeometryType.MULTIPOLYGON, out)
+
+
+def intersection_aggr(geoms: list[Geometry]) -> Geometry:
+    """ST_Intersection_Aggr (``AggregateFunctions.scala``): fold of
+    intersections. Pieces stay convex, so each step is a convex clip."""
+    if not geoms:
+        return Geometry(GeometryType.GEOMETRYCOLLECTION, [])
+    acc = _convex_pieces(geoms[0])
+    for g in geoms[1:]:
+        nxt = []
+        for piece in acc:
+            for pb in _convex_pieces(g):
+                clipped = clip_convex(piece, pb)
+                if not clipped.is_empty and clipped.kind == GeometryType.POLYGON:
+                    nxt.append(clipped)
+        acc = nxt
+        if not acc:
+            return Geometry(GeometryType.GEOMETRYCOLLECTION, [])
+    if len(acc) == 1:
+        return acc[0]
+    return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in acc])

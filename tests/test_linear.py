@@ -106,3 +106,42 @@ def test_st_wrappers():
     assert ops.area(from_wkb(inter[0].as_py())) == 4.0
     az = S.st_azimuth([to_wkb(Geometry.point(0, 0))], [to_wkb(Geometry.point(1, 1))])
     assert abs(az.to_pylist()[0] - np.pi / 4) < 1e-12
+
+
+def test_triangulation_and_general_intersection():
+    from incubator_sedona_ray.geom.triangulate import intersection, intersection_aggr, triangulate
+
+    # L-shape: area 3 (unit squares at (0,0),(1,0),(0,1))
+    L = Geometry.polygon([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])
+    tris = triangulate(L)
+    assert abs(sum(ops.area(Geometry.polygon(t)) for t in tris) - 3.0) < 1e-9
+    # L ∩ L = L (area 3)
+    assert abs(ops.area(intersection(L, L)) - 3.0) < 1e-9
+    # two L-shapes rotated into a plus-like overlap
+    from incubator_sedona_ray.geom.ops import translate
+
+    L2 = translate(L, 0.5, 0.5)
+    inter = intersection(L, L2)
+    # closed form: overlap of the two L's = 1.75
+    # verify against a fine-grid Monte-Carlo-free rasterization
+    import numpy as np
+    xs, ys = np.meshgrid(np.arange(0.005, 2.6, 0.01), np.arange(0.005, 2.6, 0.01))
+    import incubator_sedona_ray.geom.predicates as P2
+    in1 = P2.locate_points_in_geometry(xs.ravel(), ys.ravel(), L) > 0
+    in2 = P2.locate_points_in_geometry(xs.ravel(), ys.ravel(), L2) > 0
+    grid_area = (in1 & in2).sum() * 0.01 * 0.01
+    assert abs(ops.area(inter) - grid_area) < 0.02
+    # concave ∩ concave disjoint -> empty
+    far = translate(L, 10, 10)
+    assert intersection(L, far).is_empty
+    # fold aggregate: three boxes
+    boxes = [Geometry.box(0, 0, 4, 4), Geometry.box(1, 1, 5, 5), Geometry.box(2, 0, 6, 6)]
+    agg = intersection_aggr(boxes)
+    assert abs(ops.area(agg) - ops.area(Geometry.box(2, 1, 4, 4))) < 1e-9
+
+
+def test_st_intersection_concave():
+    L = Geometry.polygon([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])
+    Lw = to_wkb(L)
+    out = S.st_intersection([Lw], [Lw])
+    assert abs(ops.area(from_wkb(out[0].as_py())) - 3.0) < 1e-9

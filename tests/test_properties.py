@@ -94,3 +94,19 @@ def test_convex_hull_properties(pts):
         return  # collinear input
     for x, y in pts:
         assert P.covers(h, Geometry.point(x, y)), (x, y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=0.5, max_value=10, allow_nan=False), min_size=4, max_size=16))
+def test_triangulation_area_star_polygons(radii):
+    """Star-shaped polygons (random radius per angle) are simple — the
+    triangle areas must sum exactly to the shoelace area."""
+    from incubator_sedona_ray.geom.triangulate import triangulate
+
+    n = len(radii)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.column_stack([np.array(radii) * np.cos(ang), np.array(radii) * np.sin(ang)])
+    poly = Geometry.polygon(ring)
+    tris = triangulate(poly)
+    tri_area = sum(ops.area(Geometry.polygon(t)) for t in tris)
+    assert abs(tri_area - ops.area(poly)) < 1e-9 * max(1.0, ops.area(poly))
