@@ -37,16 +37,17 @@ def envelope_aggr(ds, geom_col: str = "geom") -> Geometry:
 
 
 def union_aggr_geoms(geoms: list[Geometry], check_disjoint: bool = True) -> Geometry:
-    """Union of pairwise-disjoint geometries = Multi* assembly."""
+    """Union of geometries. Disjoint inputs -> Multi* assembly; overlapping
+    POLYGONS fall back to the exact piecewise boolean kernel
+    (geom/triangulate.py union_aggr_general)."""
     parts = [p for g in geoms for p in g.parts()]
     if check_disjoint:
         for i in range(len(parts)):
             for j in range(i + 1, len(parts)):
                 if _pred._interiors_overlap(parts[i], parts[j]):
-                    raise NotImplementedError(
-                        "ST_Union_Aggr of geometries with overlapping interiors "
-                        "requires a polygon boolean-ops kernel (GEOS), unavailable here"
-                    )
+                    from ..geom.triangulate import union_aggr_general
+
+                    return union_aggr_general(parts)
     kinds = {p.kind for p in parts}
     if kinds == {GeometryType.POLYGON}:
         return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in parts])

@@ -593,3 +593,38 @@ FUNCTIONS.update(
         if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
     }
 )
+
+
+# -- boolean ops (geom/triangulate.py piecewise kernels) --------------------
+
+def st_difference(col_a, col_b) -> pa.Array:
+    from ..geom import triangulate as _tri
+
+    return _wkb_arr(
+        [None if a is None or b is None else _tri.difference(a, b) for a, b in zip(_geoms(col_a), _geoms(col_b))]
+    )
+
+
+def st_union(col_a, col_b) -> pa.Array:
+    from ..geom import triangulate as _tri
+
+    return _wkb_arr(
+        [None if a is None or b is None else _tri.union(a, b) for a, b in zip(_geoms(col_a), _geoms(col_b))]
+    )
+
+
+def st_symdifference(col_a, col_b) -> pa.Array:
+    from ..geom import triangulate as _tri
+
+    return _wkb_arr(
+        [None if a is None or b is None else _tri.sym_difference(a, b) for a, b in zip(_geoms(col_a), _geoms(col_b))]
+    )
+
+
+FUNCTIONS.update(
+    {
+        name[3:]: fn
+        for name, fn in list(globals().items())
+        if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
+    }
+)

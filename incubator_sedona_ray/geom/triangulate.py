@@ -135,3 +135,92 @@ def intersection_aggr(geoms: list[Geometry]) -> Geometry:
     if len(acc) == 1:
         return acc[0]
     return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in acc])
+
+
+# ---------------------------------------------------------------------------
+# difference / union / symDifference via half-plane decomposition
+# ---------------------------------------------------------------------------
+
+def _clip_halfplane(ring: np.ndarray, a, b, keep_left: bool) -> np.ndarray:
+    """Clip an open convex ring against the half-plane of directed edge a->b
+    (keep_left=True keeps the left side). Returns open ring (may be empty)."""
+    out = []
+    n = len(ring)
+    sign = 1.0 if keep_left else -1.0
+
+    def side(p):
+        return sign * ((b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]))
+
+    for j in range(n):
+        cur, nxt = ring[j], ring[(j + 1) % n]
+        cs, ns = side(cur), side(nxt)
+        if cs >= 0:
+            out.append(cur)
+        if (cs >= 0) != (ns >= 0):
+            t = cs / (cs - ns)
+            out.append(cur + t * (nxt - cur))
+    return np.asarray(out) if len(out) >= 3 else np.empty((0, 2))
+
+
+def convex_difference(piece: Geometry, clip: Geometry) -> list[Geometry]:
+    """piece \\ clip for CONVEX polygons, as a list of convex pieces:
+    standard decomposition — for clip edge i, the part of ``piece`` inside
+    edges 0..i-1 but OUTSIDE edge i is one convex piece."""
+    pring = np.asarray(piece.coords[0], dtype=np.float64)[:-1]
+    cring = np.asarray(clip.coords[0], dtype=np.float64)
+    if ring_area(np.vstack([cring[:-1], cring[:1]]) if not np.array_equal(cring[0], cring[-1]) else cring) < 0:
+        cring = cring[::-1]
+    out = []
+    current = pring  # region of piece inside all previously-processed edges
+    for i in range(len(cring) - 1):
+        a, b = cring[i], cring[i + 1]
+        outside = _clip_halfplane(current, a, b, keep_left=False)
+        if len(outside) >= 3:
+            out.append(Geometry.polygon(outside))
+        current = _clip_halfplane(current, a, b, keep_left=True)
+        if len(current) < 3:
+            break
+    return out
+
+
+def _pieces_minus(pieces: list[Geometry], clip_pieces: list[Geometry]) -> list[Geometry]:
+    for c in clip_pieces:
+        nxt: list[Geometry] = []
+        for p in pieces:
+            nxt.extend(convex_difference(p, c))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def _as_geom(pieces: list[Geometry]) -> Geometry:
+    pieces = [p for p in pieces if not p.is_empty]
+    if not pieces:
+        return Geometry(GeometryType.GEOMETRYCOLLECTION, [])
+    if len(pieces) == 1:
+        return pieces[0]
+    return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in pieces])
+
+
+def difference(a: Geometry, b: Geometry) -> Geometry:
+    """A \\ B, exact piecewise (convex pieces)."""
+    return _as_geom(_pieces_minus(_convex_pieces(a), _convex_pieces(b)))
+
+
+def union(a: Geometry, b: Geometry) -> Geometry:
+    """A ∪ B = pieces(A) + (pieces(B) \\ A), exact piecewise."""
+    return _as_geom(_convex_pieces(a) + _pieces_minus(_convex_pieces(b), _convex_pieces(a)))
+
+
+def sym_difference(a: Geometry, b: Geometry) -> Geometry:
+    pa_, pb = _convex_pieces(a), _convex_pieces(b)
+    return _as_geom(_pieces_minus(pa_, pb) + _pieces_minus(pb, pa_))
+
+
+def union_aggr_general(geoms: list[Geometry]) -> Geometry:
+    """ST_Union_Aggr for possibly-OVERLAPPING polygons, exact piecewise fold."""
+    acc: list[Geometry] = []
+    for g in geoms:
+        acc = acc + _pieces_minus(_convex_pieces(g), acc)
+    return _as_geom(acc)

@@ -145,3 +145,28 @@ def test_st_intersection_concave():
     Lw = to_wkb(L)
     out = S.st_intersection([Lw], [Lw])
     assert abs(ops.area(from_wkb(out[0].as_py())) - 3.0) < 1e-9
+
+
+def test_boolean_ops_piecewise():
+    from incubator_sedona_ray.geom.triangulate import difference, sym_difference, union, union_aggr_general
+
+    A = Geometry.box(0, 0, 4, 4)
+    B = Geometry.box(2, 2, 6, 6)
+    assert abs(ops.area(difference(A, B)) - 12.0) < 1e-9   # 16 - 4 overlap
+    assert abs(ops.area(union(A, B)) - 28.0) < 1e-9        # 16 + 16 - 4
+    assert abs(ops.area(sym_difference(A, B)) - 24.0) < 1e-9
+    # disjoint
+    C = Geometry.box(10, 10, 11, 11)
+    assert abs(ops.area(union(A, C)) - 17.0) < 1e-9
+    assert abs(ops.area(difference(A, C)) - 16.0) < 1e-9
+    # contained
+    D = Geometry.box(1, 1, 2, 2)
+    assert ops.area(difference(D, A)) < 1e-12
+    assert abs(ops.area(difference(A, D)) - 15.0) < 1e-9
+    # concave operand
+    L = Geometry.polygon([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])
+    assert abs(ops.area(union(L, Geometry.box(0, 0, 2, 2))) - 4.0) < 1e-9
+    assert abs(ops.area(difference(Geometry.box(0, 0, 2, 2), L)) - 1.0) < 1e-9
+    # overlapping union aggregate (previously NotImplemented)
+    agg = union_aggr_general([Geometry.box(0, 0, 4, 4), Geometry.box(2, 2, 6, 6), Geometry.box(10, 0, 11, 1)])
+    assert abs(ops.area(agg) - 29.0) < 1e-9

@@ -81,9 +81,11 @@ def test_envelope_and_union_aggr():
     grouped = union_aggr(ds, group_key="k").to_pandas()
     g0 = from_wkb(grouped[grouped.k == 0].geom.iloc[0])
     assert g0.kind == "MultiPolygon" and g0.num_geometries() == 2
-    # overlapping interiors -> NotImplementedError (documented limit)
-    with pytest.raises(NotImplementedError):
-        union_aggr_geoms([Geometry.box(0, 0, 2, 2), Geometry.box(1, 1, 3, 3)])
+    # overlapping interiors -> exact piecewise union (triangulate kernel)
+    from incubator_sedona_ray.geom import ops as _gops
+
+    u = union_aggr_geoms([Geometry.box(0, 0, 2, 2), Geometry.box(1, 1, 3, 3)])
+    assert abs(_gops.area(u) - 7.0) < 1e-9  # 4 + 4 - 1 overlap
     # touching squares are fine (disjoint interiors)
     u = union_aggr_geoms([Geometry.box(0, 0, 1, 1), Geometry.box(1, 0, 2, 1)])
     assert u.num_geometries() == 2
