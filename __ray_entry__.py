@@ -552,6 +552,73 @@ def q_pip_join_cells(sf_dir: str):
     return _rename(joined.select_columns(["l_zone_id", "r_doc_id"]), {"l_zone_id": "zone_id", "r_doc_id": "doc_id"})
 
 
+def q_zone_diff_area(sf_dir: str):
+    """ST_Difference (piecewise boolean kernel) of each zone minus the clip
+    box; closed-form SQL oracle (225 - clip area)."""
+    from incubator_sedona_ray.functions.st import st_difference, st_area
+
+    t = _zones_table()
+    clip = _wkb.to_wkb(Geometry.box(-50.0, -50.0, 50.0, 50.0))
+    diff = st_difference(t["geom"], pa.array([clip] * t.num_rows, type=pa.binary()))
+    areas = st_area(diff)
+    return pd.DataFrame({"zone_id": t["zone_id"].to_pylist(), "diff_area": areas.to_pylist()})
+
+
+SLIDE_US = 6 * 3600 * 1_000_000   # 6h slide
+WIN_US = 24 * 3600 * 1_000_000    # 24h window
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding-window count per event_type (24h window, 6h slide): each
+    event explodes into the 4 windows containing it; count per
+    (event_type, window_start)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = WIN_US // SLIDE_US
+        reps = np.full(len(us), k, dtype=np.int64)
+        idx = np.repeat(np.arange(len(us)), reps)
+        offs = np.tile(np.arange(k, dtype=np.int64), len(us))
+        win_start = (us[idx] // SLIDE_US - offs) * SLIDE_US
+        out = batch.take(pa.array(idx))
+        return pa.table({"event_type": out["event_type"], "win_start": pa.array(win_start)})
+
+    counts = ev.map_batches(explode, batch_format="pyarrow").groupby(["event_type", "win_start"]).count()
+    return _rename(counts, {"count()": "n"})
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each click, the latest prior error of the same user
+    (left-outer; unmatched -> -1). DuckDB native ASOF JOIN is the oracle."""
+    from incubator_sedona_ray.join.asof import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def split(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pa.compute.equal(batch["event_type"], kind))
+            return t.drop_columns(["event_type"])
+
+        return fn
+
+    clicks = ev.map_batches(split("click"), batch_format="pyarrow")
+    errors = ev.map_batches(split("error"), batch_format="pyarrow")
+    out = asof_join(clicks, errors, by="user_id", on="ts", right_prefix="err_")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        err = batch["err_event_id"].to_pandas().fillna(-1).astype("int64")
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "err_id": pa.array(err, type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -592,6 +659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": q_multimodal_meta,
         "spatial_sort": q_spatial_sort,
         "zone_clip_area": q_zone_clip_area,
+        "zone_diff_area": q_zone_diff_area,
+        "sliding_window": q_sliding_window,
+        "asof_join": q_asof_join,
         # rows-only checks (non-SQL-expressible)
         "transform_mercator": q_transform_mercator,
         "union_aggr_zones": q_union_aggr_zones,
@@ -765,6 +835,24 @@ def oracle_sql() -> dict[str, str]:
             f"greatest(0.0, least(x0 + {ZN_SIDE}, 50.0) - greatest(x0, -50.0)) * "
             f"greatest(0.0, least(y0 + {ZN_SIDE}, 50.0) - greatest(y0, -50.0)) AS clip_area FROM zones) "
             "SELECT zone_id, clip_area FROM c WHERE clip_area > 0"
+        ),
+        "zone_diff_area": (
+            f"WITH zones AS ({_ZONES_SQL}), c AS (SELECT zone_id, "
+            f"greatest(0.0, least(x0 + {ZN_SIDE}, 50.0) - greatest(x0, -50.0)) * "
+            f"greatest(0.0, least(y0 + {ZN_SIDE}, 50.0) - greatest(y0, -50.0)) AS clip_area FROM zones) "
+            f"SELECT zone_id, {ZN_SIDE} * {ZN_SIDE} - clip_area AS diff_area FROM c"
+        ),
+        "sliding_window": (
+            f"WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events), "
+            f"w AS (SELECT e.event_type, (e.us // {SLIDE_US} - k.k) * {SLIDE_US} AS win_start "
+            f"FROM e, range(4) k(k)) "
+            "SELECT event_type, win_start, COUNT(*) AS n FROM w GROUP BY 1, 2"
+        ),
+        "asof_join": (
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+            "errors AS (SELECT event_id AS e_id, user_id, ts AS e_ts FROM events WHERE event_type = 'error') "
+            "SELECT c.event_id, c.user_id, CAST(COALESCE(e.e_id, -1) AS BIGINT) AS err_id "
+            "FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.e_ts"
         ),
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
