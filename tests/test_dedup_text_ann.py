@@ -32,8 +32,6 @@ def test_dedup_exact():
     df = _docs_with_dups()
     ds = ray.data.from_pandas(df)
     out = dedup_exact(ds).to_pandas()
-    # exact dup ids (base+100000) must all be gone; near dups survive
-    assert not any(out.doc_id >= 100_000) or all(out.doc_id >= 200_000) or True
     survivors = set(out.doc_id)
     for i in df.head(20).doc_id:
         assert int(i) in survivors
