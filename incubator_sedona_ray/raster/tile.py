@@ -111,12 +111,16 @@ def heatmap_counts(
     x_col: str = "lon",
     y_col: str = "lat",
     weight_col: str | None = None,
+    partial_batch_size: int = 262144,
 ):
     """HeatMap.Visualize steps 1-2 (``viz/.../HeatMap.java:133`` +
     ``VisualizationOperator.Rasterize``): per-pixel weight sums.
 
     Pre-aggregates inside each batch (one output row per DISTINCT pixel per
     batch) so the ``groupby(pixel_id)`` shuffle is tiny, then sums partials.
+    ``partial_batch_size`` is deliberately large: with a res_x*res_y-key
+    space, bigger batches collapse more rows map-side (a 16k-row batch
+    against a 32k-pixel grid barely deduplicates at all).
     Returns a Dataset (pixel_id, pixel_x, pixel_y, tile_id, weight).
     """
     from ray.data.aggregate import Sum
@@ -147,7 +151,7 @@ def heatmap_counts(
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=partial_batch_size)
     agg = partials.groupby("pixel_id").aggregate(Sum("weight", alias_name="weight"))
 
     def reattach(batch: pa.Table) -> pa.Table:
