@@ -216,3 +216,27 @@ def test_s2_cell_join_matches_bruteforce():
         right_geom=("lon", "lat"),
     ).to_pandas()
     assert set(zip(out.r_pid.astype(int), out.l_zone_id)) == expected
+
+
+def test_broadcast_wkb_big_side():
+    # big side carries POLYGON WKB (not points): envelope probe + general refine
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(200):
+        x, y = rng.uniform(0, 96, 2)
+        rows.append({"bid": i, "geom": to_wkb(Geometry.box(x, y, x + 4, y + 4))})
+    big = pd.DataFrame(rows)
+    zones = _zones_df()
+    out = broadcast_spatial_join(
+        ray.data.from_pandas(big), zones, "intersects", big_geom="geom", small_geom="geom", how="inner"
+    ).to_pandas()
+    # brute force
+    expect = set()
+    for _, r in big.iterrows():
+        from incubator_sedona_ray.geom.wkb import from_wkb as _fw
+        g = _fw(r.geom)
+        for _, z in zones.iterrows():
+            import incubator_sedona_ray.geom.predicates as PP
+            if PP.intersects(g, _fw(z.geom)):
+                expect.add((r.bid, z.zone_id))
+    assert set(zip(out.bid, out.z_zone_id)) == expect

@@ -110,3 +110,22 @@ def test_triangulation_area_star_polygons(radii):
     tris = triangulate(poly)
     tri_area = sum(ops.area(Geometry.polygon(t)) for t in tris)
     assert abs(tri_area - ops.area(poly)) < 1e-9 * max(1.0, ops.area(poly))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=2, max_value=12), st.integers(min_value=0, max_value=10_000))
+def test_partitioner_point_invariants(n_parts, seed):
+    """For ANY fitted KDB tree: every in-boundary point lands in exactly one
+    leaf, and leaf extents tile the padded boundary."""
+    from incubator_sedona_ray.partition import KDBTree
+    from incubator_sedona_ray.partition.base import pad_boundary
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 50, size=(max(2 * n_parts, 64), 2))
+    env = np.hstack([pts, pts])
+    part = KDBTree(env, pad_boundary((0, 0, 50, 50)), n_parts)
+    probe = rng.uniform(0, 50, size=(256, 2))
+    pid = part.place_points(probe[:, 0], probe[:, 1])
+    assert (pid >= 0).all()
+    areas = (part.leaves[:, 2] - part.leaves[:, 0]) * (part.leaves[:, 3] - part.leaves[:, 1])
+    assert abs(areas.sum() - 50.01 * 50.01) < 1e-6
