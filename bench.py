@@ -299,7 +299,7 @@ def run_scaling():
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_EXPAND=scaling_expand,
             BENCH_ONLY="q1_flagship_pages,q3_tile_assign",
-            BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
+            BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
