@@ -664,7 +664,8 @@ def spatial_join(
         n_blocks = left.num_blocks() + right.num_blocks()
     except Exception:
         n_blocks = None
-    if n_blocks is None or n_blocks > 2 * target_blocks:
+    avg_rows = (l_total + r_total) / max(n_blocks or 1, 1)
+    if n_blocks is None or (n_blocks > 2 * target_blocks and avg_rows < 10_000):
         unioned = unioned.repartition(target_blocks)
 
     kernel = make_group_join_kernel(
