@@ -111,13 +111,6 @@ def _prepare_side(ds, geom, prefix: str, radius: float = 0.0, circle: bool = Fal
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _env_stats(prepared):
-    from ray.data.aggregate import Count, Max, Min
-
-    row = prepared.aggregate(Min("__e0"), Min("__e1"), Max("__e2"), Max("__e3"), Count())
-    return row["count()"], (row["min(__e0)"], row["min(__e1)"], row["max(__e2)"], row["max(__e3)"])
-
-
 def _summarize_side(prepared, per_batch_cap: int = 4096):
     """ONE pass computing analyze() stats AND the envelope sample together
     (the reference needs two scans, SpatialRDD.java:470-503 + :230-241; we

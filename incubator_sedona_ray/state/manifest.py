@@ -84,6 +84,8 @@ def checkpointed_write(
         )
 
     metrics = ds.groupby(part_col).map_groups(write_group, batch_format="pandas").to_pandas()
+    if "part" not in metrics.columns:  # everything already complete -> empty result
+        metrics = pd.DataFrame({"part": [], "rows": [], "bytes": []})
     manifest = {
         "part_col": part_col,
         "completed": sorted(

@@ -84,3 +84,16 @@ def test_join_metrics_actor():
     assert totals["results"] == n
     assert totals["candidates"] >= totals["results"]
     assert totals["stream"] > 0
+
+
+def test_checkpointed_write_all_complete_resume():
+    import shutil
+
+    out = "/tmp/ckpt_all_done"
+    shutil.rmtree(out, ignore_errors=True)
+    df = _df(200)
+    checkpointed_write(ray.data.from_pandas(df), out, "part_id")
+    # second run with EVERYTHING complete must be a no-op, not an error
+    m = checkpointed_write(ray.data.from_pandas(df), out, "part_id")
+    assert m["metrics"] == []
+    assert sorted(m["skipped_resume"]) == sorted(df.part_id.unique().tolist())
