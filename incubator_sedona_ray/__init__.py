@@ -21,3 +21,15 @@ constructions the Sedona test surface exercises.
 """
 
 __version__ = "0.1.0"
+
+# primary API surface
+from .conf import SpatialConf  # noqa: E402,F401
+from .spatial_dataset import SpatialDataset  # noqa: E402,F401
+from .join import (  # noqa: E402,F401
+    broadcast_spatial_join,
+    distance_join,
+    knn_join,
+    knn_query,
+    range_query,
+    spatial_join,
+)
