@@ -217,9 +217,17 @@ def q_zonal_tile_stats(sf_dir: str):
         tile_assign_batch_fn(WORLD, TILE_RES_X, TILE_RES_Y, TILE_PX, TILE_PY),
         batch_format="pyarrow",
     )
-    return tiled.groupby("tile_id").aggregate(
+    out = tiled.groupby("tile_id").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
     )
+
+    def _cast(batch: "pa.Table") -> "pa.Table":
+        # Pin aggregate dtypes so the driver's typed value-hash matches the
+        # oracle (DuckDB SUM(BIGINT) surfaces as hugeint/float otherwise).
+        idx = batch.schema.get_field_index("sum_chars")
+        return batch.set_column(idx, "sum_chars", batch["sum_chars"].cast(pa.int64()))
+
+    return out.map_batches(_cast, batch_format="pyarrow")
 
 
 def q_envelope_aggr(sf_dir: str):
@@ -481,7 +489,7 @@ def q_knn_join_partitioned(sf_dir: str):
         _geo_docs(sf_dir), queries, k=KNN_K, right_geom=("lon", "lat"), right_id="doc_id",
         initial_radius=8.0,
     )
-    return out[["query_id", "doc_id", "rank"]]
+    return out.select_columns(["query_id", "doc_id", "rank"])
 
 
 def q_spatial_sort(sf_dir: str):
@@ -765,7 +773,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zonal_tile_stats": (
             f"WITH pts AS (SELECT doc_id, n_chars, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents) "
-            f"SELECT {tile_sql} AS tile_id, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            f"SELECT {tile_sql} AS tile_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             f"FROM pts GROUP BY 1"
         ),
         "envelope_aggr": (

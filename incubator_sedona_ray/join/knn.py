@@ -47,7 +47,14 @@ def knn_query(ds, query: Geometry, k: int, *, geom=("lon", "lat"), id_col: str |
         else:
             d = np.array([_ops.distance(query, _wkb.from_wkb(b)) for b in batch[geom].to_pylist()])
         kk = min(k, len(d))
-        sel = np.argpartition(d, kk - 1)[:kk] if kk else np.array([], dtype=np.int64)
+        if kk:
+            # keep ALL rows tied at the k-th distance so the global
+            # (dist, id) sort sees every tie candidate — argpartition alone
+            # keeps an arbitrary subset of a tie group spanning the cutoff
+            kth = np.partition(d, kk - 1)[kk - 1]
+            sel = np.nonzero(d <= kth)[0]
+        else:
+            sel = np.array([], dtype=np.int64)
         out = batch.take(pa.array(sel))
         return out.append_column("dist", pa.array(d[sel], type=pa.float64()))
 
@@ -89,12 +96,12 @@ def knn_join(
         d = np.hypot(q["x"][:, None] - x[None, :], q["y"][:, None] - y[None, :])
         kk = min(k, d.shape[1])
         if kk == 0:
-            sel = np.empty((len(q["x"]), 0), dtype=np.int64)
+            qidx = rows = np.array([], dtype=np.int64)
         else:
-            sel = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        nq = sel.shape[0]
-        rows = sel.ravel()
-        qidx = np.repeat(np.arange(nq), sel.shape[1])
+            # per query keep all columns tied at the k-th distance (see
+            # knn_query.local_topk) — the groupby finalizer trims to k
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1 : kk]
+            qidx, rows = np.nonzero(d <= kth)
         out = batch.take(pa.array(rows))
         out = out.append_column(query_id, pa.array(q["id"][qidx]))
         out = out.append_column("dist", pa.array(d[qidx, rows], type=pa.float64()))
@@ -124,7 +131,7 @@ def knn_join_partitioned(
     query_id: str = "query_id",
     right_id: str | None = None,
     initial_radius: float | None = None,
-    max_rounds: int = 8,
+    max_rounds: int = 64,
     conf=None,
 ):
     """kNN join via the PARTITIONED distance join with expanding radius —
@@ -135,61 +142,84 @@ def knn_join_partitioned(
     neighbours within radius r, because every unseen point is farther than
     r >= its k-th neighbour distance. Queries short of k re-run with 2x the
     radius (only the UNFINISHED queries re-join, so rounds shrink fast).
-    Exact — matches the broadcast variant row-for-row.
+    The radius is capped by the combined query+data bounding-box diagonal:
+    once r >= diagonal the join has seen EVERY point, so a query still
+    short of k provably has fewer than k points in the dataset and its
+    partial result is itself exact — matches the broadcast variant
+    row-for-row, never a silent truncation at an arbitrary round count.
+
+    Per-query finalize (dist, sort, top-k, rank) runs distributed in a
+    ``groupby(query_id).map_groups``; the driver only holds the per-round
+    (query_id, complete) bitmap (nq*k tiny rows). Returns a Dataset.
     """
+    import functools
+
     import pandas as pd
+    from ray.data.aggregate import Max, Min
+
     from ..conf import DEFAULT_CONF
     from .spatial_join import spatial_join
 
     conf = conf or DEFAULT_CONF
     remaining = queries.reset_index(drop=True)
-    if initial_radius is None:
-        initial_radius = 1.0
+    rx, ry = right_geom
+    ext = right.aggregate(Min(rx), Min(ry), Max(rx), Max(ry))
+    x0 = min(ext[f"min({rx})"], float(remaining[query_x].min()))
+    x1 = max(ext[f"max({rx})"], float(remaining[query_x].max()))
+    y0 = min(ext[f"min({ry})"], float(remaining[query_y].min()))
+    y1 = max(ext[f"max({ry})"], float(remaining[query_y].max()))
+    diag = float(np.hypot(x1 - x0, y1 - y0))
+    r = float(initial_radius) if initial_radius is not None else max(diag / 1024.0, 1e-12)
+    qid_col = "q_" + query_id
+    qx_col, qy_col = "q_" + query_x, "q_" + query_y
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["dist"] = np.hypot(g[rx] - g[qx_col], g[ry] - g[qy_col])
+        by = ["dist"] + ([right_id] if right_id else [])
+        complete = len(g) >= k
+        g = g.sort_values(by, kind="mergesort").head(k)
+        out = g.drop(columns=[c for c in g.columns if c.startswith("q_") and c != qid_col])
+        out = out.rename(columns={qid_col: query_id})
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        out["__complete"] = complete
+        return out
+
+    def keep_complete(t: pa.Table) -> pa.Table:
+        m = t["__complete"].to_numpy(zero_copy_only=False).astype(bool)
+        return t.drop_columns(["__complete"]).filter(pa.array(m))
+
     results = []
-    r = float(initial_radius)
-    for _ in range(max_rounds):
-        if len(remaining) == 0:
-            break
+    rounds = 0
+    while len(remaining):
+        rounds += 1
+        covers_all = r >= diag or rounds >= max_rounds
+        rr = max(r, diag) if covers_all else r
         qds = ray.data.from_pandas(remaining)
         joined = spatial_join(
             qds,
             right,
-            radius=r,
+            radius=rr,
             left_geom=(query_x, query_y),
             right_geom=right_geom,
             lprefix="q_",
             rprefix="",
             conf=conf,
-        ).to_pandas()
-        done_ids = []
-        for qid, grp in joined.groupby("q_" + query_id):
-            if len(grp) >= k:
-                g = grp.copy()
-                qrow = remaining[remaining[query_id] == qid].iloc[0]
-                g["dist"] = np.hypot(g[right_geom[0]] - qrow[query_x], g[right_geom[1]] - qrow[query_y])
-                by = ["dist"] + ([right_id] if right_id else [])
-                g = g.sort_values(by, kind="mergesort").head(k)
-                g = g.drop(columns=[c for c in g.columns if c.startswith("q_")])
-                g[query_id] = qid
-                g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-                results.append(g)
-                done_ids.append(qid)
-        remaining = remaining[~remaining[query_id].isin(done_ids)]
+        )
+        topk = joined.groupby(qid_col).map_groups(finalize, batch_format="pandas")
+        if covers_all:
+            # the join saw every point: all remaining queries are final
+            results.append(topk.map_batches(
+                lambda t: t.drop_columns(["__complete"]), batch_format="pyarrow"
+            ))
+            break
+        topk = topk.materialize()  # at most len(remaining) * k rows
+        flags = topk.to_pandas()
+        if len(flags):  # an empty round (no pairs in radius) completes nobody
+            done_ids = set(flags.loc[flags["__complete"], query_id].unique())
+            results.append(topk.map_batches(keep_complete, batch_format="pyarrow"))
+            remaining = remaining[~remaining[query_id].isin(done_ids)]
         r *= 2.0
-    if len(remaining):  # fewer than k points exist in range — return what we have
-        qds = ray.data.from_pandas(remaining)
-        joined = spatial_join(
-            qds, right, radius=r, left_geom=(query_x, query_y), right_geom=right_geom,
-            lprefix="q_", rprefix="", conf=conf,
-        ).to_pandas()
-        for qid, grp in joined.groupby("q_" + query_id):
-            qrow = remaining[remaining[query_id] == qid].iloc[0]
-            g = grp.copy()
-            g["dist"] = np.hypot(g[right_geom[0]] - qrow[query_x], g[right_geom[1]] - qrow[query_y])
-            by = ["dist"] + ([right_id] if right_id else [])
-            g = g.sort_values(by, kind="mergesort").head(k)
-            g = g.drop(columns=[c for c in g.columns if c.startswith("q_")])
-            g[query_id] = qid
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            results.append(g)
-    return pd.concat(results, ignore_index=True) if results else pd.DataFrame()
+    if not results:
+        return ray.data.from_pandas(pd.DataFrame({query_id: [], "rank": []}))
+    return functools.reduce(lambda a, b: a.union(b), results)

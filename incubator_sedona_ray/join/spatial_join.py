@@ -370,11 +370,18 @@ def _pair_mask_predicate(lt, rt, li, ri, predicate):
 
     rest = ~fa_done & ~fb_done & ~fc_done
     if rest.any():
-        # point-vs-polygonal combos where the predicate is trivially False
+        # point-vs-non-point combos where the predicate is trivially False
         if predicate in _POINT_FALSE:
-            triv = rest & ((l_pt & ~r_pt) | (~l_pt & r_pt))
-            # contains(point, polygonal) etc. can never hold when the
-            # container has lower dimension; equals point-vs-area false too
+            if predicate in ("contains", "covers"):
+                # only trivially false when the POINT is the container;
+                # contains(LineString, Point) etc. must fall through to the
+                # generic evaluator (lineal/collection containers are valid)
+                triv = rest & (l_pt & ~r_pt)
+            else:
+                # equals/overlaps/crosses need equal dims (or, for crosses
+                # with a single point, the point would be within) — false
+                # for any point-vs-extended pair in either direction
+                triv = rest & ((l_pt & ~r_pt) | (~l_pt & r_pt))
             rest = rest & ~triv
         lg = _geom_cache(lt)
         rg = _geom_cache(rt)

@@ -142,3 +142,59 @@ def test_grouped_and_count_outputs():
     counts = joined.groupby("l_zone_id").count().to_pandas()
     assert len(counts) == 200
     assert (counts["count()"] == 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineal_container_contains_covers():
+    """contains/covers with a LineString container must NOT be trivially
+    false: a point lying on a line's interior is contained by it (ADVICE
+    regression — the point-false shortcut may only fire when the point is
+    the container)."""
+    from incubator_sedona_ray.geom import Geometry
+    from incubator_sedona_ray.geom.wkb import to_wkb
+    from incubator_sedona_ray.join import broadcast_spatial_join
+
+    lines = pd.DataFrame(
+        {
+            "line_id": ["diag", "flat"],
+            "geom": [
+                to_wkb(Geometry.linestring([(0.0, 0.0), (10.0, 10.0)])),
+                to_wkb(Geometry.linestring([(0.0, 5.0), (10.0, 5.0)])),
+            ],
+        }
+    )
+    pts = pd.DataFrame(
+        {
+            "pid": [0, 1, 2, 3],
+            "lon": [2.0, 5.0, 0.0, 9.0],
+            "lat": [2.0, 5.0, 5.0, 1.0],
+        }
+    )
+    # pid0 on diag interior; pid1 on both (diag midpoint + flat interior);
+    # pid2 at flat's START VERTEX (boundary: covers yes, contains no);
+    # pid3 on neither.
+    pts_ds = ray.data.from_pandas(pts)
+    for how in ("partitioned", "broadcast"):
+        if how == "broadcast":
+            cov = broadcast_spatial_join(
+                pts_ds, lines, "covered_by", big_geom=("lon", "lat"), small_geom="geom"
+            ).to_pandas()
+            got_cov = set(zip(cov.pid.astype(int), cov.z_line_id))
+        else:
+            lines_ds = ray.data.from_pandas(lines)
+            cov = spatial_join(
+                lines_ds, pts_ds, "covers", left_geom="geom", right_geom=("lon", "lat"),
+                num_partitions=2,
+            ).to_pandas()
+            got_cov = set(zip(cov.r_pid.astype(int), cov.l_line_id))
+    expected_cov = {(0, "diag"), (1, "diag"), (1, "flat"), (2, "flat")}
+    assert got_cov == expected_cov
+
+    lines_ds = ray.data.from_pandas(lines)
+    cont = spatial_join(
+        lines_ds, pts_ds, "contains", left_geom="geom", right_geom=("lon", "lat"),
+        num_partitions=2,
+    ).to_pandas()
+    got_cont = set(zip(cont.r_pid.astype(int), cont.l_line_id))
+    # pid2 sits on flat's boundary endpoint -> covers but NOT contains
+    assert got_cont == {(0, "diag"), (1, "diag"), (1, "flat")}

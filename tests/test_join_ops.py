@@ -240,3 +240,20 @@ def test_broadcast_wkb_big_side():
             if PP.intersects(g, _fw(z.geom)):
                 expect.add((r.bid, z.zone_id))
     assert set(zip(out.bid, out.z_zone_id)) == expect
+
+
+def test_knn_tie_at_cutoff_keeps_smallest_ids():
+    """Rows tied at the k-th distance must resolve by smallest id, even when
+    the tie group spans a local batch top-k cutoff (ADVICE regression)."""
+    # 40 coincident points (exactly tied distance), ids shuffled across blocks
+    n = 40
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(n)
+    pts = pd.DataFrame({"pid": np.arange(n)[perm], "lon": np.full(n, 5.0), "lat": np.zeros(n)})
+    ds = ray.data.from_pandas([pts.iloc[:13], pts.iloc[13:26], pts.iloc[26:]])
+    out = knn_query(ds, Geometry.point(0.0, 0.0), k=7, id_col="pid").to_pandas()
+    assert sorted(out.pid) == list(range(7))
+    # broadcast kNN join: same tie rule per query
+    q = pd.DataFrame({"query_id": [0], "qx": [0.0], "qy": [0.0]})
+    j = knn_join(ds, q, k=7, right_geom=("lon", "lat"), right_id="pid").to_pandas()
+    assert sorted(j.pid) == list(range(7))

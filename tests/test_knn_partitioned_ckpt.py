@@ -23,8 +23,40 @@ def test_knn_join_partitioned_matches_broadcast():
     base = knn_join(right, queries, k=6, right_geom=("lon", "lat"), right_id="pid").to_pandas()
     part = knn_join_partitioned(
         right, queries, k=6, right_geom=("lon", "lat"), right_id="pid", initial_radius=2.0, max_rounds=10
-    )
+    ).to_pandas()
     assert set(zip(base.query_id, base.pid, base["rank"])) == set(zip(part.query_id, part.pid, part["rank"]))
+
+
+def test_knn_join_partitioned_sparse_region_complete():
+    """ADVICE regression: a query far outside the data extent (or with a
+    tiny initial radius in meter-scale coords) must still get exact k
+    neighbours — the radius keeps doubling until it covers the extent
+    diagonal instead of silently stopping at max_rounds."""
+    rng = np.random.default_rng(7)
+    # meter-scale coordinates: old 8-round cap reached only 128x radius
+    pts = pd.DataFrame(
+        {"pid": np.arange(500), "lon": rng.uniform(0, 1e6, 500), "lat": rng.uniform(0, 1e6, 500)}
+    )
+    queries = pd.DataFrame({"query_id": [0], "qx": [-5e5], "qy": [-5e5]})
+    right = ray.data.from_pandas(pts)
+    base = knn_join(right, queries, k=5, right_geom=("lon", "lat"), right_id="pid").to_pandas()
+    part = knn_join_partitioned(
+        right, queries, k=5, right_geom=("lon", "lat"), right_id="pid", initial_radius=1.0
+    ).to_pandas()
+    assert set(zip(base.pid, base["rank"])) == set(zip(part.pid, part["rank"]))
+
+
+def test_knn_join_partitioned_fewer_than_k():
+    """When the dataset has fewer than k points, every existing point comes
+    back ranked — the partial result is exact, not truncated."""
+    pts = pd.DataFrame({"pid": [0, 1, 2], "lon": [1.0, 2.0, 3.0], "lat": [0.0, 0.0, 0.0]})
+    queries = pd.DataFrame({"query_id": [7], "qx": [0.0], "qy": [0.0]})
+    right = ray.data.from_pandas(pts)
+    part = knn_join_partitioned(
+        right, queries, k=10, right_geom=("lon", "lat"), right_id="pid"
+    ).to_pandas()
+    assert sorted(part.pid) == [0, 1, 2]
+    assert sorted(part["rank"]) == [1, 2, 3]
 
 
 def test_flagship_checkpointed_resume():
