@@ -72,11 +72,81 @@ class STRtree:
 
         ``q``: (m, 4) probe envelopes. Returns (probe_idx, item_idx) int64
         arrays (unsorted).
+
+        Point probes (minx==maxx and miny==maxy — the dominant case in
+        point-in-polygon joins and point partitioning) take a uniform-grid
+        candidate index instead of the level walk: the level expansion
+        materializes O(pairs x levels) fancy-indexed copies (~9 us/point
+        measured), while the grid is O(points x avg candidates/cell).
         """
         q = np.asarray(q, dtype=np.float64).reshape(-1, 4)
         m = q.shape[0]
         if m == 0 or self.n_items == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        is_pt = (q[:, 0] == q[:, 2]) & (q[:, 1] == q[:, 3])
+        if is_pt.all():
+            return self._grid_query_points(q[:, 0], q[:, 1])
+        if is_pt.any():
+            pt_idx = np.nonzero(is_pt)[0]
+            ext_idx = np.nonzero(~is_pt)[0]
+            pp, pi = self._grid_query_points(q[pt_idx, 0], q[pt_idx, 1])
+            ep, ei = self._walk_query(q[ext_idx])
+            return (
+                np.concatenate([pt_idx[pp], ext_idx[ep]]),
+                np.concatenate([pi, ei]),
+            )
+        return self._walk_query(q)
+
+    # -- uniform-grid index for point probes ---------------------------------
+    def _build_grid(self) -> None:
+        env = self.levels[0]  # items in packed order; map back via self.perm
+        L = env.shape[0]
+        gx0, gy0 = float(env[:, 0].min()), float(env[:, 1].min())
+        gx1, gy1 = float(env[:, 2].max()), float(env[:, 3].max())
+        R = int(np.clip(np.ceil(np.sqrt(4.0 * L)), 4, 512))
+        cw = max((gx1 - gx0) / R, 1e-300)
+        ch = max((gy1 - gy0) / R, 1e-300)
+        ix0 = np.clip(np.floor((env[:, 0] - gx0) / cw).astype(np.int64), 0, R - 1)
+        iy0 = np.clip(np.floor((env[:, 1] - gy0) / ch).astype(np.int64), 0, R - 1)
+        ix1 = np.clip(np.floor((env[:, 2] - gx0) / cw).astype(np.int64), 0, R - 1)
+        iy1 = np.clip(np.floor((env[:, 3] - gy0) / ch).astype(np.int64), 0, R - 1)
+        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+        ncell = nx * ny
+        item = np.repeat(np.arange(L, dtype=np.int64), ncell)
+        off = _ranges(ncell)
+        nyr = ny[item]
+        cell = (ix0[item] + off // nyr) * R + (iy0[item] + off % nyr)
+        order = np.argsort(cell, kind="stable")
+        cell, item = cell[order], item[order]
+        counts = np.bincount(cell, minlength=R * R)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        self._grid = (gx0, gy0, cw, ch, R, starts, item, counts)
+
+    def _grid_query_points(self, xs: np.ndarray, ys: np.ndarray):
+        if getattr(self, "_grid", None) is None:
+            self._build_grid()
+        gx0, gy0, cw, ch, R, starts, item, counts = self._grid
+        # closed bounds: a point exactly on the grid's max edge still
+        # intersects the last row/column of items (envelope test is closed)
+        gx1, gy1 = gx0 + cw * R, gy0 + ch * R
+        inside = (xs >= gx0) & (xs <= gx1) & (ys >= gy0) & (ys <= gy1)
+        pid0 = np.nonzero(inside)[0]
+        ix = np.minimum(np.floor((xs[pid0] - gx0) / cw).astype(np.int64), R - 1)
+        iy = np.minimum(np.floor((ys[pid0] - gy0) / ch).astype(np.int64), R - 1)
+        cell = ix * R + iy
+        cnt = counts[cell]
+        probe = np.repeat(pid0, cnt)
+        cand = item[np.repeat(starts[cell], cnt) + _ranges(cnt)]
+        env = self.levels[0]
+        x, y = xs[probe], ys[probe]
+        keep = (
+            (env[cand, 0] <= x) & (x <= env[cand, 2])
+            & (env[cand, 1] <= y) & (y <= env[cand, 3])
+        )
+        return probe[keep], self.perm[cand[keep]]
+
+    def _walk_query(self, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        m = q.shape[0]
         top = self.levels[-1]
         probe = np.repeat(np.arange(m, dtype=np.int64), top.shape[0])
         node = np.tile(np.arange(top.shape[0], dtype=np.int64), m)

@@ -40,78 +40,68 @@ from ..partition.kdb import KDBTree
 from ..partition.quadtree import QuadTree, equal_grid
 
 _POINT_FALSE = {"contains", "covers", "equals", "overlaps", "crosses"}  # poly can't be inside a point
-_INTERNAL = ["__x", "__y", "__wkb", "__e0", "__e1", "__e2", "__e3", "__pt", "__rad"]
+
+
+def _side_fields(tbl, geom, radius: float = 0.0, circle: bool = False):
+    """Geometry working arrays for one side of a join, computed from the
+    USER columns (``geom`` = ("xcol", "ycol") or "wkbcol", already prefixed
+    when called from the kernel).
+
+    This is the reconstruction half of the slim-shuffle design: the
+    exchange ships ONLY user columns + part_id + __side (measured 2x less
+    shuffle volume than shipping 9 internal geometry columns), and each
+    group kernel re-derives x/y/envelope/point-flag/radius here — trivial
+    for point sides, one envelope scan for WKB sides.
+
+    ``circle=True`` reproduces CircleRDD (``Circle.java:68-82``): the row
+    becomes a circle at its MBR center with per-row radius
+    ``max(radius, mbr_diag/2)``; ``pt`` False (circles dedup like extended
+    geometries)."""
+    n = tbl.num_rows
+    if isinstance(geom, (tuple, list)):
+        x = tbl[geom[0]].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = tbl[geom[1]].to_numpy(zero_copy_only=False).astype(np.float64)
+        env = np.column_stack([x, y, x, y])
+        is_pt = np.full(n, radius == 0.0)
+        wkb = None
+    else:
+        wkb = tbl[geom].to_pylist()
+        env = _wkb.envelopes_from_wkb(wkb)
+        is_pt = np.fromiter(
+            (isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in wkb),
+            dtype=bool, count=n,
+        ) & (radius == 0.0)
+        x = np.where(is_pt, env[:, 0], np.nan)
+        y = np.where(is_pt, env[:, 1], np.nan)
+    if circle and radius > 0.0:
+        cx = (env[:, 0] + env[:, 2]) / 2.0
+        cy = (env[:, 1] + env[:, 3]) / 2.0
+        rad = np.maximum(
+            radius, np.hypot(env[:, 2] - env[:, 0], env[:, 3] - env[:, 1]) / 2.0
+        )
+        env = np.column_stack([cx - rad, cy - rad, cx + rad, cy + rad])
+        x, y = cx, cy
+        is_pt = np.zeros(n, dtype=bool)
+    elif radius > 0.0:
+        rad = np.full(n, radius)
+        env = env + np.array([-radius, -radius, radius, radius])
+    else:
+        rad = np.zeros(n)
+    return {
+        "x": np.asarray(x, dtype=np.float64),
+        "y": np.asarray(y, dtype=np.float64),
+        "e": env,
+        "ispt": np.asarray(is_pt, dtype=bool),
+        "wkb": wkb,
+        "rad": rad,
+    }
 
 
 # ---------------------------------------------------------------------------
 # side normalization
 # ---------------------------------------------------------------------------
 
-def _prepare_side(ds, geom, prefix: str, radius: float = 0.0, circle: bool = False):
-    """Normalize one side to prefixed user columns + internal geometry columns.
-
-    ``geom``: ("xcol", "ycol") for point sides or "wkb_col" for general.
-
-    ``circle=True`` reproduces CircleRDD (``Circle.java:68-82``): the row
-    becomes a circle at its MBR center with per-row radius
-    ``max(radius, mbr_diag/2)``; ``__x/__y`` hold the center,
-    ``__rad`` the effective radius, ``__pt`` False (circles dedup like
-    extended geometries).
-    """
-    is_point_side = isinstance(geom, (tuple, list))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if is_point_side:
-            x = batch[geom[0]].to_numpy(zero_copy_only=False).astype(np.float64)
-            y = batch[geom[1]].to_numpy(zero_copy_only=False).astype(np.float64)
-            wkb_col = pa.nulls(n, type=pa.binary())
-            env = np.column_stack([x, y, x, y])
-            is_pt = np.full(n, radius == 0.0)
-        else:
-            blobs = batch[geom].to_pylist()
-            env = _wkb.envelopes_from_wkb(blobs)
-            is_pt = np.array(
-                [isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in blobs]
-            ) & (radius == 0.0)
-            x = np.where(is_pt, env[:, 0], np.nan)
-            y = np.where(is_pt, env[:, 1], np.nan)
-            wkb_col = batch[geom]
-        if circle and radius > 0.0:
-            cx = (env[:, 0] + env[:, 2]) / 2.0
-            cy = (env[:, 1] + env[:, 3]) / 2.0
-            rad = np.maximum(
-                radius, np.hypot(env[:, 2] - env[:, 0], env[:, 3] - env[:, 1]) / 2.0
-            )
-            env = np.column_stack([cx - rad, cy - rad, cx + rad, cy + rad])
-            x, y = cx, cy
-            is_pt = np.zeros(n, dtype=bool)
-        elif radius > 0.0:
-            rad = np.full(n, radius)
-            env = env + np.array([-radius, -radius, radius, radius])
-        else:
-            rad = np.zeros(n)
-        e0, e1, e2, e3 = env[:, 0], env[:, 1], env[:, 2], env[:, 3]
-        cols = {prefix + name: batch[name] for name in batch.column_names}
-        cols.update(
-            {
-                "__x": pa.array(np.asarray(x, dtype=np.float64), type=pa.float64()),
-                "__y": pa.array(np.asarray(y, dtype=np.float64), type=pa.float64()),
-                "__wkb": wkb_col,
-                "__e0": pa.array(e0, type=pa.float64()),
-                "__e1": pa.array(e1, type=pa.float64()),
-                "__e2": pa.array(e2, type=pa.float64()),
-                "__e3": pa.array(e3, type=pa.float64()),
-                "__pt": pa.array(np.asarray(is_pt, dtype=bool), type=pa.bool_()),
-                "__rad": pa.array(rad, type=pa.float64()),
-            }
-        )
-        return pa.table(cols)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def _summarize_side(prepared, per_batch_cap: int = 4096):
+def _summarize_side(ds, geom, radius: float = 0.0, circle: bool = False, per_batch_cap: int = 4096):
     """ONE pass computing analyze() stats AND the envelope sample together
     (the reference needs two scans, SpatialRDD.java:470-503 + :230-241; we
     fuse them). Emits one tiny summary row per batch: bbox, count, and an
@@ -120,28 +110,28 @@ def _summarize_side(prepared, per_batch_cap: int = 4096):
 
     def summarize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        e = [batch[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
         if n == 0:
             return pa.table(
                 {"minx": pa.array([], pa.float64()), "miny": pa.array([], pa.float64()),
                  "maxx": pa.array([], pa.float64()), "maxy": pa.array([], pa.float64()),
                  "n": pa.array([], pa.int64()), "sample": pa.array([], pa.list_(pa.float64()))}
             )
+        env = _side_fields(batch, geom, radius=radius, circle=circle)["e"]
         take = min(n, per_batch_cap)
         idx = np.unique(np.linspace(0, n - 1, take).astype(np.int64))
-        samp = np.column_stack([e[0][idx], e[1][idx], e[2][idx], e[3][idx]]).ravel()
+        samp = env[idx].ravel()
         return pa.table(
             {
-                "minx": pa.array([float(e[0].min())]),
-                "miny": pa.array([float(e[1].min())]),
-                "maxx": pa.array([float(e[2].max())]),
-                "maxy": pa.array([float(e[3].max())]),
+                "minx": pa.array([float(env[:, 0].min())]),
+                "miny": pa.array([float(env[:, 1].min())]),
+                "maxx": pa.array([float(env[:, 2].max())]),
+                "maxy": pa.array([float(env[:, 3].max())]),
                 "n": pa.array([n], pa.int64()),
                 "sample": pa.array([samp], pa.list_(pa.float64())),
             }
         )
 
-    rows = prepared.map_batches(summarize, batch_format="pyarrow").take_all()
+    rows = ds.map_batches(summarize, batch_format="pyarrow").take_all()
     if not rows:
         return 0, (0.0, 0.0, 0.0, 0.0), np.empty((0, 4))
     total = int(sum(r["n"] for r in rows))
@@ -172,27 +162,29 @@ def _fit(samples, boundary, n_parts, grid_type):
     raise ValueError(f"grid type {grid_type!r}")
 
 
-def _assign(prepared, part_ref):
+def _assign(ds, geom, prefix, part_ref, radius: float = 0.0, circle: bool = False):
+    """Fused envelope-compute + partition placement: emits ONLY the
+    prefixed user columns + ``part_id`` (boundary duplication by row
+    replication). The geometry internals are re-derived per group by the
+    kernel (slim-shuffle design, see :func:`_side_fields`)."""
+
     def fn(batch: pa.Table, part) -> pa.Table:
-        envs = np.column_stack(
-            [batch[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
-        )
-        is_pt = batch["__pt"].to_numpy(zero_copy_only=False)
-        ri, pid = part.place_mixed(envs, is_pt)
+        f = _side_fields(batch, geom, radius=radius, circle=circle)
+        ri, pid = part.place_mixed(f["e"], f["ispt"])
         order = np.argsort(ri, kind="stable")
         ri, pid = ri[order], pid[order]
-        out = batch.take(pa.array(ri))
+        out = batch.rename_columns([prefix + c for c in batch.column_names]).take(pa.array(ri))
         return out.append_column("part_id", pa.array(pid, type=pa.int32()))
 
     from ..partition.assign import broadcast_map_batches
 
-    return broadcast_map_batches(prepared, fn, {"part": part_ref})
+    return broadcast_map_batches(ds, fn, {"part": part_ref})
 
 
 def _pad_union(left, right, l_cols, r_cols, l_schema, r_schema):
     """Give both sides the same column set (nulls for the other side's
     columns) so ``Dataset.union`` has one schema."""
-    order = l_cols + r_cols + _INTERNAL + ["part_id", "__side"]
+    order = l_cols + r_cols + ["part_id", "__side"]
 
     def pad(missing_schema, side_val):
         def fn(batch: pa.Table) -> pa.Table:
@@ -428,12 +420,18 @@ def make_group_join_kernel(
     r_cols: list[str],
     predicate: str,
     extents: np.ndarray,
+    l_geom,
+    r_geom,
     radius: float | None = None,
     inclusive: bool = True,
     circle: bool = False,
     metrics_actor=None,
 ):
-    """The map_groups fn: one co-partitioned group -> joined rows."""
+    """The map_groups fn: one co-partitioned group -> joined rows.
+
+    ``l_geom``/``r_geom`` are the PREFIXED geometry column specs; the group
+    table carries only user columns (slim shuffle), so the kernel re-derives
+    the geometry working arrays with :func:`_side_fields`."""
 
     def kernel(tbl: pa.Table) -> pa.Table:
         side = tbl["__side"].to_numpy(zero_copy_only=False)
@@ -451,24 +449,8 @@ def make_group_join_kernel(
         if lt_tbl.num_rows == 0 or rt_tbl.num_rows == 0:
             return empty()
 
-        def side_arrays(t):
-            wkb_col = t["__wkb"]
-            # pure point sides have an all-null wkb column: skip the Python
-            # list materialization entirely (hot-path win on big groups)
-            wkb = None if wkb_col.null_count == t.num_rows else wkb_col.to_pylist()
-            return {
-                "x": t["__x"].to_numpy(zero_copy_only=False),
-                "y": t["__y"].to_numpy(zero_copy_only=False),
-                "e": np.column_stack(
-                    [t[c].to_numpy(zero_copy_only=False) for c in ("__e0", "__e1", "__e2", "__e3")]
-                ),
-                "ispt": t["__pt"].to_numpy(zero_copy_only=False).astype(bool),
-                "wkb": wkb,
-                "rad": t["__rad"].to_numpy(zero_copy_only=False),
-            }
-
-        lt = side_arrays(lt_tbl)
-        rt = side_arrays(rt_tbl)
+        lt = _side_fields(lt_tbl, l_geom, radius=radius or 0.0, circle=circle)
+        rt = _side_fields(rt_tbl, r_geom)
         lt["kind"] = _wkb_kinds(lt["wkb"], lt_tbl.num_rows)
         rt["kind"] = _wkb_kinds(rt["wkb"], rt_tbl.num_rows)
 
@@ -556,8 +538,6 @@ def spatial_join(
     ``JoinQueryDetector.scala:317-318``).
     """
     self_join = right is left
-    lprep = _prepare_side(left, left_geom, lprefix, radius=radius or 0.0, circle=circle)
-    rprep = _prepare_side(right, right_geom, rprefix)
 
     l_user = [lprefix + c for c in left.schema().names]
     r_user = [rprefix + c for c in right.schema().names]
@@ -571,22 +551,29 @@ def spatial_join(
     rad = radius or 0.0
     cheap_fit = boundary is not None and num_partitions is not None
 
-    def summarize(prep):
+    def summarize(ds, geom, radius_=0.0, circle_=False):
         if cheap_fit:
             target = get_sample_count_safe(num_partitions, conf)
-            sampled = prep.randomize_block_order(seed=conf.seed).limit(max(target, 4 * num_partitions))
-            t, e, s = _summarize_side(sampled)
+            sampled = ds.randomize_block_order(seed=conf.seed).limit(max(target, 4 * num_partitions))
+            t, e, s = _summarize_side(sampled, geom, radius=radius_, circle=circle_)
             return max(t, 1), boundary, s
-        return _summarize_side(prep)
+        return _summarize_side(ds, geom, radius=radius_, circle=circle_)
 
     if self_join and not circle:
-        r_total, r_env, r_samples = summarize(rprep)
+        r_total, r_env, r_samples = summarize(right, right_geom)
         l_total = r_total
         l_env = (r_env[0] - rad, r_env[1] - rad, r_env[2] + rad, r_env[3] + rad)
         l_samples = r_samples + np.array([-rad, -rad, rad, rad]) if rad else r_samples
     else:
-        l_total, l_env, l_samples = summarize(lprep)
-        r_total, r_env, r_samples = summarize(rprep)
+        # the two summary passes are independent — run them concurrently
+        # (each drives its own Dataset execution from a thread)
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            lf = ex.submit(summarize, left, left_geom, rad, circle)
+            rf = ex.submit(summarize, right, right_geom)
+            l_total, l_env, l_samples = lf.result()
+            r_total, r_env, r_samples = rf.result()
     # auto-broadcast (JoinQueryDetector parity): a small-enough side skips
     # the shuffle entirely — same output schema and rows as the partitioned
     # plan (inner/non-circle only; metrics stay on the partitioned path)
@@ -647,11 +634,11 @@ def spatial_join(
             part = SaltedPartitioner(part, counts, conf.salt_threshold, conf.salt_max)
     part_ref = ray.put(part)
 
-    la = _assign(lprep, part_ref)
-    ra = _assign(rprep, part_ref)
+    la = _assign(left, left_geom, lprefix, part_ref, radius=rad, circle=circle)
+    ra = _assign(right, right_geom, rprefix, part_ref)
 
-    l_arrow = lprep.schema().base_schema
-    r_arrow = rprep.schema().base_schema
+    l_arrow = la.schema().base_schema
+    r_arrow = ra.schema().base_schema
     l_schema = pa.schema([(n, l_arrow.field(n).type) for n in l_user])
     r_schema = pa.schema([(n, r_arrow.field(n).type) for n in r_user])
     unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
@@ -668,11 +655,20 @@ def spatial_join(
     if n_blocks is None or (n_blocks > 2 * target_blocks and avg_rows < 10_000):
         unioned = unioned.repartition(target_blocks)
 
+    def _prefixed(geom, prefix):
+        return (
+            tuple(prefix + c for c in geom)
+            if isinstance(geom, (tuple, list))
+            else prefix + geom
+        )
+
     kernel = make_group_join_kernel(
         l_user,
         r_user,
         predicate,
         part.dedup_extents(),
+        _prefixed(left_geom, lprefix),
+        _prefixed(right_geom, rprefix),
         radius=radius,
         inclusive=inclusive,
         circle=circle,

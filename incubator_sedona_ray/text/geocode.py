@@ -66,6 +66,8 @@ CC_BBOX: dict[str, tuple[float, float, float, float]] = {
 GLOBAL_BBOX = (-180.0, -60.0, 180.0, 75.0)  # non-cc TLDs: populated-world box
 
 _DOMAIN_RE = re.compile(r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", re.I)
+_HOST_CACHE: dict[str, tuple[float, float]] = {}
+_HOST_CACHE_MAX = 2_000_000
 # second-level public suffixes where the registrable domain is one label deeper
 _SECOND_LEVEL = {"co", "com", "org", "net", "ac", "gov", "edu"}
 
@@ -85,30 +87,66 @@ def tld_of(url: str) -> str:
     return registrable_domain(url).rsplit(".", 1)[-1]
 
 
+def _host_point(host: str, cache: dict) -> tuple[float, float]:
+    """(lon, lat) of one already-extracted host (lowercased, no trailing
+    dot) — same domain/bbox/sha256 rule as :func:`registrable_domain`."""
+    parts = host.split(".")
+    if len(parts) <= 2:
+        dom = host
+    elif parts[-2] in _SECOND_LEVEL:
+        dom = ".".join(parts[-3:])
+    else:
+        dom = ".".join(parts[-2:])
+    hit = cache.get(dom)
+    if hit is None:
+        h = hashlib.sha256(dom.encode()).digest()
+        fx = int.from_bytes(h[0:4], "big") / 2**32
+        fy = int.from_bytes(h[4:8], "big") / 2**32
+        box = CC_BBOX.get(dom.rsplit(".", 1)[-1], GLOBAL_BBOX)
+        hit = (box[0] + fx * (box[2] - box[0]), box[1] + fy * (box[3] - box[1]))
+        cache[dom] = hit
+    return hit
+
+
 def geocode_urls(urls) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized-enough url -> (lon, lat): sha256(registrable domain) gives
-    two uniform u32 fractions inside the TLD's bbox."""
-    n = len(urls)
-    lon = np.empty(n, dtype=np.float64)
-    lat = np.empty(n, dtype=np.float64)
-    cache: dict[str, tuple[float, float]] = {}
-    for i, url in enumerate(urls):
-        dom = registrable_domain(url)
-        hit = cache.get(dom)
+    """url column -> (lon, lat): sha256(registrable domain) gives two
+    uniform u32 fractions inside the TLD's bbox.
+
+    Host extraction runs as ONE Arrow RE2 kernel over the column; the
+    Python domain/shasum work then touches only the DICTIONARY of unique
+    hosts (~50 pages per domain in real crawls), not every row."""
+    arr = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) else pa.array(list(urls), type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(arr, r"^[a-zA-Z]+://(?:[^/@]*@)?(?P<host>[^/:?#]+)")
+    host = pc.coalesce(pc.struct_field(m, "host"), arr)
+    host = pc.utf8_rtrim(pc.utf8_lower(host), characters=".")
+    enc = pc.dictionary_encode(host)
+    uniq = enc.dictionary.to_pylist()
+    inv = enc.indices.to_numpy(zero_copy_only=False)
+    lon_u = np.empty(len(uniq), dtype=np.float64)
+    lat_u = np.empty(len(uniq), dtype=np.float64)
+    # per-WORKER-PROCESS host cache: Ray reuses worker processes across
+    # tasks and executions, so after warm-up the sha256/domain work is a
+    # dict hit per unique host; bounded so 100 TB of distinct hosts can't
+    # exhaust worker memory
+    cache = _HOST_CACHE
+    if len(cache) > _HOST_CACHE_MAX:
+        cache.clear()
+    dom_cache: dict[str, tuple[float, float]] = {}
+    for j, h in enumerate(uniq):
+        hit = cache.get(h)
         if hit is None:
-            h = hashlib.sha256(dom.encode()).digest()
-            fx = int.from_bytes(h[0:4], "big") / 2**32
-            fy = int.from_bytes(h[4:8], "big") / 2**32
-            box = CC_BBOX.get(dom.rsplit(".", 1)[-1], GLOBAL_BBOX)
-            hit = (box[0] + fx * (box[2] - box[0]), box[1] + fy * (box[3] - box[1]))
-            cache[dom] = hit
-        lon[i], lat[i] = hit
-    return lon, lat
+            hit = cache[h] = _host_point(h, dom_cache)
+        lon_u[j], lat_u[j] = hit
+    return lon_u[inv], lat_u[inv]
 
 
 def geocode_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """map_batches stage: append lon/lat derived from the url column."""
-    lon, lat = geocode_urls(batch[url_col].to_pylist())
+    lon, lat = geocode_urls(batch[url_col])
     return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
 
 
