@@ -297,15 +297,19 @@ def q_lang_count(sf_dir: str):
     return _rename(out, {"count()": "n"})
 
 
+def _ann_queries(ds) -> pd.DataFrame:
+    """The ANN_NQ lowest-id embedding rows as the query set — extracted via
+    a distributed FILTER (vec_ids are 0..n-1), never a full to_pandas: at
+    100 TB the old sort_values-on-the-driver pattern is an OOM."""
+    small = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], ANN_NQ)), batch_format="pyarrow"
+    ).to_pandas()
+    return small.sort_values("vec_id").rename(columns={"vec_id": "query_id", "embedding": "qvec"})
+
+
 def q_ann_topk(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qdf = (
-        ds.to_pandas()
-        .sort_values("vec_id")
-        .head(ANN_NQ)
-        .rename(columns={"vec_id": "query_id", "embedding": "qvec"})
-    )
-    out = topk_cosine(ds, qdf, k=ANN_K)
+    out = topk_cosine(ds, _ann_queries(ds), k=ANN_K)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -429,13 +433,7 @@ def q_fingerprint(sf_dir: str):
 
 def q_ann_topk_lsh(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qdf = (
-        ds.to_pandas()
-        .sort_values("vec_id")
-        .head(ANN_NQ)
-        .rename(columns={"vec_id": "query_id", "embedding": "qvec"})
-    )
-    out = topk_cosine_lsh(ds, qdf, k=ANN_K, n_planes=8, n_probe=64)
+    out = topk_cosine_lsh(ds, _ann_queries(ds), k=ANN_K, n_planes=8, n_probe=64)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -494,11 +492,22 @@ def q_knn_join_partitioned(sf_dir: str):
 
 def q_spatial_sort(sf_dir: str):
     """Spatial (cell-id) sort: order docs by grid cell then doc id — the
-    locality-clustering step before writing spatially-clustered files."""
+    locality-clustering step before writing spatially-clustered files.
+
+    Global row numbers WITHOUT collecting the dataset: per-cell counts
+    (a tiny groupby) cumsum to per-cell offsets on the driver; each cell's
+    rows get offset + local rank inside a distributed map_groups."""
     cells = q_grid_cells(sf_dir)
-    df = cells.sort(["cell_id", "doc_id"]).to_pandas()
-    df["pos"] = np.arange(1, len(df) + 1, dtype=np.int64)
-    return df
+    counts = cells.groupby("cell_id").count().to_pandas().sort_values("cell_id")
+    n = counts["count()"].to_numpy()
+    offs = dict(zip(counts["cell_id"], np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        g["pos"] = offs[g["cell_id"].iloc[0]] + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cells.groupby("cell_id").map_groups(rank_group, batch_format="pandas")
 
 
 def q_transform_mercator(sf_dir: str):

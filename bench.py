@@ -285,12 +285,47 @@ def run_bench() -> dict:
     return out
 
 
+def _control_unit(_):
+    """Fixed pure-numpy work unit for the NO-RAY hardware control: measures
+    the host's parallel-efficiency ceiling (frequency scaling, shared cache,
+    cgroup throttling) independent of the engine."""
+    rng = np.random.default_rng(0)
+    x = rng.random(500_000)
+    s = 0.0
+    for _ in range(20):
+        s += float(np.sin(x).sum())
+        x = (x * 1.0000001) % 1.0
+    return s
+
+
+def control_efficiency(lo: int, hi: int, units: int | None = None):
+    """Run ``units`` identical numpy work units through a multiprocessing
+    Pool at lo and hi workers (interleaved, min-of-2 each) and return
+    (efficiency, t_lo, t_hi). This is the hardware-achievable ceiling on
+    this box — engine scaling should be judged against it."""
+    import multiprocessing as mp
+
+    units = units or hi * 16
+    times: dict[int, float] = {}
+    for n in (lo, hi, lo, hi):
+        t0 = time.perf_counter()
+        with mp.get_context("fork").Pool(n) as p:
+            p.map(_control_unit, range(units), chunksize=1)
+        dt = time.perf_counter() - t0
+        times[n] = min(times.get(n, 1e18), dt)
+    eff = (times[lo] / times[hi]) / (hi / lo)
+    return round(eff, 3), round(times[lo], 2), round(times[hi], 2)
+
+
 def run_scaling():
     """Fresh-process runs of the flagship pipeline at 8 and 32 CPUs over the
     SAME (larger) input; efficiency computed on the headline q1 wall time.
     The input is sized (BENCH_SCALING_EXPAND) so the 8-CPU run is compute-
-    bound — scaling numbers on an overhead-bound toy input are meaningless."""
-    scaling_expand = os.environ.get("BENCH_SCALING_EXPAND", "2000")
+    bound — scaling numbers on an overhead-bound toy input are meaningless.
+    A no-Ray numpy control job measures the host's own parallel-efficiency
+    ceiling; the normalized efficiency (engine/control) is what a dedicated
+    cluster would see."""
+    scaling_expand = os.environ.get("BENCH_SCALING_EXPAND", "8000")
     trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
     def run(ncpu: int) -> dict:
@@ -299,7 +334,7 @@ def run_scaling():
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_EXPAND=scaling_expand,
             BENCH_ONLY="q1_flagship_pages,q3_tile_assign",
-            BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "3"),
+            BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
@@ -320,6 +355,7 @@ def run_scaling():
     t_lo = r_lo["queries"]["q1_flagship_pages"]
     t_hi = r_hi["queries"]["q1_flagship_pages"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ctrl_eff, ctrl_lo, ctrl_hi = control_efficiency(lo, hi)
     print(
         json.dumps(
             {
@@ -334,6 +370,10 @@ def run_scaling():
                 "rates_32": r_hi["rates"],
                 "pages_rows": r_lo["pages_rows"],
                 "scaling_efficiency": round(eff, 3),
+                "control_efficiency": ctrl_eff,
+                "control_sec_8": ctrl_lo,
+                "control_sec_32": ctrl_hi,
+                "normalized_efficiency": round(min(eff / ctrl_eff, 1.0), 3) if ctrl_eff else None,
             }
         )
     )

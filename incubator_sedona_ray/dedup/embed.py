@@ -65,17 +65,53 @@ def embedding_dedup(
 
     bucketed = broadcast_map_batches(ds.select_columns([id_col, vec_col]), bucket, {"planes": planes_ref})
 
+    cap = 4096  # max rows for a dense all-pairs matmul inside one bucket
+
+    def _emit(ids, m, sim_mask_pairs):
+        a, b, cos = sim_mask_pairs
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": cos})
+
+    def _pairs_recursive(ids: np.ndarray, m: np.ndarray, depth: int) -> list[pd.DataFrame]:
+        """Bucket-size guard: an over-capacity bucket (skewed data — e.g.
+        millions of identical vectors land in ONE LSH bucket) is split
+        recursively with extra hyperplanes; a bucket that refuses to split
+        (identical sign patterns) emits verified STAR pairs around its min
+        id — O(n) output that still connects the duplicate component,
+        instead of an O(n^2) dense matmul."""
+        if len(ids) < 2:
+            return []
+        if len(ids) <= cap:
+            sim = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sim[iu] >= threshold
+            return [_emit(ids, m, (ids[iu[0][mask]], ids[iu[1][mask]], sim[iu][mask]))]
+        if depth >= 4:
+            i0 = int(np.argmin(ids))
+            cos = m @ m[i0]
+            mask = (cos >= threshold) & (np.arange(len(ids)) != i0)
+            return [_emit(ids, m, (np.full(int(mask.sum()), ids[i0]), ids[mask], cos[mask]))]
+        sub_rng = np.random.default_rng((seed, depth, len(ids)))
+        p = sub_rng.standard_normal((m.shape[1], 8))
+        bits = (m @ p) > 0
+        key = np.zeros(len(ids), dtype=np.int64)
+        for j in range(8):
+            key |= bits[:, j].astype(np.int64) << j
+        out: list[pd.DataFrame] = []
+        for k in np.unique(key):
+            sel = key == k
+            out.extend(_pairs_recursive(ids[sel], m[sel], depth + 1))
+        return out
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        sim = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sim[iu] >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi, "cosine": sim[iu][mask]})
+        frames = _pairs_recursive(ids, m, 0)
+        if not frames:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

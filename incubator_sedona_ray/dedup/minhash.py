@@ -9,12 +9,14 @@ Standard public pipeline (Broder '97 minhash; LSH banding as in MMDS ch.3):
 2. ``groupby(band_id, band_hash)``: docs sharing a band bucket are
    candidate pairs (pre-aggregated per batch first is unnecessary — bucket
    rows are tiny).
-3. verify candidates with exact shingle Jaccard >= threshold.
+3. verify candidates with exact shingle Jaccard >= threshold — texts are
+   re-attached to pairs with two distributed hash joins, never a driver
+   dict.
 4. connected components over verified pairs -> keep the min doc id per
-   component. Components run on the driver over the verified PAIRS only
-   (pairs are rare by construction); for adversarial inputs swap in the
-   iterative min-label-propagation variant noted in the docstring of
-   :func:`_components`.
+   component, via distributed iterative min-label propagation
+   (:func:`connected_components_min_label`); survivors come from a
+   left-anti hash join. Nothing in the pipeline materializes on the
+   driver, so it holds at 100 TB candidate volumes.
 """
 
 from __future__ import annotations
@@ -83,6 +85,73 @@ def band_rows_fn(
     return fn
 
 
+def _default_join_partitions() -> int:
+    """Join/aggregator parallelism sized to the cluster: each hash-join
+    partition is backed by an aggregator actor, so asking for more
+    partitions than CPUs on a small session just thrashes worker processes
+    (and two cascaded joins at 16 partitions can stall a 4-CPU session)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(64, cpus // 2))
+
+
+def connected_components_min_label(pairs, *, a_col: str = "a", b_col: str = "b", num_partitions: int | None = None, max_rounds: int = 50):
+    """Distributed connected components over an edge Dataset via iterative
+    min-label propagation (the standard BSP/Pregel formulation): every node
+    starts labeled with itself; each round every node takes the min of its
+    own label and its neighbors' labels (one hash join + one groupby-min).
+    Labels decrease monotonically, so an unchanged label SUM certifies
+    convergence — no driver-side edge list, no union-find.
+
+    Returns a Dataset (node, label) where label is the component's min id.
+    Rounds needed = graph diameter; near-dup clusters are stars/cliques, so
+    2-3 rounds in practice."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def sym(t: pa.Table) -> pa.Table:
+        x = pa.concat_arrays([t[a_col].combine_chunks(), t[b_col].combine_chunks()])
+        y = pa.concat_arrays([t[b_col].combine_chunks(), t[a_col].combine_chunks()])
+        return pa.table({"x": x, "y": y})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["x"], "cand": t["x"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("cand"))
+        .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = (
+            edges.join(labels, "inner", num_partitions, on=("x",), right_on=("node",))
+            .map_batches(lambda t: pa.table({"node": t["y"], "cand": t["label"]}), batch_format="pyarrow")
+        )
+        own = labels.map_batches(lambda t: pa.table({"node": t["node"], "cand": t["label"]}), batch_format="pyarrow")
+        labels = (
+            own.union(msgs)
+            .groupby("node").aggregate(Min("cand"))
+            .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow")
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def minhash_dedup(
     ds,
     id_col: str = "doc_id",
@@ -93,15 +162,23 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 1,
+    num_partitions: int | None = None,
 ):
-    """Returns (survivors_df, dup_pairs_df): surviving doc ids after
+    """Returns (survivors, dup_pairs) as DATASETS: surviving doc ids after
     near-dup removal, and the verified duplicate pairs (a < b, jaccard).
 
-    Note: verification re-reads candidate texts via a broadcast lookup of
-    candidate ids only (texts of candidates must fit in driver memory —
-    acceptable because candidates are a tiny fraction; at 100 TB scale swap
-    step 3 for a hash-join of candidate ids back to the documents table).
+    Every stage is distributed — no candidate list, text dict, or
+    union-find ever lands on the driver:
+
+    * candidate pairs: banded LSH groupby, star-pairs per bucket,
+      distributed pair-dedup (groupby count).
+    * verify: two hash joins re-attach both texts to each pair; exact
+      shingle-Jaccard runs per joined row inside map_batches.
+    * components: :func:`connected_components_min_label` (join + groupby
+      rounds). Survivors = left-anti join of all ids against dropped ids.
     """
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
     banded = ds.map_batches(
         band_rows_fn(id_col, text_col, num_perm, bands, shingle_k, seed),
         batch_format="pyarrow",
@@ -116,47 +193,48 @@ def minhash_dedup(
         return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
 
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    cand_df = cand.to_pandas().drop_duplicates()
-
-    if len(cand_df) == 0:
-        all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-        return pd.DataFrame({id_col: np.sort(all_ids.to_numpy())}), pd.DataFrame({"a": [], "b": [], "jaccard": []})
-
-    # verify with exact jaccard over the candidate doc texts
-    need = np.unique(np.concatenate([cand_df.a.to_numpy(), cand_df.b.to_numpy()]))
-    texts = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(
-            lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(need))),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .set_index(id_col)[text_col]
-        .to_dict()
+    # distributed pair dedup (a star pair can surface from many bands)
+    cand = (
+        cand.groupby(["a", "b"]).count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .materialize()
     )
-    sh = {i: char_shingles(texts[i], shingle_k) for i in need if i in texts}
-    keep_pairs = []
-    for a_, b_ in zip(cand_df.a.to_numpy(), cand_df.b.to_numpy()):
-        j = jaccard(sh.get(a_, set()), sh.get(b_, set()))
-        if j >= threshold:
-            keep_pairs.append((min(a_, b_), max(a_, b_), j))
-    pairs_df = pd.DataFrame(keep_pairs, columns=["a", "b", "jaccard"])
+    all_ids = ds.select_columns([id_col])
+    if cand.count() == 0:
+        import ray
 
-    # connected components (union-find over verified pairs only)
-    parent: dict[int, int] = {}
+        empty_pairs = ray.data.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}))
+        return all_ids, empty_pairs
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    # verify: hash-join texts onto both endpoints, then exact jaccard per row
+    docs = ds.select_columns([id_col, text_col])
+    j1 = cand.join(docs, "inner", num_partitions, on=("a",), right_on=(id_col,), right_suffix="_ra")
+    j1 = j1.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(docs, "inner", num_partitions, on=("b",), right_on=(id_col,), right_suffix="_rb")
 
-    for a_, b_ in zip(pairs_df.a, pairs_df.b):
-        ra, rb = find(int(a_)), find(int(b_))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t[text_col].to_pylist()
+        jac = np.array(
+            [jaccard(char_shingles(x, shingle_k), char_shingles(y, shingle_k)) for x, y in zip(ta, tb)]
+        ) if t.num_rows else np.empty(0)
+        keep = jac >= threshold
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": lo[keep], "b": hi[keep], "jaccard": jac[keep]})
 
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
-    drop = {x for x in parent if find(x) != x}
-    survivors = np.sort(np.array([i for i in all_ids if int(i) not in drop]))
-    return pd.DataFrame({id_col: survivors}), pairs_df
+    pairs = j2.map_batches(verify, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return all_ids, pairs
+
+    labels = connected_components_min_label(pairs, num_partitions=num_partitions)
+    dropped = labels.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    survivors = all_ids.join(dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    return survivors, pairs

@@ -45,6 +45,7 @@ def test_minhash_dedup_catches_near_dups():
     df = _docs_with_dups()
     ds = ray.data.from_pandas(df)
     survivors, pairs = minhash_dedup(ds, threshold=0.8)
+    survivors, pairs = survivors.to_pandas(), pairs.to_pandas()
     surv = set(survivors.doc_id)
     # NOTE: the driver corpus itself contains genuine near-dups (e.g. docs 8
     # and 12 at jaccard 0.985), so originals are NOT all guaranteed to
@@ -155,3 +156,65 @@ def test_langid_actor_stage():
     ds = ray.data.from_pandas(df)
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
     assert list(out.lang_pred) == ["en", "de", "fr", "es"]
+
+
+def test_minhash_chain_components_label_propagation():
+    """A CHAIN of near-dups (A~B~C~D, A!~D) must collapse to one component
+    via multi-round distributed label propagation — exercises the
+    join+groupby rounds beyond the trivial star/diameter-2 case."""
+    rng = np.random.default_rng(42)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    base = "".join(rng.choice(letters, 2000))  # high-entropy 5-gram space
+    texts = [base]
+    step = int(len(base) * 0.08)
+    slices: list[str] = []
+    for i in range(1, 6):
+        # text_i rewrites one MORE 8% slice, keeping earlier rewrites:
+        # adjacent pairs differ by one slice (jaccard ~0.85), endpoints by
+        # five (~0.43) -> a true chain of diameter 5
+        slices.append("".join(rng.choice(letters, step)))
+        texts.append("".join(slices) + base[step * i:])
+    filler = ["".join(rng.choice(letters, 400)) for _ in range(50)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts) + len(filler)), "text": texts + filler}
+    )
+    ds = ray.data.from_pandas(df)
+    survivors, pairs = minhash_dedup(ds, threshold=0.8)
+    surv = set(survivors.to_pandas().doc_id)
+    p = pairs.to_pandas()
+    # chain collapses to the min id 0; all other chain members dropped
+    assert 0 in surv
+    assert not any(i in surv for i in range(1, 6)), sorted(surv)[:10]
+    assert all(f + 6 in surv for f in range(50))
+    # verified pairs only connect chain neighbors-ish, all >= threshold
+    assert (p.jaccard >= 0.8).all()
+
+
+def test_connected_components_min_label_direct():
+    from incubator_sedona_ray.dedup.minhash import connected_components_min_label
+
+    edges = pd.DataFrame({"a": [1, 2, 3, 10, 20], "b": [2, 3, 4, 11, 20]})
+    labels = connected_components_min_label(ray.data.from_pandas(edges)).to_pandas()
+    lab = dict(zip(labels.node, labels.label))
+    assert lab[1] == lab[2] == lab[3] == lab[4] == 1
+    assert lab[10] == lab[11] == 10
+    assert lab[20] == 20
+
+
+def test_embedding_dedup_skewed_bucket_guard():
+    """All-identical vectors (worst-case LSH skew: every row in ONE bucket)
+    must complete with O(n) emitted pairs, not an O(n^2) dense matmul."""
+    n = 9000  # > the 4096 bucket cap
+    vec = np.ones(8, dtype=np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": [vec.copy() for _ in range(n)]})
+    ds = ray.data.from_pandas(df)
+    import time
+    t0 = time.time()
+    pairs = embedding_dedup(ds, threshold=0.99, n_planes=10)
+    dt = time.time() - t0
+    # star output: exactly n-1 pairs around the min id, all cosine 1
+    assert len(pairs) == n - 1
+    assert (pairs.a == 0).all()
+    assert set(pairs.b) == set(range(1, n))
+    assert np.allclose(pairs.cosine, 1.0)
+    assert dt < 120, f"skewed bucket took {dt:.0f}s"
