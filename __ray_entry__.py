@@ -278,6 +278,40 @@ def q_st_zone_stats(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_st_accessors(sf_dir: str):
+    """Accessor-family ST_ functions over the zone layer: exterior ring,
+    point-N, start point, ring/hole/vertex counts, dimension, minimum
+    bounding radius — each value checkable in closed form by the oracle."""
+    from incubator_sedona_ray.functions.st import (
+        st_dimension, st_exteriorring, st_minimumboundingradius, st_npoints,
+        st_nrings, st_numinteriorrings, st_pointn, st_startpoint, st_x, st_y,
+    )
+
+    zones = ray.data.from_arrow(_zones_table())
+
+    def fn(t: pa.Table) -> pa.Table:
+        ring = st_exteriorring(t["geom"])
+        sp = st_startpoint(ring)
+        p3 = st_pointn(ring, 3)
+        mbr = st_minimumboundingradius(t["geom"])
+        return pa.table(
+            {
+                "zone_id": t["zone_id"],
+                "sx": st_x(sp),
+                "sy": st_y(sp),
+                "p3x": st_x(p3),
+                "p3y": st_y(p3),
+                "n_points": st_npoints(t["geom"]).cast(pa.int64()),
+                "n_rings": st_nrings(t["geom"]).cast(pa.int64()),
+                "n_holes": st_numinteriorrings(t["geom"]).cast(pa.int64()),
+                "dim": st_dimension(t["geom"]).cast(pa.int64()),
+                "mbr_radius": mbr.field("radius"),
+            }
+        )
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup_exact(_docs(sf_dir, columns=["doc_id", "text"]))
 
@@ -664,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "envelope_aggr": q_envelope_aggr,
         "heatmap": q_heatmap,
         "st_zone_stats": q_st_zone_stats,
+        "st_accessors": q_st_accessors,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -792,6 +827,13 @@ def oracle_sql() -> dict[str, str]:
         "heatmap": (
             f"WITH pts AS ({_PTS_SQL}) "
             f"SELECT ({hm_px} + {hm_py} * {HM_RES_X}) AS pixel_id, COUNT(*) AS weight FROM pts GROUP BY 1"
+        ),
+        "st_accessors": (
+            f"WITH zones AS ({_ZONES_SQL}) SELECT zone_id, x0 AS sx, y0 AS sy, "
+            f"x0 + {ZN_SIDE} AS p3x, y0 + {ZN_SIDE} AS p3y, "
+            "CAST(5 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_rings, "
+            "CAST(0 AS BIGINT) AS n_holes, CAST(2 AS BIGINT) AS dim, "
+            f"sqrt(({ZN_SIDE}/2)*({ZN_SIDE}/2) + ({ZN_SIDE}/2)*({ZN_SIDE}/2)) AS mbr_radius FROM zones"
         ),
         "st_zone_stats": (
             f"WITH zones AS ({_ZONES_SQL}) SELECT zone_id, {ZN_SIDE} * {ZN_SIDE} AS area, "

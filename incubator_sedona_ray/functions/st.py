@@ -628,3 +628,224 @@ FUNCTIONS.update(
         if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
     }
 )
+
+
+# -- accessor family (reference Functions.java:291-330,384-439,511,692;
+#    Predicates.java:47-52) --------------------------------------------------
+
+def _line_coords(g: Geometry):
+    return np.asarray(g.coords, dtype=np.float64) if g.kind == GeometryType.LINESTRING else None
+
+
+def st_pointn(col, n: int) -> pa.Array:
+    """N-th point of a LineString, 1-based; negative counts from the end;
+    null when out of range or not a LineString (Functions.java:304-318)."""
+    out = []
+    for g in _geoms(col):
+        c = None if g is None else _line_coords(g)
+        if c is None:
+            out.append(None)
+            continue
+        i = n - 1 if n > 0 else len(c) + n
+        if 0 <= i < len(c):
+            out.append(Geometry.point(float(c[i, 0]), float(c[i, 1]), g.srid))
+        else:
+            out.append(None)
+    return _wkb_arr(out)
+
+
+def st_startpoint(col) -> pa.Array:
+    """First point of a LineString, null otherwise (Functions.java:291)."""
+    return st_pointn(col, 1)
+
+
+def st_endpoint(col) -> pa.Array:
+    """Last point of a LineString, null otherwise (Functions.java:296)."""
+    return st_pointn(col, -1)
+
+
+def st_exteriorring(col) -> pa.Array:
+    """Shell of a Polygon as a LineString; null for other types
+    (Functions.java:384)."""
+    out = []
+    for g in _geoms(col):
+        if g is not None and g.kind == GeometryType.POLYGON:
+            out.append(Geometry(GeometryType.LINESTRING, np.asarray(g.coords[0], dtype=np.float64), g.srid))
+        else:
+            out.append(None)
+    return _wkb_arr(out)
+
+
+def st_interiorringn(col, n: int) -> pa.Array:
+    """N-th interior ring of a Polygon, 0-based like the reference's JTS
+    getInteriorRingN (Functions.java:396); null when out of range."""
+    out = []
+    for g in _geoms(col):
+        if g is not None and g.kind == GeometryType.POLYGON and 0 <= n < len(g.coords) - 1:
+            out.append(Geometry(GeometryType.LINESTRING, np.asarray(g.coords[n + 1], dtype=np.float64), g.srid))
+        else:
+            out.append(None)
+    return _wkb_arr(out)
+
+
+def st_numinteriorrings(col) -> pa.Array:
+    """Hole count of a Polygon; null for other types (Functions.java:414)."""
+    out = []
+    for g in _geoms(col):
+        out.append(len(g.coords) - 1 if g is not None and g.kind == GeometryType.POLYGON else None)
+    return pa.array(out, type=pa.int32())
+
+
+def st_geometryn(col, n: int) -> pa.Array:
+    """N-th part of a geometry, 0-based like JTS getGeometryN
+    (Functions.java:404): the geometry itself for n=0 on simple types."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        parts = list(g.parts())
+        out.append(parts[n] if 0 <= n < len(parts) else None)
+    return _wkb_arr(out)
+
+
+def st_dimension(col) -> pa.Array:
+    """Topological dimension: 0 points, 1 lines, 2 polygons; collections
+    take the max over parts (Functions.java:290-ish semantics)."""
+    out = []
+    for g in _geoms(col):
+        out.append(None if g is None else max(_pred._dim(g), 0))
+    return pa.array(out, type=pa.int32())
+
+
+def st_ndims(col) -> pa.Array:
+    """Coordinate dimension — the engine is 2D end-to-end (SURVEY §1.2)."""
+    return pa.array([None if g is None else 2 for g in _geoms(col)], type=pa.int32())
+
+
+def st_collect(*cols) -> pa.Array:
+    """Row-wise collect of 2+ geometry columns into MultiPoint /
+    MultiLineString / MultiPolygon when homogeneous, else
+    GeometryCollection (Functions.java:692 ST_Collect)."""
+    geom_cols = [_geoms(c) for c in cols]
+    out = []
+    for row in zip(*geom_cols):
+        parts = [g for g in row if g is not None]
+        if not parts:
+            out.append(None)
+            continue
+        out.append(_collect_geoms(parts))
+    return _wkb_arr(out)
+
+
+def _collect_geoms(parts: list[Geometry]) -> Geometry:
+    kinds = {p.kind for p in parts}
+    srid = parts[0].srid
+    if kinds == {GeometryType.POINT}:
+        return Geometry(GeometryType.MULTIPOINT, [np.asarray(p.coords, dtype=np.float64) for p in parts], srid)
+    if kinds == {GeometryType.LINESTRING}:
+        return Geometry(GeometryType.MULTILINESTRING, [np.asarray(p.coords, dtype=np.float64) for p in parts], srid)
+    if kinds == {GeometryType.POLYGON}:
+        return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in parts], srid)
+    return Geometry(GeometryType.GEOMETRYCOLLECTION, parts, srid)
+
+
+def st_multi(col) -> pa.Array:
+    """Wrap a single geometry into its Multi* variant (Functions.java:689
+    ST_Multi); Multi/collection inputs pass through."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+        elif g.kind in (GeometryType.POINT, GeometryType.LINESTRING, GeometryType.POLYGON):
+            out.append(_collect_geoms([g]))
+        else:
+            out.append(g)
+    return _wkb_arr(out)
+
+
+def st_orderingequals(col_a, col_b) -> pa.Array:
+    """Exact structural equality: same type, same coordinates in the same
+    order (Predicates.java:47-52 ST_OrderingEquals)."""
+    out = []
+    for a, b in zip(_geoms(col_a), _geoms(col_b)):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        out.append(a.kind == b.kind and _coords_equal(a, b))
+    return pa.array(out, type=pa.bool_())
+
+
+def _coords_equal(a: Geometry, b: Geometry) -> bool:
+    ca, cb = a.all_coords(), b.all_coords()
+    return ca.shape == cb.shape and bool(np.array_equal(ca, cb))
+
+
+def st_minimumboundingradius(col) -> pa.Array:
+    """Struct (center WKB, radius) of the Welzl minimum enclosing circle
+    (Functions.java:511 ST_MinimumBoundingRadius)."""
+    centers, radii = [], []
+    for g in _geoms(col):
+        if g is None:
+            centers.append(None)
+            radii.append(None)
+            continue
+        cx, cy, r = _lin.minimum_bounding_circle(g)
+        centers.append(_wkb.to_wkb(Geometry.point(cx, cy, g.srid)))
+        radii.append(float(r))
+    return pa.StructArray.from_arrays(
+        [pa.array(centers, type=pa.binary()), pa.array(radii, type=pa.float64())],
+        names=["center", "radius"],
+    )
+
+
+FUNCTIONS.update(
+    {
+        name[3:]: fn
+        for name, fn in list(globals().items())
+        if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
+    }
+)
+
+
+def st_force2d(col) -> pa.Array:
+    """Drop Z/M (Functions.java ST_Force_2D) — the engine stores 2D, and
+    the WKB reader already projects Z inputs, so this re-encodes as 2D."""
+    return _wkb_arr(_geoms(col))
+
+
+def st_nrings(col) -> pa.Array:
+    """Total ring count over all polygon parts (shell + holes;
+    Functions.java ST_NRings)."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        n = 0
+        for part in g.parts():
+            if part.kind == GeometryType.POLYGON:
+                n += len(part.coords)
+        out.append(n)
+    return pa.array(out, type=pa.int32())
+
+
+def st_points(col) -> pa.Array:
+    """Every vertex as a MultiPoint (Functions.java ST_Points)."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        c = g.all_coords()
+        out.append(Geometry(GeometryType.MULTIPOINT, [c[i] for i in range(len(c))], g.srid))
+    return _wkb_arr(out)
+
+
+FUNCTIONS.update(
+    {
+        name[3:]: fn
+        for name, fn in list(globals().items())
+        if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
+    }
+)

@@ -8,11 +8,11 @@ disjoint, equals) with:
   used by the hot join path (millions of geocoded page points vs a polygon),
 * exact segment-intersection tests,
 * pairwise polygon/line predicates built from vertex-location + boundary
-  crossing tests. These are exact for points/lines vs polygons and for
-  convex / axis-aligned polygon pairs (the reference's whole join test world,
-  ``core/src/test/.../JoinQueryCorrectnessChecker.java:139-183``, is such);
-  pathological concave-vs-concave containment that is decided only by
-  edge-interior geometry is documented as out of scope (no GEOS available).
+  crossing tests, exact for points/lines vs polygons and convex polygon
+  pairs directly; concave and holed polygon pairs are decided EXACTLY by
+  falling back to the triangulated piecewise area kernel (covers ==
+  zero-area difference, interior-overlap == positive-area intersection;
+  see ``triangulate.py``) whenever the probe tests alone are insufficient.
 
 Location codes: 0 = exterior, 1 = boundary, 2 = interior.
 """
@@ -241,6 +241,41 @@ def _points_on_edges(pts: np.ndarray, edges: np.ndarray) -> np.ndarray:
     return on.any(axis=1)
 
 
+def _poly_area(g: Geometry) -> float:
+    from .ops import ring_area
+
+    tot = 0.0
+    for part in g.parts():
+        if part.kind != GeometryType.POLYGON:
+            continue
+        rings = part.coords
+        tot += abs(ring_area(np.asarray(rings[0], dtype=np.float64)))
+        for h in rings[1:]:
+            tot -= abs(ring_area(np.asarray(h, dtype=np.float64)))
+    return tot
+
+
+def _needs_area_check(g: Geometry) -> bool:
+    """True when probe-based tests are insufficient for ``g`` as the
+    container: any part is concave or has holes. Convex hole-free
+    containers are exact under the vertex/midpoint/proper-cross probes
+    (a chord with both endpoints in a convex set stays inside)."""
+    from .triangulate import _is_convex_ring
+
+    for part in g.parts():
+        if part.kind != GeometryType.POLYGON:
+            continue
+        if len(part.coords) > 1:
+            return True
+        if not _is_convex_ring(np.asarray(part.coords[0], dtype=np.float64)):
+            return True
+    return False
+
+
+def _area_eps(a: Geometry, b: Geometry) -> float:
+    return 1e-12 * max(_poly_area(a), _poly_area(b), 1e-300)
+
+
 def covers(a: Geometry, b: Geometry) -> bool:
     """Every point of b lies in the closure of a."""
     if not envelopes_intersect(a, b):
@@ -259,6 +294,15 @@ def covers(a: Geometry, b: Geometry) -> bool:
         mids = _edge_midpoints(b)
         if mids.size and (_locate_pts(mids, a) == EXTERIOR).any():
             return False
+        if b.kind in _POLYGONAL and _needs_area_check(a):
+            # concave/holed container: the probes above are necessary but
+            # not sufficient (an edge of b can excurse outside a without a
+            # proper crossing or an exterior midpoint). Exact decision via
+            # the triangulated piecewise difference: covers iff b \ a has
+            # zero area.
+            from .triangulate import difference
+
+            return _poly_area(difference(b, a)) <= _area_eps(a, b)
         return True
     if a.kind in _LINEAL:
         if b.kind in _PUNTAL:
@@ -283,6 +327,11 @@ def contains(a: Geometry, b: Geometry) -> bool:
 
 
 def _interior_intersects(a: Geometry, b: Geometry) -> bool:
+    if a.kind in _POLYGONAL and b.kind in _POLYGONAL:
+        # only reached when covers(a, b) already holds: a positive-area b
+        # inside closure(a) always shares interior (boundaries are
+        # measure-zero)
+        return _poly_area(b) > 0.0
     if a.kind in _POLYGONAL:
         probes = [_vertices(b)]
         if b.kind not in _PUNTAL:
@@ -357,7 +406,16 @@ def _interiors_overlap(a: Geometry, b: Geometry) -> bool:
             if (_locate_pts(pts, g2) == INTERIOR).any():
                 return True
         _, proper = segments_intersect_any(_edges(a), _edges(b))
-        return proper
+        if proper:
+            return True
+        if _needs_area_check(a) or _needs_area_check(b):
+            # thin concave overlaps can dodge every probe point without a
+            # proper boundary crossing — exact decision via the triangulated
+            # piecewise intersection area
+            from .triangulate import intersection
+
+            return _poly_area(intersection(a, b)) > _area_eps(a, b)
+        return False
     if db == 1:
         if da == 0:
             return _interior_intersects(b, a)

@@ -22,15 +22,87 @@ from .linear import clip_convex
 from .ops import ring_area
 
 
+def _merge_hole(shell: np.ndarray, hole: np.ndarray) -> np.ndarray:
+    """Bridge a CW hole into a CCW shell ring (Eberly, 'Triangulation by
+    Ear Clipping' §5 — standard public algorithm): find the hole's max-x
+    vertex M, shoot a +x ray to the nearest shell edge, pick a mutually
+    visible shell vertex P, and splice the hole in with a doubled bridge
+    edge P->M ... M->P. The result is a weakly-simple ring ear-clipping
+    handles."""
+    mi = int(np.argmax(hole[:, 0]))
+    mx, my = float(hole[mi, 0]), float(hole[mi, 1])
+    n = len(shell)
+    best_t = np.inf
+    best_edge = -1
+    best_ix = np.inf
+    for i in range(n):
+        x1, y1 = shell[i]
+        x2, y2 = shell[(i + 1) % n]
+        if (y1 > my) == (y2 > my):
+            if y1 != my or y2 != my:
+                continue
+            # horizontal edge at ray height: nearest endpoint to the right
+            for xe in (x1, x2):
+                if xe >= mx and xe - mx < best_t:
+                    best_t, best_edge, best_ix = xe - mx, i, xe
+            continue
+        xint = x1 + (my - y1) * (x2 - x1) / (y2 - y1)
+        if xint >= mx and xint - mx < best_t:
+            best_t, best_edge, best_ix = xint - mx, i, xint
+    if best_edge < 0:  # hole outside shell (invalid input) — skip the hole
+        return shell
+    i1, i2 = best_edge, (best_edge + 1) % n
+    # candidate visible vertex: the intersected edge's endpoint with max x
+    p_idx = i1 if shell[i1, 0] > shell[i2, 0] else i2
+    if shell[i1, 1] == my and shell[i1, 0] == best_ix:
+        p_idx = i1
+    elif shell[i2, 1] == my and shell[i2, 0] == best_ix:
+        p_idx = i2
+    else:
+        # any reflex shell vertex strictly inside triangle (M, I, P) blocks
+        # visibility; choose the blocking vertex with the smallest angle to
+        # the +x ray (ties: nearest) — Eberly's rule
+        M = np.array([mx, my])
+        I = np.array([best_ix, my])
+        P = shell[p_idx]
+        best_tan = np.inf
+        best_d = np.inf
+        for j in range(n):
+            if j == p_idx:
+                continue
+            v = shell[j]
+            if _in_triangle(v, M, I, P) or _in_triangle(v, M, P, I):
+                dx = v[0] - mx
+                if dx <= 0:
+                    continue
+                tan = abs(v[1] - my) / dx
+                d = np.hypot(dx, v[1] - my)
+                if tan < best_tan or (tan == best_tan and d < best_d):
+                    best_tan, best_d, p_idx = tan, d, j
+    # splice: shell[0..p], hole[m..], hole[..m], shell[p..]
+    rolled = np.vstack([hole[mi:], hole[:mi + 1]])  # starts and ends at M
+    return np.vstack([shell[: p_idx + 1], rolled, shell[p_idx:]])
+
+
 def triangulate(poly: Geometry) -> list[np.ndarray]:
-    """Simple polygon (no holes) -> list of (3, 2) triangles."""
+    """Polygon (holes supported via bridge-edge insertion) -> list of
+    (3, 2) triangles."""
     if poly.kind != GeometryType.POLYGON:
         raise ValueError("triangulate needs a Polygon")
-    if len(poly.coords) > 1:
-        raise NotImplementedError("triangulation of polygons with holes is unsupported (no GEOS)")
     ring = np.asarray(poly.coords[0], dtype=np.float64)[:-1]  # open ring
     if ring_area(np.vstack([ring, ring[:1]])) < 0:
-        ring = ring[::-1]  # enforce CCW
+        ring = ring[::-1]  # enforce CCW shell
+    holes = []
+    for h in poly.coords[1:]:
+        hr = np.asarray(h, dtype=np.float64)[:-1]
+        if len(hr) < 3:
+            continue
+        if ring_area(np.vstack([hr, hr[:1]])) > 0:
+            hr = hr[::-1]  # enforce CW holes
+        holes.append(hr)
+    # merge holes right-to-left (max-x first) so bridges never cross
+    for hr in sorted(holes, key=lambda h: -float(h[:, 0].max())):
+        ring = _merge_hole(ring, hr)
     idx = list(range(len(ring)))
     tris: list[np.ndarray] = []
     guard = 0

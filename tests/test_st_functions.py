@@ -117,3 +117,82 @@ def test_st_apply_stage():
     batch = pa.table({"geom": [SQ, TRI]})
     out = st_apply("st_area", "area", "geom")(batch)
     assert out["area"].to_pylist() == [16.0, 18.0]
+
+
+from incubator_sedona_ray.functions import st
+from incubator_sedona_ray.geom.core import GeometryType
+
+
+class TestAccessorFamily:
+    """Golden tests for the accessor family (Functions.java:291-330,384-439,
+    511,692; Predicates.java:47-52)."""
+
+    def setup_method(self):
+        import numpy as np
+        self.line = to_wkb(Geometry.linestring([(0, 0), (1, 1), (2, 0), (4, 0)]))
+        self.poly = to_wkb(
+            Geometry(
+                GeometryType.POLYGON,
+                [
+                    np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+                    np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float),
+                ],
+            )
+        )
+        self.pt = to_wkb(Geometry.point(3, 4))
+
+    def test_pointn_bounds_and_negative(self):
+        got = st.st_pointn([self.line] * 4, 2).to_pylist()
+        assert from_wkb(got[0]).coords.tolist() == [1.0, 1.0]
+        assert st.st_pointn([self.line], -1).to_pylist()[0] == st.st_endpoint([self.line]).to_pylist()[0]
+        assert st.st_pointn([self.line], 9).to_pylist() == [None]
+        assert st.st_pointn([self.poly], 1).to_pylist() == [None]  # not a line
+
+    def test_start_end_points(self):
+        assert from_wkb(st.st_startpoint([self.line]).to_pylist()[0]).coords.tolist() == [0.0, 0.0]
+        assert from_wkb(st.st_endpoint([self.line]).to_pylist()[0]).coords.tolist() == [4.0, 0.0]
+        assert st.st_startpoint([self.pt]).to_pylist() == [None]
+
+    def test_rings(self):
+        ring = from_wkb(st.st_exteriorring([self.poly]).to_pylist()[0])
+        assert ring.kind == GeometryType.LINESTRING and len(ring.coords) == 5
+        hole = from_wkb(st.st_interiorringn([self.poly], 0).to_pylist()[0])
+        assert hole.coords[0].tolist() == [1.0, 1.0]
+        assert st.st_interiorringn([self.poly], 1).to_pylist() == [None]
+        assert st.st_numinteriorrings([self.poly, self.line]).to_pylist() == [1, None]
+        assert st.st_nrings([self.poly, self.pt]).to_pylist() == [2, 0]
+
+    def test_geometryn_dimension_ndims(self):
+        assert from_wkb(st.st_geometryn([self.poly], 0).to_pylist()[0]).kind == GeometryType.POLYGON
+        assert st.st_geometryn([self.poly], 1).to_pylist() == [None]
+        assert st.st_dimension([self.pt, self.line, self.poly]).to_pylist() == [0, 1, 2]
+        assert st.st_ndims([self.pt]).to_pylist() == [2]
+
+    def test_collect_and_multi(self):
+        out = st.st_collect([self.pt], [to_wkb(Geometry.point(9, 9))]).to_pylist()
+        g = from_wkb(out[0])
+        assert g.kind == GeometryType.MULTIPOINT and len(g.coords) == 2
+        mixed = st.st_collect([self.pt], [self.line]).to_pylist()
+        assert from_wkb(mixed[0]).kind == GeometryType.GEOMETRYCOLLECTION
+        assert from_wkb(st.st_multi([self.poly]).to_pylist()[0]).kind == GeometryType.MULTIPOLYGON
+        # multi passthrough
+        mp = st.st_multi(st.st_multi([self.pt])).to_pylist()
+        assert from_wkb(mp[0]).kind == GeometryType.MULTIPOINT
+
+    def test_orderingequals(self):
+        shifted = to_wkb(Geometry.linestring([(1, 1), (2, 0), (4, 0), (0, 0)]))
+        assert st.st_orderingequals([self.line], [self.line]).to_pylist() == [True]
+        assert st.st_orderingequals([self.line], [shifted]).to_pylist() == [False]
+        assert st.st_orderingequals([self.line], [self.pt]).to_pylist() == [False]
+
+    def test_minimumboundingradius(self):
+        import numpy as np
+        mbr = st.st_minimumboundingradius([self.poly])
+        assert mbr.field("radius").to_pylist()[0] == pytest.approx(np.hypot(2, 2))
+        c = from_wkb(mbr.field("center").to_pylist()[0])
+        assert c.coords.tolist() == [2.0, 2.0]
+
+    def test_points_and_force2d(self):
+        pts = from_wkb(st.st_points([self.line]).to_pylist()[0])
+        assert pts.kind == GeometryType.MULTIPOINT and len(pts.coords) == 4
+        assert st.st_force2d([self.pt]).to_pylist()[0] == self.pt
