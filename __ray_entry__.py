@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -731,6 +733,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _geohash_sql(precision: int) -> str:
+    """Pure-SQL base-32 geohash matching encoders/geohash.py bit-for-bit:
+    floor-quantize each axis to its bit budget, interleave (even global bit
+    positions take lon), then base-32 chars from 5-bit groups."""
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    parts = []
+    for b in range(nbits):
+        if b % 2 == 0:
+            parts.append(f"(((li >> {lon_bits - 1 - b // 2}) & 1) << {nbits - 1 - b})")
+        else:
+            parts.append(f"(((la >> {lat_bits - 1 - (b - 1) // 2}) & 1) << {nbits - 1 - b})")
+    combined = " | ".join(parts)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> {5 * (precision - 1 - c)}) & 31) AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return (
+        f"WITH pts AS ({_PTS_SQL}), q AS (SELECT doc_id, "
+        f"least(greatest(CAST(trunc((lon + 180.0) / 360.0 * {1 << lon_bits}) AS BIGINT), 0), {(1 << lon_bits) - 1}) AS li, "
+        f"least(greatest(CAST(trunc((lat + 90.0) / 180.0 * {1 << lat_bits}) AS BIGINT), 0), {(1 << lat_bits) - 1}) AS la "
+        f"FROM pts), g AS (SELECT doc_id, {combined} AS gh FROM q) "
+        f"SELECT doc_id, {chars} AS geohash FROM g"
+    )
+
+
+# Golden-fixture oracles (generated ONCE by scripts/gen_oracle_fixtures.py
+# from the tested encoders at sf0.01, committed): for operators with no
+# closed-form SQL (Hilbert-curve S2, H3-lite, the langid model, simhash /
+# fingerprint bit mixing, seeded minhash). They pin exact values against
+# regressions; the driver compares them like any other oracle.
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_sf0.01")
+_FIXTURE_ORACLES = ["s2_cells", "h3_cells", "langid", "simhash", "fingerprint", "minhash_survivors", "ann_topk_lsh"]
+
+
 def oracle_sql() -> dict[str, str]:
     px_sql = f"CAST(floor((lon + 180.0) / 360.0 * {TILE_RES_X}) AS BIGINT)"
     py_sql = f"CAST(floor((lat + 90.0) / 180.0 * {TILE_RES_Y}) AS BIGINT)"
@@ -743,7 +781,7 @@ def oracle_sql() -> dict[str, str]:
     hm_px = f"CAST(floor((lon + 180.0) / 360.0 * {HM_RES_X}) AS BIGINT)"
     hm_py = f"CAST(floor((lat + 90.0) / 180.0 * {HM_RES_Y}) AS BIGINT)"
     dsq = "((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))"
-    return {
+    out = {
         "geocode": f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents",
         "grid_cells": (
             f"WITH pts AS ({_PTS_SQL}) "
@@ -917,4 +955,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
         ),
+        "geohash": _geohash_sql(6),
     }
+    for name in _FIXTURE_ORACLES:
+        path = os.path.join(_FIXTURE_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = (
+                f"SELECT * FROM read_parquet('{path}') "
+                "-- golden fixture: generated once by scripts/gen_oracle_fixtures.py"
+            )
+    return out

@@ -97,3 +97,35 @@ def test_checkpointed_write_all_complete_resume():
     m = checkpointed_write(ray.data.from_pandas(df), out, "part_id")
     assert m["metrics"] == []
     assert sorted(m["skipped_resume"]) == sorted(df.part_id.unique().tolist())
+
+
+def test_checkpoint_empty_partition_marked_complete(tmp_path):
+    """ADVICE regression: a partition with no rows must still get a
+    _SUCCESS marker (via expected_parts) so resume skips it instead of
+    re-running the whole upstream every time."""
+    import pandas as pd
+    import ray
+    from incubator_sedona_ray.state.manifest import checkpointed_write, _done_partitions
+
+    out = str(tmp_path / "ckpt")
+    df = pd.DataFrame({"part_id": [0, 0, 2], "v": [1, 2, 3]})  # partition 1 is empty
+    m1 = checkpointed_write(ray.data.from_pandas(df), out, expected_parts=range(3))
+    assert m1["completed"] == [0, 1, 2]
+    assert _done_partitions(out, "part_id") == {"0", "1", "2"}
+    # resume: nothing re-executes, including the empty partition
+    m2 = checkpointed_write(ray.data.from_pandas(df), out, expected_parts=range(3))
+    assert m2["metrics"] == []
+    assert sorted(m2["skipped_resume"]) == [0, 1, 2]
+
+
+def test_checkpoint_string_keys_resume(tmp_path):
+    import pandas as pd
+    import ray
+    from incubator_sedona_ray.state.manifest import checkpointed_write
+
+    out = str(tmp_path / "ckpt_str")
+    df = pd.DataFrame({"part_id": ["a", "b", "a"], "v": [1, 2, 3]})
+    m1 = checkpointed_write(ray.data.from_pandas(df), out)
+    assert sorted(m1["completed"]) == ["a", "b"]
+    m2 = checkpointed_write(ray.data.from_pandas(df), out)
+    assert m2["metrics"] == []  # string keys resume cleanly (no mixed-type value set)
