@@ -181,6 +181,47 @@ def _assign(ds, geom, prefix, part_ref, radius: float = 0.0, circle: bool = Fals
     return broadcast_map_batches(ds, fn, {"part": part_ref})
 
 
+def _assign_self_union(ds, l_geom, r_geom, lprefix, rprefix, part_ref, l_user, r_user, radius=0.0, circle=False):
+    """Self-join fast path: one map_batches computes BOTH sides' placement
+    from the same batch and emits the already-padded union rows (side 0 =
+    left with radius/circle envelope expansion, side 1 = plain right)."""
+    order = l_user + r_user + ["part_id", "__side"]
+
+    def fn(batch: pa.Table, part) -> pa.Table:
+        fl = _side_fields(batch, l_geom, radius=radius, circle=circle)
+        ri_l, pid_l = part.place_mixed(fl["e"], fl["ispt"])
+        ol = np.argsort(ri_l, kind="stable")
+        ri_l, pid_l = ri_l[ol], pid_l[ol]
+        if r_geom == l_geom and radius == 0.0 and not circle:
+            ri_r, pid_r = ri_l, pid_l
+        else:
+            fr = _side_fields(batch, r_geom)
+            ri_r, pid_r = part.place_mixed(fr["e"], fr["ispt"])
+            orr = np.argsort(ri_r, kind="stable")
+            ri_r, pid_r = ri_r[orr], pid_r[orr]
+
+        def side_table(ri, pid, prefix, own_cols, other_cols, side_val):
+            t = batch.rename_columns([prefix + c for c in batch.column_names]).take(pa.array(ri))
+            cols = {c: t[c] for c in own_cols}
+            other_prefix = rprefix if side_val == 0 else lprefix
+            for name in other_cols:
+                # pad with nulls typed from the SAME source batch (self-join:
+                # both sides share the input schema)
+                base = name[len(other_prefix):]
+                cols[name] = pa.nulls(t.num_rows, type=batch.schema.field(base).type)
+            cols["part_id"] = pa.array(pid, type=pa.int32())
+            cols["__side"] = pa.array(np.full(len(ri), side_val, dtype=np.int8))
+            return pa.table({k: cols[k] for k in order})
+
+        lt = side_table(ri_l, pid_l, lprefix, l_user, r_user, 0)
+        rt = side_table(ri_r, pid_r, rprefix, r_user, l_user, 1)
+        return pa.concat_tables([lt, rt])
+
+    from ..partition.assign import broadcast_map_batches
+
+    return broadcast_map_batches(ds, fn, {"part": part_ref})
+
+
 def _pad_union(left, right, l_cols, r_cols, l_schema, r_schema):
     """Give both sides the same column set (nulls for the other side's
     columns) so ``Dataset.union`` has one schema."""
@@ -634,14 +675,24 @@ def spatial_join(
             part = SaltedPartitioner(part, counts, conf.salt_threshold, conf.salt_max)
     part_ref = ray.put(part)
 
-    la = _assign(left, left_geom, lprefix, part_ref, radius=rad, circle=circle)
-    ra = _assign(right, right_geom, rprefix, part_ref)
+    if self_join:
+        # ONE pass over the shared upstream emits BOTH tagged sides —
+        # assigning each side separately would re-execute the whole input
+        # chain twice (measured: the dominant cost of distance self-joins
+        # whose upstream includes read + transform stages)
+        unioned = _assign_self_union(
+            left, left_geom, right_geom, lprefix, rprefix, part_ref,
+            l_user, r_user, radius=rad, circle=circle,
+        )
+    else:
+        la = _assign(left, left_geom, lprefix, part_ref, radius=rad, circle=circle)
+        ra = _assign(right, right_geom, rprefix, part_ref)
 
-    l_arrow = la.schema().base_schema
-    r_arrow = ra.schema().base_schema
-    l_schema = pa.schema([(n, l_arrow.field(n).type) for n in l_user])
-    r_schema = pa.schema([(n, r_arrow.field(n).type) for n in r_user])
-    unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
+        l_arrow = la.schema().base_schema
+        r_arrow = ra.schema().base_schema
+        l_schema = pa.schema([(n, l_arrow.field(n).type) for n in l_user])
+        r_schema = pa.schema([(n, r_arrow.field(n).type) for n in r_user])
+        unioned = _pad_union(la, ra, l_user, r_user, l_schema, r_schema)
     # the union carries BOTH sides' block lists; heavy upstream filters can
     # leave thousands of near-empty blocks, and the sort-based groupby pays
     # per-block costs (measured 7x on sparse joins) — coalesce first when
