@@ -37,12 +37,16 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if not shingles:
+def minhash_signature(shingles, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``shingles``: set[int] or uint64 ndarray (the vectorized
+    :func:`..ngram.char_shingles_arr` output)."""
+    if isinstance(shingles, np.ndarray):
+        x = shingles.astype(np.uint64, copy=False)
+    else:
+        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    if len(x) == 0:
         return np.full(len(a), np.uint64(int(_P)), dtype=np.uint64)
-    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    # (a*x + b) mod p, vectorized over (perm, shingle); python-int matmul
-    # avoided by doing modmul in float128-free uint64 via object fallback:
+    # (a*x + b) mod p, vectorized over (perm, shingle)
     vals = (x[None, :] * a[:, None] + b[:, None]) % _P
     return vals.min(axis=1)
 
@@ -55,34 +59,45 @@ def band_rows_fn(
     shingle_k: int = 5,
     seed: int = 1,
 ):
-    """map_batches stage -> (doc_id, band_id, band_hash) rows."""
-    import hashlib
+    """map_batches stage -> (doc_id, band_id, band_hash) rows.
+
+    Shingling + the band hash are vectorized: FNV over sliding byte windows
+    (see ``ngram.char_shingles_arr``), then a deterministic numpy
+    mix-and-fold over the (docs x bands x rows) signature cube replaces the
+    per-band blake2b calls (python's ``hash()`` is per-process salted and
+    must never key a shuffle; this arithmetic hash is process-stable)."""
+    from .ngram import char_shingles_arr
 
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm, seed)
+    _MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix constant (public)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_ids, out_band, out_hash = [], [], []
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            sig = minhash_signature(char_shingles(t, shingle_k), a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                # deterministic across worker processes (python's hash() is
-                # per-process salted — never use it for shuffle keys)
-                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_ids.append(ids[i])
-                out_band.append(bi)
-                out_hash.append(int.from_bytes(digest, "big") & 0x7FFFFFFFFFFFFFFF)
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(char_shingles_arr(t, shingle_k), a, b)
+        cube = sigs.reshape(n, bands, rows_per_band)
+        h = np.full((n, bands), _FNV_BAND_OFFSET, dtype=np.uint64)
+        for j in range(rows_per_band):
+            h = (h ^ cube[:, :, j]) * _FNV_BAND_PRIME
+            h ^= h >> np.uint64(33)
+            h *= _MIX
         return pa.table(
             {
-                id_col: np.array(out_ids),
-                "band_id": np.array(out_band, dtype=np.int32),
-                "band_hash": np.array(out_hash, dtype=np.int64),
+                id_col: np.repeat(ids, bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_hash": (h.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
             }
         )
 
     return fn
+
+
+_FNV_BAND_OFFSET = np.uint64(14695981039346656037)
+_FNV_BAND_PRIME = np.uint64(1099511628211)
 
 
 def _default_join_partitions() -> int:
@@ -216,10 +231,12 @@ def minhash_dedup(
     j2 = j1.join(docs, "inner", num_partitions, on=("b",), right_on=(id_col,), right_suffix="_rb")
 
     def verify(t: pa.Table) -> pa.Table:
+        from .ngram import char_shingles_arr, jaccard_arr
+
         ta = t["text_a"].to_pylist()
         tb = t[text_col].to_pylist()
         jac = np.array(
-            [jaccard(char_shingles(x, shingle_k), char_shingles(y, shingle_k)) for x, y in zip(ta, tb)]
+            [jaccard_arr(char_shingles_arr(x, shingle_k), char_shingles_arr(y, shingle_k)) for x, y in zip(ta, tb)]
         ) if t.num_rows else np.empty(0)
         keep = jac >= threshold
         a = t["a"].to_numpy(zero_copy_only=False)

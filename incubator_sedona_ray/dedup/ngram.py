@@ -10,12 +10,34 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+def char_shingles_arr(text: str, k: int = 5) -> np.ndarray:
+    """Unique k-char shingle hashes as a sorted uint64 array — the FNV-1a
+    fold runs vectorized over ALL windows at once (k tiny passes over a
+    sliding-window view) instead of a Python byte loop per window;
+    bit-identical to :func:`_fnv` per window."""
+    b = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, min(k, len(b)))
+    h = np.full(windows.shape[0], _FNV_OFFSET, dtype=np.uint64)
+    for j in range(windows.shape[1]):
+        h = (h ^ windows[:, j].astype(np.uint64)) * _FNV_PRIME
+    return np.unique(h)
+
+
+def jaccard_arr(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two unique-hash arrays (see :func:`char_shingles_arr`)."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
 def char_shingles(text: str, k: int = 5) -> set[int]:
     """k-char shingle hash set (FNV-1a over byte windows, lowercased)."""
-    b = text.lower().encode("utf-8", "ignore")
-    if len(b) < k:
-        return {_fnv(b)} if b else set()
-    return {_fnv(b[i : i + k]) for i in range(len(b) - k + 1)}
+    return set(char_shingles_arr(text, k).tolist())
 
 
 def word_shingles(text: str, n: int = 3) -> set[int]:
@@ -44,3 +66,26 @@ def jaccard(a: set[int], b: set[int]) -> float:
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5, mode: str = "char") -> float:
     sh = char_shingles if mode == "char" else word_shingles
     return jaccard(sh(text_a, k), sh(text_b, k))
+
+
+def fnv_tokens(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a of many byte strings at once: rows padded to the longest
+    token, folded with a per-column active mask — bit-identical to
+    :func:`_fnv` per token, no Python byte loop."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    m = int(lens.max()) if lens.max() > 0 else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if m == 0:
+        return h
+    mat = np.zeros((n, m), dtype=np.uint8)
+    buf = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(len(buf)) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[row, col] = buf
+    for j in range(m):
+        active = lens > j
+        h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
+    return h

@@ -10,22 +10,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .ngram import _fnv
+from .ngram import fnv_tokens
 
 
 def simhash64(text: str) -> int:
-    tokens = text.lower().split()
+    """Vectorized: all token hashes at once (``fnv_tokens``), then one
+    (tokens x 64) bit-vote — no per-token Python work."""
+    tokens = [t.encode() for t in text.lower().split()]
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = _fnv(tok.encode())
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    h = fnv_tokens(tokens)
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     fp = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            fp |= np.uint64(1) << np.uint64(i)
+    pos = np.nonzero(acc > 0)[0]
+    for i in pos:
+        fp |= np.uint64(1) << np.uint64(i)
     return int(fp)
 
 
@@ -40,12 +40,16 @@ def simhash_batch_fn(id_col: str = "doc_id", text_col: str = "text"):
 
 def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    # vectorized popcount: bytes -> unpacked bits -> per-value sum
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
 
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
-    """Returns (survivors_df, pairs_df). Band-bucket candidates, verify by
-    hamming distance <= max_hamming, drop non-min ids per component."""
+    """Returns (survivors, pairs) as DATASETS. Band-bucket candidates,
+    verify by hamming distance <= max_hamming, drop non-min ids per
+    component — components via distributed min-label propagation and
+    survivors via a left-anti hash join (same scale design as
+    :func:`..minhash.minhash_dedup`; nothing materializes on the driver)."""
     fps = ds.map_batches(simhash_batch_fn(id_col, text_col), batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -77,22 +81,30 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         d = hamming(np.full(len(ids) - 1, sh[0]), sh[1:])
         return pd.DataFrame({"a": ids[0], "b": ids[1:], "ham": d})
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    pairs = pairs[pairs.ham <= max_hamming].drop_duplicates(["a", "b"])
+    from ray.data.aggregate import Min
 
-    parent: dict[int, int] = {}
+    from .minhash import _default_join_partitions, connected_components_min_label
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    num_partitions = _default_join_partitions()
+    cand = banded.groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
 
-    for a_, b_ in zip(pairs.a, pairs.b):
-        ra, rb = find(int(a_)), find(int(b_))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
-    drop = {x for x in parent if find(x) != x}
-    survivors = np.sort(np.array([i for i in all_ids if int(i) not in drop]))
-    return pd.DataFrame({id_col: survivors}), pairs.reset_index(drop=True)
+    def verify(t: pa.Table) -> pa.Table:
+        ham = t["ham"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ham <= max_hamming))
+
+    pairs = (
+        cand.map_batches(verify, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Min("ham"))
+        .map_batches(lambda t: t.rename_columns(["a", "b", "ham"]), batch_format="pyarrow")
+        .materialize()
+    )
+    all_ids = ds.select_columns([id_col])
+    if pairs.count() == 0:
+        return all_ids, pairs
+    labels = connected_components_min_label(pairs, num_partitions=num_partitions)
+    dropped = labels.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    survivors = all_ids.join(dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    return survivors, pairs

@@ -63,6 +63,7 @@ def test_simhash_dedup():
     df = _docs_with_dups()
     ds = ray.data.from_pandas(df)
     survivors, pairs = simhash_dedup(ds, max_hamming=3)
+    survivors, pairs = survivors.to_pandas(), pairs.to_pandas()
     surv = set(survivors.doc_id)
     for i in df.head(20).doc_id:
         assert int(i) + 100_000 not in surv  # exact dup has identical simhash
