@@ -849,3 +849,74 @@ FUNCTIONS.update(
         if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
     }
 )
+
+
+# -- Z / 3D family (reference Constructors.java:94 ST_PointZ;
+#    Functions.java:92-180 ST_Z/ZMax/ZMin/3DDistance) ------------------------
+
+def st_pointz(x, y, z, srid: int = 0) -> pa.Array:
+    """3D point constructor; Z round-trips through ISO-Z WKB."""
+    xs, ys, zs = _np(x), _np(y), _np(z)
+    return _wkb_arr(
+        [Geometry(GeometryType.POINT, np.array([xi, yi], dtype=np.float64), srid, z=float(zi))
+         for xi, yi, zi in zip(xs, ys, zs)]
+    )
+
+
+def _z_values(g: Geometry) -> np.ndarray:
+    if g is None or getattr(g, "z", None) is None:
+        return np.empty(0)
+    if g.kind == GeometryType.POINT:
+        return np.array([g.z], dtype=np.float64)
+    return np.asarray(g.z, dtype=np.float64)
+
+
+def st_z(col) -> pa.Array:
+    """Z of a Point (null for 2D points or other types)."""
+    out = []
+    for g in _geoms(col):
+        out.append(float(g.z) if g is not None and g.kind == GeometryType.POINT and g.z is not None else None)
+    return pa.array(out, type=pa.float64())
+
+
+def st_zmax(col) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        zs = _z_values(g) if g is not None else np.empty(0)
+        out.append(float(zs.max()) if zs.size else None)
+    return pa.array(out, type=pa.float64())
+
+
+def st_zmin(col) -> pa.Array:
+    out = []
+    for g in _geoms(col):
+        zs = _z_values(g) if g is not None else np.empty(0)
+        out.append(float(zs.min()) if zs.size else None)
+    return pa.array(out, type=pa.float64())
+
+
+def st_3ddistance(col_a, col_b) -> pa.Array:
+    """Euclidean 3D distance between points; a missing Z counts as 0
+    (2D inputs therefore degrade to planar distance)."""
+    out = []
+    for a, b in zip(_geoms(col_a), _geoms(col_b)):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        if a.kind == GeometryType.POINT and b.kind == GeometryType.POINT:
+            za = a.z if a.z is not None else 0.0
+            zb = b.z if b.z is not None else 0.0
+            dx, dy, dz = a.coords[0] - b.coords[0], a.coords[1] - b.coords[1], za - zb
+            out.append(float(math.sqrt(dx * dx + dy * dy + dz * dz)))
+        else:
+            out.append(float(_ops.distance(a, b)))
+    return pa.array(out, type=pa.float64())
+
+
+FUNCTIONS.update(
+    {
+        name[3:]: fn
+        for name, fn in list(globals().items())
+        if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
+    }
+)

@@ -37,23 +37,20 @@ def mercator_to_lonlat(x: np.ndarray, y: np.ndarray):
 
 
 def st_transform_batch(src: str, dst: str, x_col: str, y_col: str, out_x: str = "x", out_y: str = "y"):
-    """map_batches stage transforming coordinate columns between
-    EPSG:4326 and EPSG:3857."""
-    key = (src.upper(), dst.upper())
-    fns = {
-        ("EPSG:4326", "EPSG:3857"): lonlat_to_mercator,
-        ("EPSG:3857", "EPSG:4326"): mercator_to_lonlat,
-    }
-    if key not in fns:
-        raise NotImplementedError(f"transform {src}->{dst} (only 4326<->3857 without GeoTools)")
-    fn = fns[key]
+    """map_batches stage transforming coordinate columns between supported
+    CRSs: EPSG:4326, EPSG:3857, and any WGS84 UTM zone (EPSG:32601-60
+    north / 32701-60 south, Krueger-series Transverse Mercator below)."""
 
     def stage(batch: pa.Table) -> pa.Table:
-        x, y = fn(
+        x, y = transform_xy(
+            src,
+            dst,
             batch[x_col].to_numpy(zero_copy_only=False),
             batch[y_col].to_numpy(zero_copy_only=False),
         )
-        return batch.append_column(out_x, pa.array(x)).append_column(out_y, pa.array(y))
+        return batch.append_column(out_x, pa.array(np.asarray(x))).append_column(
+            out_y, pa.array(np.asarray(y))
+        )
 
     return stage
 
@@ -108,3 +105,122 @@ def st_distancespheroid(col_a, col_b) -> pa.Array:
         )
         out.append(vincenty_distance(ga.coords[0], ga.coords[1], gb.coords[0], gb.coords[1]))
     return pa.array(out, type=pa.float64())
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (Karney 2011 Krueger-series, public formulas) —
+# unlocks arbitrary EPSG:326xx/327xx (WGS84 UTM) transforms with EPSG:4326
+# as the hub CRS. Sub-millimeter accuracy within a zone (6th-order series).
+# Reference behavior: Functions.java:184-212 delegates to GeoTools; we
+# implement the same projection math directly.
+# ---------------------------------------------------------------------------
+
+_N3 = _F / (2.0 - _F)  # third flattening n
+_A_TM = _R / (1.0 + _N3) * (1.0 + _N3**2 / 4.0 + _N3**4 / 64.0 + _N3**6 / 256.0)
+_K0 = 0.9996
+_E0, _N0_NORTH, _N0_SOUTH = 500000.0, 0.0, 10000000.0
+_E1 = math.sqrt(_F * (2.0 - _F))  # eccentricity
+
+_ALPHA = [
+    _N3 / 2 - 2 * _N3**2 / 3 + 5 * _N3**3 / 16 + 41 * _N3**4 / 180 - 127 * _N3**5 / 288 + 7891 * _N3**6 / 37800,
+    13 * _N3**2 / 48 - 3 * _N3**3 / 5 + 557 * _N3**4 / 1440 + 281 * _N3**5 / 630 - 1983433 * _N3**6 / 1935360,
+    61 * _N3**3 / 240 - 103 * _N3**4 / 140 + 15061 * _N3**5 / 26880 + 167603 * _N3**6 / 181440,
+    49561 * _N3**4 / 161280 - 179 * _N3**5 / 168 + 6601661 * _N3**6 / 7257600,
+    34729 * _N3**5 / 80640 - 3418889 * _N3**6 / 1995840,
+    212378941 * _N3**6 / 319334400,
+]
+_BETA = [
+    _N3 / 2 - 2 * _N3**2 / 3 + 37 * _N3**3 / 96 - _N3**4 / 360 - 81 * _N3**5 / 512 + 96199 * _N3**6 / 604800,
+    _N3**2 / 48 + _N3**3 / 15 - 437 * _N3**4 / 1440 + 46 * _N3**5 / 105 - 1118711 * _N3**6 / 3870720,
+    17 * _N3**3 / 480 - 37 * _N3**4 / 840 - 209 * _N3**5 / 4480 + 5569 * _N3**6 / 90720,
+    4397 * _N3**4 / 161280 - 11 * _N3**5 / 504 - 830251 * _N3**6 / 7257600,
+    4583 * _N3**5 / 161280 - 108847 * _N3**6 / 3991680,
+    20648693 * _N3**6 / 638668800,
+]
+
+
+def lonlat_to_utm(lon, lat, zone: int, south: bool = False):
+    """Vectorized WGS84 lon/lat -> UTM easting/northing (meters)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam0 = math.radians(zone * 6.0 - 183.0)
+    lam = np.radians(lon) - lam0
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    # conformal latitude
+    t = np.sinh(np.arctanh(s) - _E1 * np.arctanh(_E1 * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = _E0 + _K0 * _A_TM * eta
+    N = (_N0_SOUTH if south else _N0_NORTH) + _K0 * _A_TM * xi
+    return E, N
+
+
+def utm_to_lonlat(E, N, zone: int, south: bool = False):
+    """Vectorized UTM easting/northing -> WGS84 lon/lat (degrees)."""
+    E = np.asarray(E, dtype=np.float64)
+    N = np.asarray(N, dtype=np.float64)
+    lam0 = math.radians(zone * 6.0 - 183.0)
+    xi = (N - (_N0_SOUTH if south else _N0_NORTH)) / (_K0 * _A_TM)
+    eta = (E - _E0) / (_K0 * _A_TM)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    # tau' on the sphere -> tau on the ellipsoid via Newton (Karney eq. 19-21)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    tau = tau_p.copy()
+    for _ in range(5):
+        sigma = np.sinh(_E1 * np.arctanh(_E1 * tau / np.sqrt(1.0 + tau * tau)))
+        f_tau = tau * np.sqrt(1.0 + sigma * sigma) - sigma * np.sqrt(1.0 + tau * tau) - tau_p
+        d_tau = (np.sqrt((1.0 + sigma * sigma) * (1.0 + tau * tau)) - sigma * tau) * (
+            1.0 - _E1 * _E1
+        ) * np.sqrt(1.0 + tau * tau) / (1.0 + (1.0 - _E1 * _E1) * tau * tau)
+        tau -= f_tau / d_tau
+    lat = np.degrees(np.arctan(tau))
+    lon = np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p)) + lam0)
+    return lon, lat
+
+
+def _parse_crs(name: str):
+    """EPSG name -> ('lonlat' | 'mercator' | ('utm', zone, south))."""
+    code = name.upper().replace("EPSG:", "")
+    if code == "4326":
+        return "lonlat"
+    if code == "3857":
+        return "mercator"
+    if code.isdigit():
+        c = int(code)
+        if 32601 <= c <= 32660:
+            return ("utm", c - 32600, False)
+        if 32701 <= c <= 32760:
+            return ("utm", c - 32700, True)
+    raise NotImplementedError(f"CRS {name} (supported: EPSG:4326, EPSG:3857, EPSG:32601-60, EPSG:32701-60)")
+
+
+def _to_lonlat(crs, x, y):
+    if crs == "lonlat":
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if crs == "mercator":
+        return mercator_to_lonlat(x, y)
+    return utm_to_lonlat(x, y, crs[1], crs[2])
+
+
+def _from_lonlat(crs, lon, lat):
+    if crs == "lonlat":
+        return lon, lat
+    if crs == "mercator":
+        return lonlat_to_mercator(lon, lat)
+    return lonlat_to_utm(lon, lat, crs[1], crs[2])
+
+
+def transform_xy(src: str, dst: str, x, y):
+    """Arbitrary supported CRS -> CRS via the 4326 hub."""
+    lon, lat = _to_lonlat(_parse_crs(src), x, y)
+    return _from_lonlat(_parse_crs(dst), lon, lat)

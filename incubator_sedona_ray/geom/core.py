@@ -55,6 +55,10 @@ class Geometry:
     kind: str
     coords: Any
     srid: int = 0
+    # optional Z: float for Point, (n,) ndarray for LineString/MultiPoint;
+    # None = 2D (the engine's planar kernels ignore Z; only the ST_Z family
+    # and WKB serde touch it — Constructors.java:94, Functions.java:92-180)
+    z: Any = None
 
     # -- basic accessors -------------------------------------------------
     @property

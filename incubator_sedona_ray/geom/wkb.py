@@ -86,13 +86,24 @@ def to_wkb(geom: Geometry, include_srid: bool = False) -> bytes:
 def _write_geom(out: bytearray, g: Geometry, include_srid: bool) -> None:
     out.append(1)  # little-endian
     code = wkb_type_code(g.kind)
+    has_z = getattr(g, "z", None) is not None and g.kind in (
+        GeometryType.POINT, GeometryType.LINESTRING
+    )
+    if has_z:
+        code += 1000  # ISO Z flag
     if include_srid and g.srid:
         out += struct.pack("<I", code | _EWKB_SRID)
         out += struct.pack("<i", g.srid)
     else:
         out += struct.pack("<I", code)
     k, c = g.kind, g.coords
-    if k == GeometryType.POINT:
+    if k == GeometryType.POINT and has_z:
+        out += struct.pack("<3d", float(c[0]), float(c[1]), float(g.z))
+    elif k == GeometryType.LINESTRING and has_z:
+        arr = np.column_stack([np.asarray(c, dtype=np.float64), np.asarray(g.z, dtype=np.float64)])
+        out += struct.pack("<I", arr.shape[0])
+        out += arr.astype("<f8", copy=False).tobytes()
+    elif k == GeometryType.POINT:
         out += struct.pack("<2d", float(c[0]), float(c[1]))
     elif k in (GeometryType.LINESTRING, GeometryType.MULTIPOINT) and k == GeometryType.LINESTRING:
         _write_coordseq(out, c)
@@ -160,10 +171,11 @@ def _read_geom(mv: memoryview, off: int) -> tuple[Geometry, int]:
     if kind == GeometryType.POINT:
         vals = struct.unpack_from(bo + f"{dim}d", mv, off)
         off += 8 * dim
-        return Geometry(kind, np.array(vals[:2], dtype=np.float64), srid), off
+        zval = float(vals[2]) if has_z else None
+        return Geometry(kind, np.array(vals[:2], dtype=np.float64), srid, z=zval), off
     if kind == GeometryType.LINESTRING:
-        arr, off = _read_coordseq(mv, off, bo, dim)
-        return Geometry(kind, arr, srid), off
+        arr, off, zarr = _read_coordseq_z(mv, off, bo, dim, has_z)
+        return Geometry(kind, arr, srid, z=zarr), off
     if kind == GeometryType.POLYGON:
         (nrings,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
@@ -198,6 +210,16 @@ def _read_coordseq(mv: memoryview, off: int, bo: str, dim: int) -> tuple[np.ndar
     arr = np.frombuffer(mv[off : off + nbytes], dtype=bo + "f8").reshape(n, dim)
     off += nbytes
     return np.ascontiguousarray(arr[:, :2], dtype=np.float64), off
+
+
+def _read_coordseq_z(mv: memoryview, off: int, bo: str, dim: int, has_z: bool):
+    (n,) = struct.unpack_from(bo + "I", mv, off)
+    off += 4
+    nbytes = 8 * dim * n
+    arr = np.frombuffer(mv[off : off + nbytes], dtype=bo + "f8").reshape(n, dim)
+    off += nbytes
+    z = np.ascontiguousarray(arr[:, 2], dtype=np.float64) if has_z and dim >= 3 else None
+    return np.ascontiguousarray(arr[:, :2], dtype=np.float64), off, z
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,32 @@ class TestAccessorFamily:
         pts = from_wkb(st.st_points([self.line]).to_pylist()[0])
         assert pts.kind == GeometryType.MULTIPOINT and len(pts.coords) == 4
         assert st.st_force2d([self.pt]).to_pylist()[0] == self.pt
+
+
+class TestZFamily:
+    def test_pointz_roundtrip_and_accessors(self):
+        ptz = st.st_pointz([1.0, 2.0], [3.0, 4.0], [5.0, 6.0]).to_pylist()
+        g = from_wkb(ptz[0])
+        assert g.coords.tolist() == [1.0, 3.0] and g.z == 5.0
+        assert st.st_z(ptz).to_pylist() == [5.0, 6.0]
+        assert st.st_zmax(ptz).to_pylist() == [5.0, 6.0]
+        assert st.st_zmin(ptz).to_pylist() == [5.0, 6.0]
+
+    def test_2d_inputs_null_z(self):
+        assert st.st_z([PT]).to_pylist() == [None]
+        assert st.st_zmax([SQ]).to_pylist() == [None]
+
+    def test_3ddistance(self):
+        a = st.st_pointz([0.0], [0.0], [0.0]).to_pylist()
+        b = st.st_pointz([1.0], [1.0], [1.0]).to_pylist()
+        assert st.st_3ddistance(a, b).to_pylist()[0] == pytest.approx(3 ** 0.5)
+        # 2D fallback = planar distance
+        assert st.st_3ddistance([PT], [to_wkb(Geometry.point(4, 6))]).to_pylist()[0] == pytest.approx(5.0)
+
+    def test_z_linestring_wkb(self):
+        import numpy as np
+        from incubator_sedona_ray.geom.core import GeometryType as GT
+        lz = Geometry(GT.LINESTRING, np.array([[0, 0], [1, 1]], float), z=np.array([7.0, 9.0]))
+        g = from_wkb(to_wkb(lz))
+        assert g.z.tolist() == [7.0, 9.0]
+        assert st.st_zmax([to_wkb(lz)]).to_pylist() == [9.0]

@@ -51,8 +51,12 @@ def test_transform_stage():
     batch = pa.table({"lon": [10.0], "lat": [53.55]})
     out = st_transform_batch("EPSG:4326", "EPSG:3857", "lon", "lat")(batch)
     assert abs(out["x"][0].as_py() - 1113194.9079327357) < 1e-3  # 10 deg in mercator
+    # UTM zones are now supported (Krueger-series TM); a genuinely
+    # unsupported CRS still raises at execution
+    utm = st_transform_batch("EPSG:4326", "EPSG:32633", "lon", "lat")(batch)
+    assert 0 < utm["x"][0].as_py() < 1_000_000
     with pytest.raises(NotImplementedError):
-        st_transform_batch("EPSG:4326", "EPSG:32633", "lon", "lat")
+        st_transform_batch("EPSG:4326", "EPSG:27700", "lon", "lat")(batch)
 
 
 def test_vincenty_known():
@@ -216,3 +220,54 @@ def test_geoparquet_bbox_pruning(tmp_path):
     ds = read_geoparquet(str(tmp_path), bbox_filter=(0, 0, 50, 50))
     df = ds.to_pandas()
     assert list(df.i) == [0]  # second file pruned by footer bbox
+
+
+class TestUTMTransforms:
+    """Krueger-series Transverse Mercator (arbitrary WGS84 UTM zone)."""
+
+    def test_central_meridian_origin(self):
+        from incubator_sedona_ray.functions.transform import lonlat_to_utm
+
+        E, N = lonlat_to_utm(np.array([3.0]), np.array([0.0]), 31)
+        assert float(E[0]) == pytest.approx(500000.0, abs=1e-6)
+        assert float(N[0]) == pytest.approx(0.0, abs=1e-6)
+
+    def test_meridian_arc_45N(self):
+        from incubator_sedona_ray.functions.transform import lonlat_to_utm
+
+        # published WGS84 meridian arc length to 45N: 4984944.378 m
+        E, N = lonlat_to_utm(np.array([3.0]), np.array([45.0]), 31)
+        assert float(N[0]) == pytest.approx(0.9996 * 4984944.378, abs=0.01)
+
+    def test_roundtrip_machine_precision(self):
+        from incubator_sedona_ray.functions.transform import lonlat_to_utm, utm_to_lonlat
+
+        rng = np.random.default_rng(0)
+        lon = rng.uniform(0.0, 6.0, 5000)
+        lat = rng.uniform(-80, 84, 5000)
+        E, N = lonlat_to_utm(lon, lat, 31)
+        lon2, lat2 = utm_to_lonlat(E, N, 31)
+        assert np.abs(lon - lon2).max() < 1e-12
+        assert np.abs(lat - lat2).max() < 1e-12
+
+    def test_transform_stage_utm(self, ray_session):
+        import ray
+        from incubator_sedona_ray.functions.transform import st_transform_batch, lonlat_to_utm
+
+        df = pd.DataFrame({"lon": [2.2945, 5.0], "lat": [48.8584, 50.0]})
+        ds = ray.data.from_pandas(df)
+        out = ds.map_batches(
+            st_transform_batch("EPSG:4326", "EPSG:32631", "lon", "lat"), batch_format="pyarrow"
+        ).to_pandas()
+        E, N = lonlat_to_utm(df.lon.to_numpy(), df.lat.to_numpy(), 31)
+        assert np.allclose(out.x.to_numpy(), E)
+        assert np.allclose(out.y.to_numpy(), N)
+
+    def test_south_zone_and_unknown_crs(self):
+        from incubator_sedona_ray.functions.transform import transform_xy
+        import pytest as _pt
+
+        x, y = transform_xy("EPSG:4326", "EPSG:32733", np.array([15.0]), np.array([-25.0]))
+        assert y[0] > 6_000_000  # false northing applied
+        with _pt.raises(NotImplementedError):
+            transform_xy("EPSG:4326", "EPSG:27700", np.array([0.0]), np.array([51.0]))
