@@ -920,3 +920,211 @@ FUNCTIONS.update(
         if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
     }
 )
+
+
+# -- hull / split / build-area family (reference Functions.java:450 concave
+#    hull, :552 split + utils/GeometrySplitter.java, :340 buildArea,
+#    :661 subDivideExplode) ---------------------------------------------------
+
+def st_concavehull(col, k: int = 3, allow_holes: bool = False) -> pa.Array:
+    """Concave hull via the Moreira-Santos (2007) k-nearest-neighbors
+    algorithm (public): walk the boundary choosing, among the k nearest
+    unused points, the largest clockwise turn that does not self-intersect;
+    k escalates on failure. Falls back to the convex hull when the point
+    set is tiny or the walk cannot close."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        pts = np.unique(g.all_coords(), axis=0)
+        out.append(_concave_hull_points(pts, max(3, k), g.srid))
+    return _wkb_arr(out)
+
+
+def _concave_hull_points(pts: np.ndarray, k: int, srid: int) -> Geometry:
+    from ..geom.ops import convex_hull
+
+    n = len(pts)
+    if n < 4:
+        return convex_hull(Geometry(GeometryType.MULTIPOINT, [p for p in pts], srid))
+    while k < n:
+        hull = _ms_hull(pts, k)
+        if hull is not None:
+            ring = np.vstack([hull, hull[:1]])
+            # every input point must be covered, else escalate k
+            from ..geom import predicates as _p
+
+            loc = _p.locate_points_in_ring(pts[:, 0], pts[:, 1], ring)
+            if (loc >= _p.BOUNDARY).all():
+                return Geometry(GeometryType.POLYGON, [ring], srid)
+        k += 1
+    return convex_hull(Geometry(GeometryType.MULTIPOINT, [p for p in pts], srid))
+
+
+def _ms_hull(pts: np.ndarray, k: int):
+    """One Moreira-Santos walk attempt; None if the ring cannot close."""
+    used = np.zeros(len(pts), dtype=bool)
+    start = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])  # lowest y, then x
+    hull = [pts[start]]
+    used[start] = True
+    cur = pts[start]
+    prev_angle = 0.0
+    for step in range(len(pts) * 2):
+        if step >= 3:
+            used[start] = False  # allow closing back to start
+        cand_idx = np.nonzero(~used)[0]
+        if len(cand_idx) == 0:
+            return None
+        d = np.hypot(pts[cand_idx, 0] - cur[0], pts[cand_idx, 1] - cur[1])
+        near = cand_idx[np.argsort(d, kind="stable")[:k]]
+        ang = np.arctan2(pts[near, 1] - cur[1], pts[near, 0] - cur[0])
+        rel = (prev_angle - ang + 2 * np.pi) % (2 * np.pi)  # largest right turn first
+        order = near[np.argsort(-rel, kind="stable")]
+        nxt = None
+        for cand in order:
+            p = pts[cand]
+            if len(hull) >= 2 and _segment_hits_chain(hull, cur, p, closing=(cand == start)):
+                continue
+            nxt = cand
+            break
+        if nxt is None:
+            return None
+        if nxt == start:
+            return np.array(hull)
+        prev_angle = np.arctan2(cur[1] - pts[nxt, 1], cur[0] - pts[nxt, 0])
+        cur = pts[nxt]
+        hull.append(cur)
+        used[nxt] = True
+    return None
+
+
+def _segment_hits_chain(hull, a, b, closing: bool) -> bool:
+    from ..geom.predicates import segments_intersect_any
+
+    chain = np.array(hull)
+    segs = np.hstack([chain[:-1], chain[1:]])
+    if len(segs) == 0:
+        return False
+    # skip the edge incident to ``a`` (and to the start vertex when closing)
+    skip_last = 1
+    segs = segs[:-skip_last] if len(segs) > skip_last else np.empty((0, 4))
+    if closing and len(segs) > 0:
+        segs = segs[1:]
+    if len(segs) == 0:
+        return False
+    hit, _ = segments_intersect_any(np.array([[a[0], a[1], b[0], b[1]]]), segs, proper_only=True)
+    return hit
+
+
+def st_buildarea(col) -> pa.Array:
+    """Assemble polygons from the CLOSED rings of a lineal geometry
+    (Polygonizer-lite): even-odd nesting — outermost rings become shells,
+    rings directly inside a shell become its holes (Functions.java:340)."""
+    from ..geom import predicates as _p
+
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        rings = []
+        for part in g.parts():
+            if part.kind != GeometryType.LINESTRING:
+                continue
+            c = np.asarray(part.coords, dtype=np.float64)
+            if len(c) >= 4 and np.array_equal(c[0], c[-1]):
+                rings.append(c)
+        if not rings:
+            out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, [], g.srid))
+            continue
+        # nesting depth of each ring = number of OTHER rings strictly
+        # containing one of its vertices (rings never cross in valid input,
+        # so any vertex works; a vertex mean could fall inside a sibling)
+        depth = []
+        for i, r in enumerate(rings):
+            d = 0
+            for j, other in enumerate(rings):
+                if i != j and _p.locate_points_in_ring(
+                    np.array([r[0, 0]]), np.array([r[0, 1]]), other
+                )[0] == _p.INTERIOR:
+                    d += 1
+            depth.append(d)
+        polys = []
+        for i, r in enumerate(rings):
+            if depth[i] % 2 == 0:  # shell
+                holes = [rings[j] for j in range(len(rings)) if depth[j] == depth[i] + 1 and _p.locate_points_in_ring(np.array([rings[j][0, 0]]), np.array([rings[j][0, 1]]), r)[0] != _p.EXTERIOR]
+                polys.append([r] + holes)
+        if not polys:
+            out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, [], g.srid))
+        elif len(polys) == 1:
+            out.append(Geometry(GeometryType.POLYGON, polys[0], g.srid))
+        else:
+            out.append(Geometry(GeometryType.MULTIPOLYGON, polys, g.srid))
+    return _wkb_arr(out)
+
+
+def st_split(col, blade_col) -> pa.Array:
+    """Split by a blade (GeometrySplitter.java semantics, scoped):
+    * LineString split by Point(s) ON the line -> GeometryCollection of
+      sub-linestrings
+    * Polygon split by a STRAIGHT LineString (first-last vertices define
+      the cut line) -> GeometryCollection of the two sides' pieces
+    Returns the input unchanged when the blade misses."""
+    from ..geom import triangulate as _tri
+    from ..geom.linear import split_line_at_points
+
+    out = []
+    for g, blade in zip(_geoms(col), _geoms(blade_col)):
+        if g is None or blade is None:
+            out.append(None)
+            continue
+        if g.kind == GeometryType.LINESTRING and blade.kind in (GeometryType.POINT, GeometryType.MULTIPOINT):
+            pts = blade.all_coords()
+            parts = split_line_at_points(g, pts)
+            out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, parts, g.srid))
+        elif g.kind in (GeometryType.POLYGON, GeometryType.MULTIPOLYGON) and blade.kind == GeometryType.LINESTRING:
+            bc = np.asarray(blade.coords, dtype=np.float64)
+            a, b = bc[0], bc[-1]
+            left, right = [], []
+            for piece in _tri._convex_pieces(g):
+                ring = np.asarray(piece.coords[0], dtype=np.float64)[:-1]
+                lp = _tri._clip_halfplane(ring, a, b, keep_left=True)
+                rp = _tri._clip_halfplane(ring, a, b, keep_left=False)
+                if len(lp) >= 3:
+                    left.append(Geometry.polygon(lp))
+                if len(rp) >= 3:
+                    right.append(Geometry.polygon(rp))
+            if not left or not right:  # blade misses: return input unchanged
+                out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, [g], g.srid))
+            else:
+                out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, left + right, g.srid))
+        else:
+            out.append(Geometry(GeometryType.GEOMETRYCOLLECTION, [g], g.srid))
+    return _wkb_arr(out)
+
+
+def st_subdivideexplode_fn(geom_col: str = "geom", max_vertices: int = 256):
+    """flat_map-style map_batches stage for ST_SubDivideExplode
+    (Functions.java:661): one output ROW per subdivision part, other
+    columns replicated."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts_col = st_subdivide(batch[geom_col], max_vertices)
+        lengths = np.array([len(v) if v is not None else 0 for v in parts_col.to_pylist()])
+        idx = np.repeat(np.arange(batch.num_rows), lengths)
+        flat = [p for v in parts_col.to_pylist() if v for p in v]
+        out = batch.take(pa.array(idx))
+        out = out.set_column(out.schema.get_field_index(geom_col), geom_col, pa.array(flat, type=pa.binary()))
+        return out
+
+    return fn
+
+
+FUNCTIONS.update(
+    {
+        name[3:]: fn
+        for name, fn in list(globals().items())
+        if name.startswith("st_") and callable(fn) and name[3:] not in FUNCTIONS and name != "st_apply"
+    }
+)

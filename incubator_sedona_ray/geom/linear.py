@@ -235,3 +235,48 @@ def clip_convex(subject: Geometry, clip: Geometry) -> Geometry:
     if len(out) < 3:
         return Geometry(GeometryType.GEOMETRYCOLLECTION, [], subject.srid)
     return Geometry.polygon(np.asarray(out), srid=subject.srid)
+
+
+def split_line_at_points(g: Geometry, pts: np.ndarray) -> list[Geometry]:
+    """Split a LineString at the given points that lie ON it; points off
+    the line are ignored (GeometrySplitter.java line/point semantics).
+    Returns the ordered sub-linestrings."""
+    coords = np.asarray(g.coords, dtype=np.float64)
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    # locate each point as (segment index, param t along segment)
+    cuts: list[tuple[int, float]] = []
+    for p in pts:
+        for i in range(len(coords) - 1):
+            a, b = coords[i], coords[i + 1]
+            ab = b - a
+            denom = float(ab[0] * ab[0] + ab[1] * ab[1])
+            if denom == 0.0:
+                continue
+            t = float(np.dot(p - a, ab) / denom)
+            if -1e-12 <= t <= 1.0 + 1e-12:
+                proj = a + np.clip(t, 0.0, 1.0) * ab
+                if np.hypot(*(p - proj)) <= 1e-9:
+                    cuts.append((i, float(np.clip(t, 0.0, 1.0))))
+                    break
+    if not cuts:
+        return [g]
+    cuts.sort()
+    parts: list[Geometry] = []
+    cur = [coords[0]]
+    seg_ptr = 0
+    for i, t in cuts:
+        while seg_ptr < i:
+            cur.append(coords[seg_ptr + 1])
+            seg_ptr += 1
+        cut_pt = coords[i] + t * (coords[i + 1] - coords[i])
+        if not np.array_equal(cur[-1], cut_pt):
+            cur.append(cut_pt)
+        if len(cur) >= 2:
+            parts.append(Geometry(GeometryType.LINESTRING, np.array(cur), g.srid))
+        cur = [cut_pt]
+    while seg_ptr < len(coords) - 1:
+        cur.append(coords[seg_ptr + 1])
+        seg_ptr += 1
+    if len(cur) >= 2:
+        parts.append(Geometry(GeometryType.LINESTRING, np.array(cur), g.srid))
+    return parts

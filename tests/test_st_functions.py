@@ -225,3 +225,64 @@ class TestZFamily:
         g = from_wkb(to_wkb(lz))
         assert g.z.tolist() == [7.0, 9.0]
         assert st.st_zmax([to_wkb(lz)]).to_pylist() == [9.0]
+
+
+class TestHullSplitBuildArea:
+    def test_split_line_by_point(self):
+        line = to_wkb(Geometry.linestring([(0, 0), (10, 0)]))
+        pt = to_wkb(Geometry.point(4, 0))
+        gc = from_wkb(st.st_split([line], [pt]).to_pylist()[0])
+        assert len(gc.coords) == 2
+        assert np.asarray(gc.coords[0].coords).tolist() == [[0, 0], [4, 0]]
+        assert np.asarray(gc.coords[1].coords).tolist() == [[4, 0], [10, 0]]
+        # point off the line: unchanged
+        miss = from_wkb(st.st_split([line], [to_wkb(Geometry.point(4, 5))]).to_pylist()[0])
+        assert len(miss.coords) == 1
+
+    def test_split_polygon_by_line(self):
+        from incubator_sedona_ray.geom import ops as O
+        sq = to_wkb(Geometry.box(0, 0, 10, 10))
+        blade = to_wkb(Geometry.linestring([(4, -1), (4, 11)]))
+        gc = from_wkb(st.st_split([sq], [blade]).to_pylist()[0])
+        areas = sorted(round(O.area(p), 9) for p in gc.coords)
+        assert areas == [40.0, 60.0]
+
+    def test_buildarea_nesting(self):
+        from incubator_sedona_ray.geom import ops as O
+        from incubator_sedona_ray.geom.core import GeometryType as GT
+        shell = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+        hole = [(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)]
+        island = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+        def ml(*rings):
+            return to_wkb(Geometry(GT.MULTILINESTRING, [np.asarray(r, float) for r in rings]))
+        assert O.area(from_wkb(st.st_buildarea([ml(shell)]).to_pylist()[0])) == 100.0
+        g = from_wkb(st.st_buildarea([ml(shell, hole)]).to_pylist()[0])
+        assert g.kind == "Polygon" and len(g.coords) == 2 and O.area(g) == 84.0
+        g2 = from_wkb(st.st_buildarea([ml(shell, hole, island)]).to_pylist()[0])
+        assert g2.kind == "MultiPolygon" and O.area(g2) == 88.0
+        # open line -> empty collection
+        open_line = to_wkb(Geometry.linestring([(0, 0), (5, 5)]))
+        assert from_wkb(st.st_buildarea([open_line]).to_pylist()[0]).kind == "GeometryCollection"
+
+    def test_concavehull_tighter_than_convex(self):
+        from incubator_sedona_ray.geom import ops as O
+        from incubator_sedona_ray.geom.core import GeometryType as GT
+        from incubator_sedona_ray.geom import predicates as P
+        rng = np.random.default_rng(0)
+        ts = rng.uniform(0, 1.5 * np.pi, 150)
+        pts = np.column_stack([np.cos(ts) * 10, np.sin(ts) * 10]) + rng.normal(0, 0.3, (150, 2))
+        mp = Geometry(GT.MULTIPOINT, [p for p in pts])
+        hull = from_wkb(st.st_concavehull([to_wkb(mp)], k=8).to_pylist()[0])
+        assert hull.kind == "Polygon"
+        # covers every input point, and is genuinely tighter than convex
+        loc = P.locate_points_in_polygon(pts[:, 0], pts[:, 1], hull.coords)
+        assert (loc >= P.BOUNDARY).all()
+        assert O.area(hull) < 0.9 * O.area(O.convex_hull(mp))
+
+    def test_subdivide_explode_stage(self):
+        import pyarrow as pa
+        dense = Geometry.polygon([(np.cos(t) * 5, np.sin(t) * 5) for t in np.linspace(0, 2 * np.pi, 600)])
+        batch = pa.table({"gid": pa.array([1]), "geom": pa.array([to_wkb(dense)], type=pa.binary())})
+        out = st.st_subdivideexplode_fn("geom", max_vertices=100)(batch)
+        assert out.num_rows > 1
+        assert (out["gid"].to_numpy(zero_copy_only=False) == 1).all()
