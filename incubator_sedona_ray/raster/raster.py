@@ -61,12 +61,19 @@ def make_empty_raster(bands: int, width: int, height: int, x0=0.0, y0=0.0, pixel
 
 
 def from_geotiff(blob: bytes) -> Raster:
-    """RS_FromGeoTiff (``RasterConstructors.java:41-48``). STUB: GeoTIFF
-    decoding needs rasterio/GDAL, unavailable in this container."""
-    raise NotImplementedError(
-        "GeoTIFF decode requires rasterio/GDAL (not in this environment); "
-        "construct Raster from arrays or use fake_checkerboard_raster for tests"
-    )
+    """RS_FromGeoTiff (``RasterConstructors.java:41-48``) via the
+    pure-numpy codec in :mod:`.geotiff` (strips/tiles, deflate/PackBits,
+    predictor 2, PixelScale+Tiepoint geo tags — no GDAL needed)."""
+    from .geotiff import decode_geotiff
+
+    return decode_geotiff(blob)
+
+
+def as_geotiff(raster: Raster) -> bytes:
+    """RS_AsGeoTiff (``RasterOutputs``): lossless float64 strip GeoTIFF."""
+    from .geotiff import encode_geotiff
+
+    return encode_geotiff(raster)
 
 
 def fake_checkerboard_raster(width: int = 256, height: int = 256) -> Raster:
