@@ -9,7 +9,7 @@
 * :mod:`.range_query` — spatial range filter (RangeQuery semantics)
 """
 
-from .spatial_join import distance_join, spatial_join, spatial_join_count  # noqa: F401
+from .spatial_join import distance_join, spatial_join, spatial_join_count, spatial_join_outer  # noqa: F401
 from .broadcast import broadcast_spatial_join  # noqa: F401
 from .knn import knn_join, knn_query  # noqa: F401
 from .range_query import range_query  # noqa: F401

@@ -792,3 +792,61 @@ def spatial_join_count(left, right, predicate: str = "intersects", *, left_key: 
     joined = spatial_join(left, right, predicate, **kw)
     lprefix = kw.get("lprefix", "l_")
     return joined.groupby(lprefix + left_key).count()
+
+
+def spatial_join_outer(
+    left,
+    right,
+    predicate: str = "intersects",
+    *,
+    left_id: str,
+    how: str = "left_outer",
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+    num_partitions: int | None = None,
+    **kw,
+):
+    """Left-outer / left-semi / left-anti on the PARTITIONED join path — an
+    extension beyond the reference, whose non-inner joins are broadcast-only
+    (``JoinQueryDetector.scala:317-318``).
+
+    Because boundary duplication spreads one left row over several
+    partitions, "unmatched" is a GLOBAL property: the inner join runs
+    first, then the distinct matched ``left_id`` values drive a hash
+    semi/anti join back against ``left`` (tiny key-only shuffle).
+
+    ``left_id`` must uniquely identify left rows."""
+    import pyarrow.compute as pc
+
+    from ..dedup.minhash import _default_join_partitions
+
+    if how not in ("left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"how={how!r}")
+    inner = spatial_join(
+        left, right, predicate, lprefix=lprefix, rprefix=rprefix,
+        num_partitions=num_partitions, **kw,
+    )
+    np_join = _default_join_partitions()
+    lid = lprefix + left_id
+    matched = (
+        inner.groupby(lid).count()
+        .map_batches(lambda t: t.select([lid]), batch_format="pyarrow")
+    )
+    if how == "left_semi":
+        return left.join(matched, "left_semi", np_join, on=(left_id,), right_on=(lid,))
+    if how == "left_anti":
+        return left.join(matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
+    # left_outer: inner rows + unmatched left rows padded with null rights
+    unmatched = left.join(matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
+    inner_mat = inner.materialize()
+    schema = inner_mat.schema().base_schema
+    l_cols = [lprefix + c for c in left.schema().names]
+    r_cols = [n for n in schema.names if n not in l_cols]
+
+    def pad(batch: pa.Table) -> pa.Table:
+        cols = {lprefix + c: batch[c] for c in batch.column_names}
+        for name in r_cols:
+            cols[name] = pa.nulls(batch.num_rows, type=schema.field(name).type)
+        return pa.table({n: cols[n] for n in schema.names})
+
+    return inner_mat.union(unmatched.map_batches(pad, batch_format="pyarrow"))

@@ -257,3 +257,39 @@ def test_knn_tie_at_cutoff_keeps_smallest_ids():
     q = pd.DataFrame({"query_id": [0], "qx": [0.0], "qy": [0.0]})
     j = knn_join(ds, q, k=7, right_geom=("lon", "lat"), right_id="pid").to_pandas()
     assert sorted(j.pid) == list(range(7))
+
+
+def test_partitioned_outer_semi_anti():
+    """Partitioned-path left_outer/semi/anti (extension beyond the
+    reference's broadcast-only non-inner joins): agreement with the
+    broadcast planner on the same data."""
+    from incubator_sedona_ray.join import spatial_join_outer
+
+    pts = _points_df(300, seed=9)
+    zones = _zones_df()
+    zones = zones[zones.zone_id.str.startswith(("0:", "20:"))].reset_index(drop=True)  # left strip only
+    zds = ray.data.from_pandas(zones)
+    pds = ray.data.from_pandas(pts)
+    in_strip = pts.lon <= 40.0
+
+    semi = spatial_join_outer(
+        pds, zds, "covered_by", left_id="pid", how="left_semi",
+        left_geom=("lon", "lat"), right_geom="geom", num_partitions=4,
+    ).to_pandas()
+    anti = spatial_join_outer(
+        pds, zds, "covered_by", left_id="pid", how="left_anti",
+        left_geom=("lon", "lat"), right_geom="geom", num_partitions=4,
+    ).to_pandas()
+    assert set(semi.pid) == set(pts.pid[in_strip])
+    assert set(anti.pid) == set(pts.pid[~in_strip])
+
+    outer = spatial_join_outer(
+        pds, zds, "covered_by", left_id="pid", how="left_outer",
+        left_geom=("lon", "lat"), right_geom="geom", num_partitions=4,
+    ).to_pandas()
+    # every left point appears; unmatched rows carry null zone
+    assert set(outer.l_pid) == set(pts.pid)
+    assert set(outer.loc[outer.r_zone_id.isna(), "l_pid"]) == set(pts.pid[~in_strip])
+    # matched rows equal the broadcast inner join
+    bc = broadcast_spatial_join(pds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom").to_pandas()
+    assert set(zip(outer.dropna(subset=["r_zone_id"]).l_pid, outer.dropna(subset=["r_zone_id"]).r_zone_id)) == set(zip(bc.pid, bc.z_zone_id))
