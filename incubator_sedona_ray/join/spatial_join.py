@@ -615,6 +615,23 @@ def spatial_join(
             rf = ex.submit(summarize, right, right_geom)
             l_total, l_env, l_samples = lf.result()
             r_total, r_env, r_samples = rf.result()
+    if l_total == 0 or r_total == 0:
+        # inner join with an empty side: emit an empty table with the
+        # correct prefixed schema (an empty Dataset has no schema to union)
+        fields = []
+        for ds_, prefix in ((left, lprefix), (right, rprefix)):
+            arrow = None
+            try:
+                s = ds_.limit(1).map_batches(lambda t: t, batch_format="pyarrow").schema()
+                arrow = s.base_schema if s is not None else None
+            except Exception:
+                arrow = None
+            if arrow is not None and hasattr(arrow, "field"):
+                fields += [(prefix + f.name, f.type) for f in arrow]
+            else:
+                fields += [(prefix + n, pa.null()) for n in ds_.schema().names]
+        return ray.data.from_arrow(pa.table({n: pa.nulls(0, type=t) for n, t in fields}))
+
     # auto-broadcast (JoinQueryDetector parity): a small-enough side skips
     # the shuffle entirely — same output schema and rows as the partitioned
     # plan (inner/non-circle only; metrics stay on the partitioned path)
@@ -831,7 +848,26 @@ def spatial_join_outer(
     matched = (
         inner.groupby(lid).count()
         .map_batches(lambda t: t.select([lid]), batch_format="pyarrow")
+        .materialize()
     )
+    if matched.count() == 0:
+        # nothing matched anywhere: semi = empty, anti = left, outer = all-left padded
+        if how == "left_semi":
+            return left.limit(0)
+        if how == "left_anti":
+            return left
+        inner_schema = inner.schema()
+        schema = inner_schema.base_schema
+        l_cols = [lprefix + c for c in left.schema().names]
+        r_cols = [n for n in schema.names if n not in l_cols]
+
+        def pad_all(batch: pa.Table) -> pa.Table:
+            cols = {lprefix + c: batch[c] for c in batch.column_names}
+            for name in r_cols:
+                cols[name] = pa.nulls(batch.num_rows, type=schema.field(name).type)
+            return pa.table({n: cols[n] for n in schema.names})
+
+        return left.map_batches(pad_all, batch_format="pyarrow")
     if how == "left_semi":
         return left.join(matched, "left_semi", np_join, on=(left_id,), right_on=(lid,))
     if how == "left_anti":
@@ -839,8 +875,21 @@ def spatial_join_outer(
     # left_outer: inner rows + unmatched left rows padded with null rights
     unmatched = left.join(matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
     inner_mat = inner.materialize()
-    schema = inner_mat.schema().base_schema
     l_cols = [lprefix + c for c in left.schema().names]
+    inner_schema = inner_mat.schema()
+    if inner_schema is not None and getattr(inner_schema, "base_schema", None) is not None and hasattr(inner_schema.base_schema, "field"):
+        schema = inner_schema.base_schema
+    else:
+        # zero matches anywhere (e.g. empty right side): no inner schema to
+        # copy — synthesize it from the sides' declared schemas
+        r_names = [rprefix + c for c in right.schema().names]
+        try:
+            r_arrow = right.limit(1).map_batches(lambda t: t, batch_format="pyarrow").schema().base_schema
+            r_fields = [(rprefix + f.name, f.type) for f in r_arrow]
+        except Exception:
+            r_fields = [(n, pa.null()) for n in r_names]
+        l_arrow = left.limit(1).map_batches(lambda t: t, batch_format="pyarrow").schema().base_schema
+        schema = pa.schema([(lprefix + f.name, f.type) for f in l_arrow] + r_fields)
     r_cols = [n for n in schema.names if n not in l_cols]
 
     def pad(batch: pa.Table) -> pa.Table:

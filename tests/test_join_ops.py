@@ -293,3 +293,29 @@ def test_partitioned_outer_semi_anti():
     # matched rows equal the broadcast inner join
     bc = broadcast_spatial_join(pds, zones, "covered_by", big_geom=("lon", "lat"), small_geom="geom").to_pandas()
     assert set(zip(outer.dropna(subset=["r_zone_id"]).l_pid, outer.dropna(subset=["r_zone_id"]).r_zone_id)) == set(zip(bc.pid, bc.z_zone_id))
+
+
+def test_partitioned_outer_empty_right():
+    """Zero matches anywhere (empty right side): outer = all-left padded,
+    semi = empty, anti = all-left (found by an empty-side probe)."""
+    from incubator_sedona_ray.join import spatial_join_outer
+
+    pts = _points_df(60, seed=2)
+    empty_zones = _zones_df().iloc[0:0]
+    pds = ray.data.from_pandas(pts)
+    zds = ray.data.from_pandas(empty_zones)
+    outer = spatial_join_outer(
+        pds, zds, "covered_by", left_id="pid", how="left_outer",
+        left_geom=("lon", "lat"), right_geom="geom", num_partitions=2,
+    ).to_pandas()
+    assert len(outer) == 60 and outer.r_zone_id.isna().all()
+    semi = spatial_join_outer(
+        pds, zds, "covered_by", left_id="pid", how="left_semi",
+        left_geom=("lon", "lat"), right_geom="geom", num_partitions=2,
+    )
+    assert semi.count() == 0
+    anti = spatial_join_outer(
+        pds, zds, "covered_by", left_id="pid", how="left_anti",
+        left_geom=("lon", "lat"), right_geom="geom", num_partitions=2,
+    )
+    assert anti.count() == 60
