@@ -90,8 +90,13 @@ def ensure_pages_parquet(ray, n_docs: int) -> str:
 
 def expanded_pages(ray, n_docs: int, columns=None):
     """Timed input: the materialized parquet pages. Pass ``columns`` to
-    prune at the read (a transform that needs 2 columns must not load 3)."""
-    return ray.data.read_parquet(ensure_pages_parquet(ray, n_docs), columns=columns)
+    prune at the read (a transform that needs 2 columns must not load 3).
+    Block count pinned to 2 blocks/CPU: Ray's auto-split otherwise produces
+    ~8k-row blocks whose per-task overhead dominates the fused chains."""
+    return ray.data.read_parquet(
+        ensure_pages_parquet(ray, n_docs), columns=columns,
+        override_num_blocks=NCPU * 2,
+    )
 
 
 def run_bench() -> dict:
