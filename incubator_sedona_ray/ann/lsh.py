@@ -56,13 +56,18 @@ def topk_cosine_lsh(
     qsig = np.zeros(len(qm), dtype=np.int64)
     for j in range(n_planes):
         qsig |= qbits[:, j].astype(np.int64) << j
-    # per query: allowed buckets = n_probe nearest signatures by hamming
+    # per query: allowed buckets = n_probe nearest signatures by hamming —
+    # materialized as a (nq, 2^n_planes) boolean LUT so the per-batch probe
+    # mask is one fancy-index, not a Python set test per row
     all_sigs = np.arange(1 << n_planes, dtype=np.int64)
-    allowed = {}
-    for qi, s in enumerate(qsig):
-        ham = np.array([bin(int(s ^ t)).count("1") for t in all_sigs])
-        allowed[int(qi)] = set(all_sigs[np.argsort(ham, kind="stable")[:n_probe]].tolist())
-    q_ref = ray.put({"ids": queries[query_id].to_numpy(), "m": qm, "allowed": allowed})
+    xor = qsig[:, None] ^ all_sigs[None, :]
+    ham = np.unpackbits(
+        xor.astype(np.uint64).view(np.uint8).reshape(len(qsig), len(all_sigs), 8), axis=2
+    ).sum(axis=2)
+    lut = np.zeros((len(qsig), 1 << n_planes), dtype=bool)
+    near = np.argsort(ham, axis=1, kind="stable")[:, :n_probe]
+    lut[np.repeat(np.arange(len(qsig)), n_probe), near.ravel()] = True
+    q_ref = ray.put({"ids": queries[query_id].to_numpy(), "m": qm, "lut": lut})
 
     from ..partition.assign import broadcast_map_batches
 
@@ -74,7 +79,7 @@ def topk_cosine_lsh(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_q, out_i, out_c = [], [], []
         for qi in range(len(q["m"])):
-            mask = np.array([int(b) in q["allowed"][qi] for b in bk])
+            mask = q["lut"][qi, bk]
             if not mask.any():
                 continue
             sim = q["m"][qi] @ m[mask].T
