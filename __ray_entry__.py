@@ -547,8 +547,8 @@ def q_spatial_sort(sf_dir: str):
 
 
 def q_transform_mercator(sf_dir: str):
-    """EPSG:4326 -> 3857 transform (rows-only: log/tan are not bit-stable
-    across numpy and DuckDB libm)."""
+    """EPSG:4326 -> 3857 transform (golden-fixture oracle: log/tan are not
+    bit-stable across numpy's SIMD kernels and DuckDB's libm)."""
     from incubator_sedona_ray.functions.transform import st_transform_batch
 
     out = _geo_docs(sf_dir).map_batches(
@@ -558,7 +558,8 @@ def q_transform_mercator(sf_dir: str):
 
 
 def q_union_aggr_zones(sf_dir: str):
-    """ST_Union_Aggr of the (disjoint) zone squares per lon column."""
+    """ST_Union_Aggr of the (disjoint) zone squares per lon column
+    (canonical part order -> deterministic WKB, golden-fixture oracle)."""
     from incubator_sedona_ray.functions.aggregates import union_aggr
 
     zones = ray.data.from_arrow(_zones_table())
@@ -568,16 +569,37 @@ def q_union_aggr_zones(sf_dir: str):
         return batch.append_column("col_idx", pa.array(zid // ZN_Y))
 
     cols = zones.map_batches(add_col, batch_format="pyarrow")
-    return union_aggr(cols, group_key="col_idx")
+    out = union_aggr(cols, group_key="col_idx", canonical_order=True)
+
+    def hex_wkb(batch: pa.Table) -> pa.Table:
+        hx = [b.hex() for b in batch["geom"].to_pylist()]
+        return pa.table({"col_idx": batch["col_idx"], "geom_hex": pa.array(hx, type=pa.string())})
+
+    return out.map_batches(hex_wkb, batch_format="pyarrow")
 
 
 def q_tile_render(sf_dir: str):
-    """Heatmap tiles rendered to PNG bytes (viz pipeline end-to-end)."""
+    """Heatmap tiles rendered to PNG bytes (viz pipeline end-to-end); the
+    sha256 of each PNG pins the full render against the golden fixture."""
+    import hashlib
+
     from incubator_sedona_ray.raster.viz import render_tiles
 
     hm = heatmap_counts(_geo_docs(sf_dir), WORLD, 128, 64, 4, 4)
     tiles = render_tiles(hm, 128, 64, 4, 4, blur_radius=1)
-    return tiles.select_columns(["tile_id", "width", "height"])
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(p).hexdigest() for p in batch["png"].to_pylist()]
+        return pa.table(
+            {
+                "tile_id": batch["tile_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "png_sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return tiles.map_batches(add_sha, batch_format="pyarrow")
 
 
 def q_zone_clip_area(sf_dir: str):
@@ -766,7 +788,69 @@ def _geohash_sql(precision: int) -> str:
 # fingerprint bit mixing, seeded minhash). They pin exact values against
 # regressions; the driver compares them like any other oracle.
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_sf0.01")
-_FIXTURE_ORACLES = ["s2_cells", "h3_cells", "langid", "simhash", "fingerprint", "minhash_survivors", "ann_topk_lsh"]
+_FIXTURE_ORACLES = [
+    "s2_cells",
+    "h3_cells",
+    "langid",
+    "simhash",
+    "fingerprint",
+    "minhash_survivors",
+    "ann_topk_lsh",
+    "transform_mercator",
+    "union_aggr_zones",
+    "tile_render",
+]
+
+
+def _flagship_sql() -> str | None:
+    """Hybrid oracle for the flagship pipeline: url synthesis, the
+    sha256-hex -> bbox geocoder, the point-in-bbox zone LEFT JOIN and the
+    pixel->tile formula are all closed-form SQL; only the level-10 S2
+    Hilbert cell comes from the golden fixture (joined on doc_id).
+    DuckDB's `CAST('0x..' AS BIGINT)` parses the same big-endian u32 the
+    engine takes from `sha256(domain)` bytes 0-4 / 4-8
+    (text/geocode.py _host_point)."""
+    from incubator_sedona_ray.pipelines.pages import _LANG_TLDS
+    from incubator_sedona_ray.text.geocode import CC_BBOX, GLOBAL_BBOX
+
+    s2_path = os.path.join(_FIXTURE_DIR, "flagship_s2.parquet")
+    if not os.path.exists(s2_path):
+        return None
+    # literals must be DOUBLE: bare 6.0 in VALUES is DECIMAL, and DECIMAL
+    # subtraction (exact) rounds differently from the engine's float64 ops
+    boxes = ", ".join(
+        f"('{cc}', CAST({x0!r} AS DOUBLE), CAST({y0!r} AS DOUBLE), CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE))"
+        for cc, (x0, y0, x1, y1) in sorted(CC_BBOX.items())
+    )
+    tld_case = " ".join(
+        "WHEN '{lang}' THEN list_extract([{lst}], CAST(doc_id % {n} AS INT) + 1)".format(
+            lang=lang, lst=", ".join(f"'{t}'" for t in tlds), n=len(tlds)
+        )
+        for lang, tlds in _LANG_TLDS.items()
+    )
+    gx0, gy0, gx1, gy1 = GLOBAL_BBOX
+    px_sql = f"CAST(floor((lon + 180.0) / 360.0 * {TILE_RES_X}) AS BIGINT)"
+    py_sql = f"CAST(floor((lat + 90.0) / 180.0 * {TILE_RES_Y}) AS BIGINT)"
+    tile_sql = (
+        f"(({px_sql} // {TILE_RES_X // TILE_PX}) + "
+        f"({TILE_PY - 1} - ({py_sql} // {TILE_RES_Y // TILE_PY})) * {TILE_PX})"
+    )
+    return (
+        f"WITH cc_box(cc, bx0, by0, bx1, by1) AS (VALUES {boxes}), "
+        f"t AS (SELECT doc_id, lang, source, CASE lang {tld_case} ELSE 'com' END AS tld FROM documents), "
+        f"u AS (SELECT doc_id, lang, tld, source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld AS dom FROM t), "
+        f"f AS (SELECT doc_id, lang, tld, 'https://' || dom || '/p/' || CAST(doc_id AS VARCHAR) AS url, "
+        f"CAST(CAST('0x' || substr(sha256(dom), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS fx, "
+        f"CAST(CAST('0x' || substr(sha256(dom), 9, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS fy FROM u), "
+        f"g AS (SELECT doc_id, url, lang, "
+        f"coalesce(b.bx0, {gx0}) + fx * (coalesce(b.bx1, {gx1}) - coalesce(b.bx0, {gx0})) AS lon, "
+        f"coalesce(b.by0, {gy0}) + fy * (coalesce(b.by1, {gy1}) - coalesce(b.by0, {gy0})) AS lat "
+        f"FROM f LEFT JOIN cc_box b ON b.cc = f.tld) "
+        f"SELECT g.url AS url, g.lang AS lang, g.lon AS lon, g.lat AS lat, "
+        f"s2.s2_cell AS s2_cell, z.cc AS zone_zone_cc, {tile_sql} AS tile_id "
+        f"FROM g JOIN read_parquet('{s2_path}') s2 ON s2.doc_id = g.doc_id "
+        f"LEFT JOIN cc_box z ON g.lon >= z.bx0 AND g.lon <= z.bx1 AND g.lat >= z.by0 AND g.lat <= z.by1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -956,7 +1040,17 @@ def oracle_sql() -> dict[str, str]:
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
         ),
         "geohash": _geohash_sql(6),
+        "image_decode_fake": (
+            "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents) "
+            "SELECT doc_id, "
+            "16 + CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 64 AS img_width, "
+            "16 + CAST('0x' || substr(hx, 3, 2) AS BIGINT) % 64 AS img_height, "
+            "CAST(3 AS BIGINT) AS img_channels FROM h"
+        ),
     }
+    fs = _flagship_sql()
+    if fs is not None:
+        out["flagship_pages"] = fs
     for name in _FIXTURE_ORACLES:
         path = os.path.join(_FIXTURE_DIR, f"{name}.parquet")
         if os.path.exists(path):

@@ -58,19 +58,25 @@ def union_aggr_geoms(geoms: list[Geometry], check_disjoint: bool = True) -> Geom
     return Geometry(GeometryType.GEOMETRYCOLLECTION, parts)
 
 
-def union_aggr(ds, geom_col: str = "geom", group_key: str | None = None):
+def union_aggr(ds, geom_col: str = "geom", group_key: str | None = None, canonical_order: bool = False):
     """Grouped (or global) disjoint-union aggregate. Grouped: returns a
-    Dataset (group_key, geom WKB); global: returns a Geometry."""
+    Dataset (group_key, geom WKB); global: returns a Geometry.
+    ``canonical_order`` sorts input WKB bytewise before the union so Multi*
+    part order (hence the output WKB) is independent of block arrival
+    order — required when the result feeds a bit-exact comparison."""
     import pyarrow as pa
 
     if group_key is None:
         blobs = []
         for batch in ds.select_columns([geom_col]).iter_batches(batch_format="pyarrow"):
             blobs.extend(batch[geom_col].to_pylist())
+        if canonical_order:
+            blobs.sort()
         return union_aggr_geoms([_wkb.from_wkb(b) for b in blobs])
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        u = union_aggr_geoms([_wkb.from_wkb(b) for b in g[geom_col]])
+        blobs = sorted(g[geom_col]) if canonical_order else list(g[geom_col])
+        u = union_aggr_geoms([_wkb.from_wkb(b) for b in blobs])
         return pd.DataFrame({group_key: [g[group_key].iloc[0]], geom_col: [_wkb.to_wkb(u)]})
 
     return ds.groupby(group_key).map_groups(per_group, batch_format="pandas")

@@ -19,11 +19,11 @@ Coverage notes:
   collectionExtract, subdivide-lite (envelope quartering), boundingDiagonal
 * serializers: asText/asWKT, asWKB/asEWKB, asGeoJSON
 * spherical: ST_DistanceSphere (haversine), ST_AreaSpheroid-lite
-* NOT implementable without a boolean-ops kernel (GEOS absent):
-  general intersection/union/difference/symDifference of overlapping
-  polygons, makeValid bowtie repair, concaveHull — ST_Union_Aggr of
-  DISJOINT geometries (the common big-data case) is supported via
-  GeometryCollection/MultiPolygon assembly.
+* boolean ops: intersection/union/difference/symDifference of simple
+  polygons (incl. holes) via the piecewise triangulation kernel
+  (geom/triangulate.py); concaveHull/split/buildArea/subdivide are real;
+  makeValid bowtie repair remains out of scope (GEOS absent)
+* markup constructors: geomFromGML/geomFromKML (geom/markup.py)
 """
 
 from __future__ import annotations
@@ -1119,6 +1119,20 @@ def st_subdivideexplode_fn(geom_col: str = "geom", max_vertices: int = 256):
         return out
 
     return fn
+
+
+# -- GML / KML constructors (Constructors.java:160-164) ----------------------
+
+def st_geomfromgml(col) -> pa.Array:
+    from ..geom import markup as _markup
+
+    return _wkb_arr([None if s is None else _markup.from_gml(s) for s in _to_list(col)])
+
+
+def st_geomfromkml(col) -> pa.Array:
+    from ..geom import markup as _markup
+
+    return _wkb_arr([None if s is None else _markup.from_kml(s) for s in _to_list(col)])
 
 
 FUNCTIONS.update(

@@ -1,0 +1,176 @@
+"""GML / KML geometry parsing (pure python, no GEOS/GeoTools).
+
+Mirrors the reference's ST_GeomFromGML / ST_GeomFromKML constructors
+(``common/.../Constructors.java:160-164``, which delegate to the JTS/GeoTools
+GMLReader and KMLReader). Both formats are public OGC specs:
+
+* KML 2.2: ``<coordinates>`` holds whitespace-separated tuples whose
+  components are comma-separated ``lon,lat[,alt]``.
+* GML 2: ``<gml:coordinates cs="," ts=" ">``; GML 3: ``<gml:pos>`` /
+  ``<gml:posList>`` hold space-separated ``x y`` pairs.
+
+Namespaces are ignored (tag local-name dispatch), matching the lenient
+behavior of the JTS readers.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from .core import Geometry, GeometryType
+
+__all__ = ["from_gml", "from_kml"]
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _find(el, name):
+    for child in el.iter():
+        if _local(child.tag) == name:
+            return child
+    return None
+
+
+def _children(el, names):
+    return [c for c in el if _local(c.tag) in names]
+
+
+def _parse_coordinates(text: str) -> np.ndarray:
+    """KML/GML2 <coordinates>: 'x,y[,z] x,y[,z] ...' -> (n, 2) float64."""
+    pts = []
+    for tok in (text or "").split():
+        parts = tok.split(",")
+        if len(parts) >= 2:
+            pts.append((float(parts[0]), float(parts[1])))
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def _parse_poslist(text: str, dim: int = 2) -> np.ndarray:
+    """GML3 <posList>: 'x1 y1 x2 y2 ...' -> (n, 2) float64 (extra
+    dimensions beyond the first two are dropped)."""
+    vals = [float(v) for v in (text or "").split()]
+    if dim < 2:
+        dim = 2
+    arr = np.asarray(vals, dtype=np.float64).reshape(-1, dim)
+    return arr[:, :2]
+
+
+def _coords_of(el) -> np.ndarray:
+    """Coordinate content of a GML/KML geometry element, whichever spec
+    variant is present."""
+    for child in el.iter():
+        name = _local(child.tag)
+        if name == "coordinates":
+            return _parse_coordinates(child.text)
+        if name == "posList":
+            dim = int(child.get("srsDimension", 2) or 2)
+            return _parse_poslist(child.text, dim)
+        if name == "pos":
+            return _parse_poslist(child.text, 2)
+    raise ValueError(f"no coordinates in <{_local(el.tag)}>")
+
+
+def _ring_coords(ring_parent) -> np.ndarray:
+    ring = _find(ring_parent, "LinearRing")
+    if ring is None:
+        raise ValueError("boundary without LinearRing")
+    c = _coords_of(ring)
+    if len(c) >= 1 and not np.array_equal(c[0], c[-1]):
+        c = np.vstack([c, c[:1]])
+    return c
+
+
+def _parse_polygon(el) -> list[np.ndarray]:
+    """<Polygon> -> [exterior, hole, ...] ring list (GML2 outer/innerBoundaryIs,
+    GML3 exterior/interior, identical KML tags)."""
+    rings: list[np.ndarray] = []
+    outer = None
+    inners = []
+    for child in el:
+        name = _local(child.tag)
+        if name in ("outerBoundaryIs", "exterior"):
+            outer = _ring_coords(child)
+        elif name in ("innerBoundaryIs", "interior"):
+            inners.append(_ring_coords(child))
+    if outer is None:  # bare <Polygon><LinearRing> leniency
+        outer = _ring_coords(el)
+    rings.append(outer)
+    rings.extend(inners)
+    return rings
+
+
+_MULTI_TAGS = {
+    "MultiGeometry",
+    "MultiPoint",
+    "MultiLineString",
+    "MultiCurve",
+    "MultiPolygon",
+    "MultiSurface",
+    "GeometryCollection",
+}
+_MEMBER_TAGS = {
+    "geometryMember",
+    "geometryMembers",
+    "pointMember",
+    "pointMembers",
+    "lineStringMember",
+    "curveMember",
+    "curveMembers",
+    "polygonMember",
+    "surfaceMember",
+    "surfaceMembers",
+}
+_GEOM_TAGS = {"Point", "LineString", "Curve", "Polygon", "Surface"} | _MULTI_TAGS
+
+
+def _parse_geom(el) -> Geometry:
+    name = _local(el.tag)
+    if name == "Point":
+        c = _coords_of(el)
+        return Geometry.point(float(c[0, 0]), float(c[0, 1]))
+    if name in ("LineString", "Curve"):
+        return Geometry(GeometryType.LINESTRING, _coords_of(el))
+    if name in ("Polygon", "Surface"):
+        return Geometry(GeometryType.POLYGON, _parse_polygon(el))
+    if name in _MULTI_TAGS:
+        parts: list[Geometry] = []
+        for child in el:
+            cname = _local(child.tag)
+            if cname in _MEMBER_TAGS:
+                parts.extend(_parse_geom(g) for g in child if _local(g.tag) in _GEOM_TAGS)
+            elif cname in _GEOM_TAGS:
+                parts.append(_parse_geom(child))
+        kinds = {p.kind for p in parts}
+        if kinds == {GeometryType.POINT}:
+            return Geometry(GeometryType.MULTIPOINT, np.vstack([p.all_coords() for p in parts]))
+        if kinds == {GeometryType.LINESTRING}:
+            return Geometry(GeometryType.MULTILINESTRING, [p.coords for p in parts])
+        if kinds == {GeometryType.POLYGON}:
+            return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in parts])
+        return Geometry(GeometryType.GEOMETRYCOLLECTION, parts)
+    raise ValueError(f"unsupported geometry element <{name}>")
+
+
+def _parse_markup(text: str) -> Geometry:
+    root = ET.fromstring(text)
+    if _local(root.tag) in _GEOM_TAGS:
+        return _parse_geom(root)
+    # wrapper document (e.g. <Placemark>): first geometry element inside
+    for el in root.iter():
+        if _local(el.tag) in _GEOM_TAGS:
+            return _parse_geom(el)
+    raise ValueError("no geometry element found")
+
+
+def from_gml(text: str) -> Geometry:
+    """GML 2/3 fragment -> Geometry (ST_GeomFromGML)."""
+    return _parse_markup(text)
+
+
+def from_kml(text: str) -> Geometry:
+    """KML geometry fragment -> Geometry (ST_GeomFromKML)."""
+    return _parse_markup(text)

@@ -29,8 +29,28 @@ SF = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "oracle_sf0.01")
 os.makedirs(OUT, exist_ok=True)
 
-for name in entry._FIXTURE_ORACLES:
-    res = entry.queries()[name](SF)
+def _flagship_s2() -> pa.Table:
+    """doc_id -> level-10 S2 cell of the URL-geocoded point (the one
+    flagship column with no closed-form SQL; joined by the hybrid
+    flagship_pages oracle)."""
+    from incubator_sedona_ray.encoders import s2 as _s2
+    from incubator_sedona_ray.pipelines.pages import synth_pages_fn
+    from incubator_sedona_ray.text.geocode import geocode_urls
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "source", "text"])
+    pages = synth_pages_fn(docs)
+    lon, lat = geocode_urls(pages["url"])
+    cells = _s2.cells_for_points(lon, lat, 10)
+    return pa.table({"doc_id": docs["doc_id"], "s2_cell": pa.array(cells)})
+
+
+EXTRA = {"flagship_s2": _flagship_s2}
+
+for name in entry._FIXTURE_ORACLES + list(EXTRA):
+    if name in EXTRA:
+        res = EXTRA[name]()
+    else:
+        res = entry.queries()[name](SF)
     if isinstance(res, pd.DataFrame):
         tbl = pa.Table.from_pandas(res, preserve_index=False)
     elif isinstance(res, pa.Table):

@@ -286,3 +286,77 @@ class TestHullSplitBuildArea:
         out = st.st_subdivideexplode_fn("geom", max_vertices=100)(batch)
         assert out.num_rows > 1
         assert (out["gid"].to_numpy(zero_copy_only=False) == 1).all()
+
+
+def test_geomfromkml():
+    kml_pt = "<Point><coordinates>-122.08,37.42,0</coordinates></Point>"
+    g = from_wkb(S.st_geomfromkml([kml_pt])[0].as_py())
+    assert g == Geometry.point(-122.08, 37.42)
+    kml_poly = (
+        "<Polygon><outerBoundaryIs><LinearRing><coordinates>"
+        "0,0 4,0 4,4 0,4 0,0"
+        "</coordinates></LinearRing></outerBoundaryIs>"
+        "<innerBoundaryIs><LinearRing><coordinates>"
+        "1,1 2,1 2,2 1,2 1,1"
+        "</coordinates></LinearRing></innerBoundaryIs></Polygon>"
+    )
+    g = from_wkb(S.st_geomfromkml([kml_poly])[0].as_py())
+    assert to_wkt(g) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert S.st_area([to_wkb(g)])[0].as_py() == pytest.approx(15.0)
+    # Placemark wrapper + MultiGeometry, namespaced
+    kml_multi = (
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Placemark><MultiGeometry>'
+        "<Point><coordinates>1,2</coordinates></Point>"
+        "<Point><coordinates>3,4</coordinates></Point>"
+        "</MultiGeometry></Placemark></kml>"
+    )
+    g = from_wkb(S.st_geomfromkml([kml_multi])[0].as_py())
+    assert to_wkt(g) == "MULTIPOINT ((1 2), (3 4))"
+    assert S.st_geomfromkml([None])[0].as_py() is None
+
+
+def test_geomfromgml():
+    gml2_pt = '<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>1,2</gml:coordinates></gml:Point>'
+    assert from_wkb(S.st_geomfromgml([gml2_pt])[0].as_py()) == Geometry.point(1, 2)
+    gml3_pt = '<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:pos>5 6</gml:pos></gml:Point>'
+    assert from_wkb(S.st_geomfromgml([gml3_pt])[0].as_py()) == Geometry.point(5, 6)
+    gml3_line = (
+        '<gml:LineString xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:posList>0 0 3 4 6 0</gml:posList></gml:LineString>"
+    )
+    g = from_wkb(S.st_geomfromgml([gml3_line])[0].as_py())
+    assert to_wkt(g) == "LINESTRING (0 0, 3 4, 6 0)"
+    gml2_poly = (
+        '<gml:Polygon xmlns:gml="http://www.opengis.net/gml"><gml:outerBoundaryIs><gml:LinearRing>'
+        "<gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates>"
+        "</gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>"
+    )
+    g = from_wkb(S.st_geomfromgml([gml2_poly])[0].as_py())
+    assert to_wkt(g) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    gml3_poly = (
+        '<gml:Polygon xmlns:gml="http://www.opengis.net/gml"><gml:exterior><gml:LinearRing>'
+        "<gml:posList srsDimension=\"2\">0 0 2 0 2 2 0 2 0 0</gml:posList>"
+        "</gml:LinearRing></gml:exterior></gml:Polygon>"
+    )
+    g = from_wkb(S.st_geomfromgml([gml3_poly])[0].as_py())
+    assert S.st_area([to_wkb(g)])[0].as_py() == pytest.approx(4.0)
+    # unclosed ring is closed by the parser (JTS GMLReader leniency)
+    gml_open = (
+        '<gml:Polygon xmlns:gml="http://www.opengis.net/gml"><gml:exterior><gml:LinearRing>'
+        "<gml:posList>0 0 2 0 2 2 0 2</gml:posList>"
+        "</gml:LinearRing></gml:exterior></gml:Polygon>"
+    )
+    g = from_wkb(S.st_geomfromgml([gml_open])[0].as_py())
+    assert S.st_area([to_wkb(g)])[0].as_py() == pytest.approx(4.0)
+    multi = (
+        '<gml:MultiPolygon xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:polygonMember><gml:Polygon><gml:exterior><gml:LinearRing>"
+        "<gml:posList>0 0 1 0 1 1 0 1 0 0</gml:posList>"
+        "</gml:LinearRing></gml:exterior></gml:Polygon></gml:polygonMember>"
+        "<gml:polygonMember><gml:Polygon><gml:exterior><gml:LinearRing>"
+        "<gml:posList>5 5 6 5 6 6 5 6 5 5</gml:posList>"
+        "</gml:LinearRing></gml:exterior></gml:Polygon></gml:polygonMember>"
+        "</gml:MultiPolygon>"
+    )
+    g = from_wkb(S.st_geomfromgml([multi])[0].as_py())
+    assert to_wkt(g) == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
