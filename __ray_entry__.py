@@ -462,6 +462,19 @@ def q_simhash(sf_dir: str):
     )
 
 
+JAC_THRESHOLD = 0.35
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard all-pairs (prefix-filtered set-similarity
+    self-join, dedup/ssjoin.py) — the deterministic counterpart to the
+    probabilistic minhash path; the SQL oracle recomputes Jaccard on the
+    n-gram STRING sets (hash sets are equivalent modulo FNV collisions)."""
+    from incubator_sedona_ray.dedup import jaccard_self_join
+
+    return jaccard_self_join(_docs(sf_dir, columns=["doc_id", "text"]), threshold=JAC_THRESHOLD)
+
+
 def q_fingerprint(sf_dir: str):
     out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fingerprint_fn(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"])
@@ -747,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_cells": q_h3_cells,
         "langid": q_langid,
         "minhash_survivors": q_minhash_survivors,
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1040,6 +1054,17 @@ def oracle_sql() -> dict[str, str]:
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
         ),
         "geohash": _geohash_sql(6),
+        "jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) END AS s FROM toks), "
+            "ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0) "
+            "SELECT a, b, jac FROM ("
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac "
+            f"FROM ne a JOIN ne b ON a.doc_id < b.doc_id) WHERE jac >= {JAC_THRESHOLD}"
+        ),
         "image_decode_fake": (
             "WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents) "
             "SELECT doc_id, "

@@ -30,7 +30,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("BENCH_EXPAND", "400"))  # pages = docs * EXPAND
 ONLY = set(q for q in os.environ.get("BENCH_ONLY", "").split(",") if q)
 BATCH = 16384  # more tasks than CPUs so the pool saturates
-REPEAT = int(os.environ.get("BENCH_REPEAT", "1"))  # best-of-N (noisy shared host)
+REPEAT = int(os.environ.get("BENCH_REPEAT", "2"))  # best-of-N (noisy shared host; 2 = the config BASELINE.md documents)
 
 
 PAGES_DIR = os.environ.get("BENCH_PAGES_DIR", "/tmp/graft_bench_pages")

@@ -6,6 +6,8 @@ first-class components alongside the spatial engine).
   band groupby -> verified Jaccard -> connected components)
 * :mod:`.simhash` — 64-bit SimHash with banded candidate generation
 * :mod:`.ngram`   — n-gram Jaccard verification kernel
+* :mod:`.ssjoin`  — EXACT n-gram-Jaccard all-pairs via prefix filtering
+  (PPJoin/Vernica-style; the deterministic alternative to MinHash)
 * :mod:`.embed`   — embedding-cosine near-dup
 """
 
@@ -13,3 +15,4 @@ from .exact import add_text_hash_fn, dedup_exact  # noqa: F401
 from .minhash import minhash_dedup  # noqa: F401
 from .simhash import simhash_batch_fn, simhash_dedup  # noqa: F401
 from .embed import embedding_dedup  # noqa: F401
+from .ssjoin import jaccard_self_join  # noqa: F401

@@ -219,3 +219,58 @@ def test_embedding_dedup_skewed_bucket_guard():
     assert set(pairs.b) == set(range(1, n))
     assert np.allclose(pairs.cosine, 1.0)
     assert dt < 120, f"skewed bucket took {dt:.0f}s"
+
+
+class TestJaccardSelfJoin:
+    """Exact prefix-filtered set-similarity self-join (dedup/ssjoin.py)."""
+
+    def _brute(self, texts, t):
+        import itertools
+
+        from incubator_sedona_ray.dedup.ssjoin import word_shingles_arr
+
+        sig = {i: word_shingles_arr(s) for i, s in enumerate(texts)}
+        out = []
+        for a, b in itertools.combinations(sorted(sig), 2):
+            sa, sb = sig[a], sig[b]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= t:
+                out.append((a, b, j))
+        return out
+
+    def _run(self, texts, t):
+        import ray
+
+        from incubator_sedona_ray.dedup import jaccard_self_join
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": s} for i, s in enumerate(texts)]
+        )
+        df = jaccard_self_join(ds, threshold=t).to_pandas().sort_values(["a", "b"])
+        return list(zip(df["a"].astype(int), df["b"].astype(int), df["jac"]))
+
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30))) for _ in range(60)]
+        # clones + near-clones to guarantee qualifying pairs
+        texts += [texts[0], texts[1] + " extra tail words here", ""]
+        assert self._run(texts, 0.4) == self._brute(texts, 0.4)
+
+    def test_edge_docs(self, ray_session):
+        texts = [
+            "one two",          # < n words -> single joined shingle
+            "one two",          # identical short doc -> J=1 pair
+            "",                 # empty -> never pairs
+            "completely different content entirely",
+        ]
+        got = self._run(texts, 0.9)
+        assert got == [(0, 1, 1.0)]
+
+    def test_identical_docs_all_pair(self, ray_session):
+        texts = ["same words repeated throughout the document body"] * 4
+        got = self._run(texts, 0.99)
+        assert len(got) == 6 and all(j == 1.0 for _, _, j in got)
