@@ -1135,6 +1135,22 @@ def st_geomfromkml(col) -> pa.Array:
     return _wkb_arr([None if s is None else _markup.from_kml(s) for s in _to_list(col)])
 
 
+def st_asgml(col) -> pa.Array:
+    from ..geom import markup as _markup
+
+    return pa.array(
+        [None if g is None else _markup.to_gml(g) for g in _geoms(col)], type=pa.string()
+    )
+
+
+def st_askml(col) -> pa.Array:
+    from ..geom import markup as _markup
+
+    return pa.array(
+        [None if g is None else _markup.to_kml(g) for g in _geoms(col)], type=pa.string()
+    )
+
+
 FUNCTIONS.update(
     {
         name[3:]: fn

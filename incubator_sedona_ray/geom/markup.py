@@ -21,7 +21,7 @@ import numpy as np
 
 from .core import Geometry, GeometryType
 
-__all__ = ["from_gml", "from_kml"]
+__all__ = ["from_gml", "from_kml", "to_gml", "to_kml"]
 
 
 def _local(tag: str) -> str:
@@ -174,3 +174,67 @@ def from_gml(text: str) -> Geometry:
 def from_kml(text: str) -> Geometry:
     """KML geometry fragment -> Geometry (ST_GeomFromKML)."""
     return _parse_markup(text)
+
+
+# -- writers (ST_AsGML / ST_AsKML, Functions.java:324,328) -------------------
+
+def _fmt(v: float) -> str:
+    return repr(float(v))  # shortest round-trip decimal
+
+
+def _coord_text(coords: np.ndarray) -> str:
+    return " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in np.asarray(coords).reshape(-1, 2))
+
+
+def _rings_of(g: Geometry) -> list[np.ndarray]:
+    c = g.coords
+    return [np.asarray(r) for r in c] if isinstance(c, list) else [np.asarray(c)]
+
+
+def _write(g: Geometry, pre: str, outer: str, inner: str, multi_wrap: bool) -> str:
+    k = g.kind
+    if k == GeometryType.POINT:
+        x, y = g.all_coords()[0][:2]
+        return f"<{pre}Point><{pre}coordinates>{_fmt(x)},{_fmt(y)}</{pre}coordinates></{pre}Point>"
+    if k == GeometryType.LINESTRING:
+        return f"<{pre}LineString><{pre}coordinates>{_coord_text(g.coords)}</{pre}coordinates></{pre}LineString>"
+    if k == GeometryType.POLYGON:
+        rings = _rings_of(g)
+        parts = [
+            f"<{pre}{outer}><{pre}LinearRing><{pre}coordinates>{_coord_text(rings[0])}"
+            f"</{pre}coordinates></{pre}LinearRing></{pre}{outer}>"
+        ]
+        for r in rings[1:]:
+            parts.append(
+                f"<{pre}{inner}><{pre}LinearRing><{pre}coordinates>{_coord_text(r)}"
+                f"</{pre}coordinates></{pre}LinearRing></{pre}{inner}>"
+            )
+        return f"<{pre}Polygon>" + "".join(parts) + f"</{pre}Polygon>"
+    # Multi* / collections: KML wraps everything in MultiGeometry; GML uses
+    # per-type containers with geometryMember leniency on read
+    members = "".join(_write(p, pre, outer, inner, multi_wrap) for p in g.parts())
+    if multi_wrap:
+        return f"<{pre}MultiGeometry>{members}</{pre}MultiGeometry>"
+    tag = {
+        GeometryType.MULTIPOINT: "MultiPoint",
+        GeometryType.MULTILINESTRING: "MultiLineString",
+        GeometryType.MULTIPOLYGON: "MultiPolygon",
+    }.get(k, "MultiGeometry")
+    members = "".join(
+        f"<{pre}geometryMember>{_write(p, pre, outer, inner, multi_wrap)}</{pre}geometryMember>"
+        for p in g.parts()
+    )
+    return f"<{pre}{tag}>{members}</{pre}{tag}>"
+
+
+def to_gml(g: Geometry) -> str:
+    """Geometry -> GML 2 fragment (gml: prefix + namespace declaration,
+    outer/innerBoundaryIs)."""
+    s = _write(g, "gml:", "outerBoundaryIs", "innerBoundaryIs", multi_wrap=False)
+    head, rest = s.split(">", 1)
+    return f'{head} xmlns:gml="http://www.opengis.net/gml">{rest}'
+
+
+def to_kml(g: Geometry) -> str:
+    """Geometry -> KML geometry fragment (unprefixed, MultiGeometry)."""
+    return _write(g, "", "outerBoundaryIs", "innerBoundaryIs", multi_wrap=True)

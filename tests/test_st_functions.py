@@ -360,3 +360,29 @@ def test_geomfromgml():
     )
     g = from_wkb(S.st_geomfromgml([multi])[0].as_py())
     assert to_wkt(g) == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+
+
+def test_asgml_askml_roundtrip():
+    from incubator_sedona_ray.geom.markup import from_gml, from_kml
+
+    geoms = [
+        Geometry.point(1.5, -2.25),
+        Geometry.linestring([[0, 0], [3, 4], [6, 0]]),
+        Geometry.box(0, 0, 4, 4),
+        Geometry.polygon(
+            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+            holes=[[[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]],
+        ),
+    ]
+    for g in geoms:
+        wkb = to_wkb(g)
+        gml = S.st_asgml([wkb])[0].as_py()
+        kml = S.st_askml([wkb])[0].as_py()
+        assert gml.startswith("<gml:") and "xmlns:gml" in gml
+        assert from_gml(gml) == g
+        assert from_kml(kml) == g
+    assert S.st_asgml([None])[0].as_py() is None
+    # multi round-trip
+    mp = from_wkb(S.st_geomfromkml(["<MultiGeometry><Point><coordinates>1,2</coordinates></Point><Point><coordinates>3,4</coordinates></Point></MultiGeometry>"])[0].as_py())
+    assert from_kml(S.st_askml([to_wkb(mp)])[0].as_py()) == mp
+    assert from_gml(S.st_asgml([to_wkb(mp)])[0].as_py()) == mp
