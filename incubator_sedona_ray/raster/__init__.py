@@ -2,8 +2,17 @@
 
 * :mod:`.tile`   — world->pixel->tile assignment (exact port of the
   reference formulas) + heatmap-style per-pixel aggregation
-* :mod:`.raster` — in-memory raster grid, RS_Value lookups, zonal stats
+* :mod:`.raster` — in-memory raster grid, RS_Value lookups, zonal stats,
+  GeoTIFF + ArcInfo ASCII Grid codecs
 """
 
 from .tile import pixel_to_tile, tile_assign_batch_fn, world_to_pixel  # noqa: F401
-from .raster import Raster, RasterValueLookup, rs_value  # noqa: F401
+from .raster import (  # noqa: F401
+    Raster,
+    RasterValueLookup,
+    as_arc_grid,
+    as_geotiff,
+    from_arc_grid,
+    from_geotiff,
+    rs_value,
+)

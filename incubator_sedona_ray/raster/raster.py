@@ -3,11 +3,11 @@
 Replaces the reference's GeoTools ``GridCoverage2D`` surface
 (``common/.../raster/RasterConstructors.java:48-95``, ``PixelFunctions.java:
 39-80`` RS_Value/RS_Values, ``RasterOutputs``) with a plain
-(bands, H, W) ndarray + affine anchor. GeoTIFF decode is STUBBED (no
-rasterio/GDAL in this environment) behind ``from_geotiff``; the Ray-side
-plumbing — broadcast the raster once via ``ray.put``, vectorized
-world->grid->value lookups inside an actor-pool ``map_batches`` stage — is
-real and tested.
+(bands, H, W) ndarray + affine anchor. GeoTIFF decode/encode is REAL
+(pure-numpy codec, :mod:`.geotiff`); ArcInfo ASCII Grid decode/encode is
+real (text format). The Ray-side plumbing — broadcast the raster once via
+``ray.put``, vectorized world->grid->value lookups inside an actor-pool
+``map_batches`` stage — is likewise real and tested.
 """
 
 from __future__ import annotations
@@ -74,6 +74,58 @@ def as_geotiff(raster: Raster) -> bytes:
     from .geotiff import encode_geotiff
 
     return encode_geotiff(raster)
+
+
+def from_arc_grid(text: str | bytes) -> Raster:
+    """RS_FromArcInfoAsciiGrid (``RasterConstructors.java:41``): ESRI ASCII
+    grid — header (ncols/nrows/xllcorner/yllcorner/cellsize[/nodata_value])
+    then rows TOP-to-bottom; flipped into this Raster's row-0-at-bottom
+    convention."""
+    if isinstance(text, bytes):
+        text = text.decode()
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    hdr: dict[str, float] = {}
+    i = 0
+    while i < len(lines):
+        parts = lines[i].split()
+        if len(parts) == 2 and parts[0].lower() in (
+            "ncols", "nrows", "xllcorner", "yllcorner", "xllcenter", "yllcenter", "cellsize", "nodata_value",
+        ):
+            hdr[parts[0].lower()] = float(parts[1])
+            i += 1
+        else:
+            break
+    ncols, nrows = int(hdr["ncols"]), int(hdr["nrows"])
+    cell = hdr["cellsize"]
+    # llcenter anchors the CENTER of the lower-left cell
+    xll = hdr.get("xllcorner", hdr.get("xllcenter", 0.0) - cell / 2.0)
+    yll = hdr.get("yllcorner", hdr.get("yllcenter", 0.0) - cell / 2.0)
+    vals = np.array(" ".join(lines[i:]).split(), dtype=np.float64)
+    if vals.size != nrows * ncols:
+        raise ValueError(f"ArcGrid payload has {vals.size} values, expected {nrows * ncols}")
+    grid = np.flipud(vals.reshape(nrows, ncols))  # top-first file order -> row 0 at bottom
+    return Raster(grid[None, :, :], xll, yll, cell, cell, nodata=hdr.get("nodata_value"))
+
+
+def as_arc_grid(raster: Raster, band: int = 1, fmt: str = "%.10g") -> str:
+    """RS_AsArcGrid (``RasterOutputs.java``): single band -> ESRI ASCII grid
+    text (rows emitted top-first). Requires square pixels (|pixel_w| ==
+    |pixel_h|), the format's constraint."""
+    if abs(abs(raster.pixel_w) - abs(raster.pixel_h)) > 1e-12:
+        raise ValueError("ArcInfo ASCII grid requires square cells")
+    g = raster.data[band - 1]
+    out = [
+        f"ncols {raster.width}",
+        f"nrows {raster.height}",
+        f"xllcorner {raster.x0!r}",
+        f"yllcorner {raster.y0!r}",
+        f"cellsize {abs(raster.pixel_w)!r}",
+    ]
+    if raster.nodata is not None:
+        out.append(f"NODATA_value {raster.nodata!r}")
+    for row in np.flipud(g):  # row 0 at bottom -> file wants top first
+        out.append(" ".join(fmt % v for v in row))
+    return "\n".join(out) + "\n"
 
 
 def fake_checkerboard_raster(width: int = 256, height: int = 256) -> Raster:

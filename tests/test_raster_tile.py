@@ -185,3 +185,29 @@ class TestGeoTiffCodec:
         tiff = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", n) + b"".join(tags) + struct.pack("<I", 0) + ext + b"".join(tiles)
         r = from_geotiff(tiff)
         assert np.array_equal(r.data[0, ::-1, :], img.astype(np.float64))
+
+
+class TestArcGrid:
+    def test_roundtrip(self):
+        from incubator_sedona_ray.raster.raster import Raster, as_arc_grid, from_arc_grid, rs_value
+
+        data = np.arange(12, dtype=np.float64).reshape(1, 3, 4)
+        r = Raster(data, x0=10.0, y0=20.0, pixel_w=0.5, pixel_h=0.5, nodata=-9999.0)
+        txt = as_arc_grid(r)
+        assert txt.splitlines()[0] == "ncols 4"
+        r2 = from_arc_grid(txt)
+        assert np.array_equal(r2.data, r.data)
+        assert (r2.x0, r2.y0, r2.pixel_w, r2.nodata) == (10.0, 20.0, 0.5, -9999.0)
+        # top file row is the TOP of the grid: row index 2 (row 0 at bottom)
+        assert float(txt.splitlines()[6].split()[0]) == data[0, 2, 0]
+        # value lookup parity after round-trip
+        assert rs_value(r2, np.array([10.25]), np.array([20.25]))[0] == data[0, 0, 0]
+
+    def test_llcenter_and_nodata(self):
+        from incubator_sedona_ray.raster.raster import from_arc_grid, rs_value
+
+        txt = "ncols 2\nnrows 2\nxllcenter 0.5\nyllcenter 0.5\ncellsize 1.0\nNODATA_value -1\n-1 4\n1 2\n"
+        r = from_arc_grid(txt)
+        assert (r.x0, r.y0) == (0.0, 0.0)
+        assert np.isnan(rs_value(r, np.array([0.5]), np.array([1.5]))[0])  # nodata cell
+        assert rs_value(r, np.array([1.5]), np.array([1.5]))[0] == 4.0
