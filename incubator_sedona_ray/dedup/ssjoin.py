@@ -7,19 +7,31 @@ filtering with a global token order (Chaudhuri et al. SSJoin / Xiao et
 al. PPJoin; distributed formulation per Vernica, Carey, Li, "Efficient
 Parallel Set-Similarity Joins Using MapReduce", SIGMOD 2010).
 
-Plan (one shuffle):
+Plan (one shuffle in ``order="hash"`` mode, two in ``order="df"``):
 
-1. ``map_batches``: doc -> sorted unique shingle-hash array ``s``; a pair
-   with ``J >= t`` shares >= ``ceil(t*|s|)`` tokens with each member, so it
-   must share a token inside each member's PREFIX (first
-   ``|s| - ceil(t*|s|) + 1`` tokens under any fixed global order — we use
-   hash order, which needs no document-frequency broadcast). Explode one
-   row per prefix token carrying the full shingle array.
+1. ``map_batches``: doc -> sorted unique shingle-hash array ``sig``; a
+   pair with ``J >= t`` shares >= ``ceil(t*|s|)`` tokens with each member,
+   so it must share a token inside each member's PREFIX (the first
+   ``|s| - ceil(t*|s|) + 1`` tokens under any fixed global token order).
+   Explode one row per prefix token carrying the full shingle array.
 2. ``groupby(token).map_groups``: inside each token group, length-filter
    (``|a| >= t*|b|``), emit each candidate pair exactly once (only the
-   group whose token is the MINIMUM shared prefix token emits it), and
-   verify exact Jaccard on the carried arrays — no second shuffle, no
+   group of the MINIMUM-VALUE shared prefix token emits it), and verify
+   exact Jaccard on the carried arrays — no second shuffle, no
    driver-side state.
+
+Token order — the skew lever:
+
+* ``order="hash"`` (default): prefix = lowest hash values. No extra pass,
+  but a shingle common to many documents can land in many prefixes and
+  its group does O(group^2) work.
+* ``order="df"``: Vernica et al.'s document-frequency-ascending order —
+  one extra tokens-only ``groupby().count()`` pass; only tokens with
+  ``df >= 2`` need ranks (singletons can never join a pair), so the
+  broadcast rank table holds just the REPEATED shingles. Prefixes then
+  prefer the rarest shingles and hot common phrases drop out of prefixes
+  entirely — group sizes stay near df-bounded, the exact result is
+  unchanged (prefix filtering is correct under any fixed total order).
 
 Scale note: rows carry their full shingle arrays through the exchange
 (the "full-record" variant of Vernica et al.). For very large documents
@@ -57,39 +69,95 @@ def _prefix_len(size: int, threshold: float) -> int:
     return size - int(math.ceil(threshold * size)) + 1
 
 
+def _df_rank_table(ds, text_col: str, n: int):
+    """(tok_by_val, rank_by_val) for tokens with document frequency >= 2:
+    tokens value-sorted, each with its position under the global
+    (df asc, value asc) order. Tokens absent from the table are singletons
+    and rank after every table entry (they cannot join a pair)."""
+
+    def toks(batch: pa.Table) -> pa.Table:
+        parts = [word_shingles_arr(t or "", n) for t in batch[text_col].to_pylist()]
+        allt = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+        return pa.table({"token": pa.array(allt, type=pa.uint64())})
+
+    counts = ds.map_batches(toks, batch_format="pyarrow").groupby("token").count()
+
+    def keep_repeated(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
+
+    rep = counts.map_batches(keep_repeated, batch_format="pyarrow").to_pandas()
+    toks_arr = rep["token"].to_numpy().astype(np.uint64)
+    dfs = rep["count()"].to_numpy().astype(np.int64)
+    order = np.lexsort((toks_arr, dfs))  # global rank order: (df, value)
+    rank_orig = np.empty(len(toks_arr), dtype=np.int64)
+    rank_orig[order] = np.arange(len(toks_arr))
+    byval = np.argsort(toks_arr, kind="mergesort")
+    return toks_arr[byval], rank_orig[byval]
+
+
 def jaccard_self_join(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = 3,
+    order: str = "hash",
 ):
     """All pairs of rows whose word-``n``-gram Jaccard >= ``threshold``.
 
     Returns a Dataset (a, b, jac) with ``a < b`` (ids), exact Jaccard.
     Rows with an empty shingle set never pair (Jaccard undefined).
+    ``order``: ``"hash"`` (no extra pass) or ``"df"`` (skew-robust
+    rarest-token prefixes; one extra count pass) — same exact result.
     """
+    if order not in ("hash", "df"):
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
+
+    rank_ref = None
+    if order == "df":
+        import ray
+
+        rank_ref = ray.put(_df_rank_table(ds, text_col, n))
 
     def explode(batch: pa.Table) -> pa.Table:
+        from ..partition.assign import resolve_ref
+
+        lookup = resolve_ref(rank_ref) if rank_ref is not None else None
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
         out_tok: list[int] = []
         out_id: list[int] = []
-        out_sig: list[np.ndarray] = []
+        out_sig: list[list[int]] = []
+        out_pre: list[list[int]] = []
         for i, t in zip(ids, texts):
             s = word_shingles_arr(t or "", n)
             if len(s) == 0:
                 continue
             p = _prefix_len(len(s), threshold)
-            for tok in s[:p]:
+            if lookup is None:
+                prefix = s[:p]  # value order
+            else:
+                tok_by_val, rank_by_val = lookup
+                idx = np.searchsorted(tok_by_val, s)
+                idx_c = np.minimum(idx, max(len(tok_by_val) - 1, 0))
+                found = (len(tok_by_val) > 0) & (tok_by_val[idx_c] == s)
+                # unfound = singleton tokens: rank after all table entries
+                key = np.where(found, rank_by_val[idx_c], len(tok_by_val))
+                sel = np.lexsort((s, key))[:p]
+                prefix = np.sort(s[sel])  # ownership compares by VALUE
+            sig_list = s.tolist()
+            pre_list = prefix.tolist()
+            for tok in prefix:
                 out_tok.append(int(tok))
                 out_id.append(int(i))
-                out_sig.append(s)
+                out_sig.append(sig_list)
+                out_pre.append(pre_list)
         return pa.table(
             {
                 "token": pa.array(out_tok, type=pa.uint64()),
                 "rid": pa.array(out_id, type=pa.int64()),
-                "sig": pa.array([s.tolist() for s in out_sig], type=pa.list_(pa.uint64())),
+                "sig": pa.array(out_sig, type=pa.list_(pa.uint64())),
+                "prefix": pa.array(out_pre, type=pa.list_(pa.uint64())),
             }
         )
 
@@ -99,28 +167,25 @@ def jaccard_self_join(
         tok = int(g["token"].iloc[0])
         rids = g["rid"].to_numpy()
         sigs = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        # dedup docs repeated in one group (same doc can't carry the same
-        # prefix token twice — shingles are unique — but guard anyway)
-        order = np.argsort(rids, kind="mergesort")
+        pres = [np.asarray(p, dtype=np.uint64) for p in g["prefix"]]
+        order_ = np.argsort(rids, kind="mergesort")
         a_out, b_out, j_out = [], [], []
-        for ii in range(len(order)):
-            i = order[ii]
-            si = sigs[i]
+        for ii in range(len(order_)):
+            i = order_[ii]
+            si, pi = sigs[i], pres[i]
             li = len(si)
-            pi = si[: _prefix_len(li, threshold)]
-            for jj in range(ii + 1, len(order)):
-                j = order[jj]
+            for jj in range(ii + 1, len(order_)):
+                j = order_[jj]
                 if rids[i] == rids[j]:
                     continue
-                sj = sigs[j]
+                sj, pj = sigs[j], pres[j]
                 lj = len(sj)
                 # length filter: J >= t requires min/max >= t
                 if min(li, lj) < threshold * max(li, lj):
                     continue
-                pj = sj[: _prefix_len(lj, threshold)]
                 shared = np.intersect1d(pi, pj, assume_unique=True)
                 if len(shared) == 0 or int(shared[0]) != tok:
-                    continue  # another (the minimal) token's group owns this pair
+                    continue  # the minimal shared prefix token's group owns this pair
                 inter = len(np.intersect1d(si, sj, assume_unique=True))
                 jac = inter / (li + lj - inter)
                 if jac >= threshold:

@@ -274,3 +274,30 @@ class TestJaccardSelfJoin:
         texts = ["same words repeated throughout the document body"] * 4
         got = self._run(texts, 0.99)
         assert len(got) == 6 and all(j == 1.0 for _, _, j in got)
+
+    def test_df_order_same_result(self, ray_session):
+        import ray
+
+        from incubator_sedona_ray.dedup import jaccard_self_join
+
+        rng = np.random.default_rng(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 25))) for _ in range(40)]
+        texts += [texts[0], texts[3] + " tail", "common filler words " * 5]
+        ds = ray.data.from_items([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+        a = jaccard_self_join(ds, threshold=0.4, order="hash").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        b = jaccard_self_join(ds, threshold=0.4, order="df").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) == len(self._brute(texts, 0.4))
+
+    def test_df_order_shrinks_hot_groups(self, ray_session):
+        # every doc shares one hot phrase; under df order the discriminating
+        # rare shingles fill the prefixes instead of the hot ones
+        import ray
+
+        from incubator_sedona_ray.dedup import jaccard_self_join
+
+        hot = "the quick brown fox jumps"
+        texts = [f"{hot} unique{i} marker{i} token{i} filler{i}" for i in range(30)]
+        ds = ray.data.from_items([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+        got = jaccard_self_join(ds, threshold=0.6, order="df").to_pandas()
+        assert len(got) == 0  # no pair reaches 0.6
