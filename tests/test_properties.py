@@ -129,3 +129,33 @@ def test_partitioner_point_invariants(n_parts, seed):
     assert (pid >= 0).all()
     areas = (part.leaves[:, 2] - part.leaves[:, 0]) * (part.leaves[:, 3] - part.leaves[:, 1])
     assert abs(areas.sum() - 50.01 * 50.01) < 1e-6
+
+
+# -- GML/KML markup round-trip (geom/markup.py) -----------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(boxes())
+def test_markup_roundtrip_box(g):
+    from incubator_sedona_ray.geom.markup import from_gml, from_kml, to_gml, to_kml
+
+    assert from_gml(to_gml(g)) == g
+    assert from_kml(to_kml(g)) == g
+
+
+@settings(max_examples=150, deadline=None)
+@given(points())
+def test_markup_roundtrip_point(g):
+    from incubator_sedona_ray.geom.markup import from_gml, from_kml, to_gml, to_kml
+
+    assert from_gml(to_gml(g)) == g
+    assert from_kml(to_kml(g)) == g
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=2, max_size=12, unique=True))
+def test_markup_roundtrip_linestring(pts):
+    from incubator_sedona_ray.geom.markup import from_gml, from_kml, to_gml, to_kml
+
+    g = Geometry.linestring(np.asarray(pts, dtype=np.float64))
+    assert from_gml(to_gml(g)) == g
+    assert from_kml(to_kml(g)) == g
