@@ -211,3 +211,72 @@ class TestArcGrid:
         assert (r.x0, r.y0) == (0.0, 0.0)
         assert np.isnan(rs_value(r, np.array([0.5]), np.array([1.5]))[0])  # nodata cell
         assert rs_value(r, np.array([1.5]), np.array([1.5]))[0] == 4.0
+
+
+class TestRasterize:
+    B = (0.0, 0.0, 8.0, 8.0)
+
+    def test_bresenham_diagonal(self):
+        from incubator_sedona_ray.raster.rasterize import bresenham
+
+        xs, ys = bresenham(0, 0, 3, 3)
+        assert list(zip(xs, ys)) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+    def test_box_outline_and_fill(self):
+        from incubator_sedona_ray.geom import Geometry
+        from incubator_sedona_ray.raster.rasterize import geometry_pixels
+
+        g = Geometry.box(0, 0, 4, 4)
+        px, py = geometry_pixels(g, self.B, 8, 8, fill=False)
+        # pixel-space shell corners (0,0)-(4,4): border of the 5x5 square
+        assert len(px) == 16
+        assert set(zip(px, py)) == {
+            (x, y) for x in range(5) for y in range(5) if x in (0, 4) or y in (0, 4)
+        }
+        fx, fy = geometry_pixels(g, self.B, 8, 8, fill=True)
+        assert set(zip(fx, fy)) == {(x, y) for x in range(1, 4) for y in range(1, 4)}
+
+    def test_line_and_point(self):
+        from incubator_sedona_ray.geom import Geometry
+        from incubator_sedona_ray.raster.rasterize import geometry_pixels
+
+        px, py = geometry_pixels(Geometry.point(2.5, 3.5), self.B, 8, 8)
+        assert list(zip(px, py)) == [(2, 3)]
+        px, py = geometry_pixels(Geometry.linestring([[0, 0], [3, 3]]), self.B, 8, 8)
+        assert set(zip(px, py)) == {(0, 0), (1, 1), (2, 2), (3, 3)}
+
+    def test_choropleth_pixel_sums(self, ray_session):
+        import ray
+
+        from incubator_sedona_ray.geom import Geometry
+        from incubator_sedona_ray.geom.wkb import to_wkb
+        from incubator_sedona_ray.raster.rasterize import _pixel_sum, rasterize_batch_fn
+
+        rows = [
+            {"geom": to_wkb(Geometry.box(0, 0, 4, 4)), "value": 10.0},
+            {"geom": to_wkb(Geometry.box(2, 2, 6, 6)), "value": 5.0},
+        ]
+        ds = ray.data.from_items(rows)
+        pix = _pixel_sum(
+            ds.map_batches(
+                rasterize_batch_fn(self.B, 8, 8, weight_col="value", fill=True),
+                batch_format="pyarrow",
+            )
+        ).to_pandas()
+        by_pix = {(int(r.pixel_x), int(r.pixel_y)): r.weight for r in pix.itertuples()}
+        assert by_pix[(1, 1)] == 10.0      # only first box interior
+        assert by_pix[(3, 3)] == 15.0      # strict interior of both
+        assert by_pix[(5, 5)] == 5.0       # only second box
+        assert (2, 2) not in by_pix or by_pix[(2, 2)] == 10.0  # on 2nd box's boundary
+
+    def test_scatter_plot_end_to_end(self, ray_session):
+        import ray
+
+        from incubator_sedona_ray.geom import Geometry
+        from incubator_sedona_ray.geom.wkb import to_wkb
+        from incubator_sedona_ray.raster.rasterize import scatter_plot
+
+        rows = [{"geom": to_wkb(Geometry.point(float(i % 8) + 0.5, float(i // 8) + 0.5))} for i in range(32)]
+        tiles = scatter_plot(ray.data.from_items(rows), self.B, 8, 8, 2, 2).to_pandas()
+        assert len(tiles) <= 4 and len(tiles) >= 1
+        assert all(bytes(p).startswith(b"\x89PNG") for p in tiles["png"])
