@@ -163,6 +163,37 @@ def q_pip_join_count(sf_dir: str):
     return _rename(counts, {"count()": "n_docs"})
 
 
+CHORO_RES_X, CHORO_RES_Y = 256, 128
+
+
+def q_choropleth(sf_dir: str):
+    """ChoroplethMap pixel weights: each (disjoint) zone square filled with
+    its PIP doc count — strict pixel-space-interior fill per
+    RasterizationUtils:323-357 — then summed per pixel. The render tail is
+    pinned separately (tile_render); the pixel weights here have a
+    closed-form SQL oracle."""
+    from incubator_sedona_ray.raster.rasterize import _pixel_sum, rasterize_batch_fn
+
+    counts = q_pip_join_count(sf_dir).to_pandas()  # 162 rows — the small side
+    zones = _zones_table().to_pandas()
+    merged = zones.merge(counts, on="zone_id", how="inner")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "geom": pa.array(list(merged["geom"]), type=pa.binary()),
+                "value": pa.array(merged["n_docs"].astype(np.float64)),
+            }
+        )
+    )
+    pix = _pixel_sum(
+        ds.map_batches(
+            rasterize_batch_fn(WORLD, CHORO_RES_X, CHORO_RES_Y, weight_col="value", fill=True),
+            batch_format="pyarrow",
+        )
+    )
+    return pix
+
+
 def q_distance_join(sf_dir: str):
     def subset(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -761,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "minhash_survivors": q_minhash_survivors,
         "jaccard_pairs": q_jaccard_pairs,
+        "choropleth": q_choropleth,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1054,6 +1086,20 @@ def oracle_sql() -> dict[str, str]:
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
         ),
         "geohash": _geohash_sql(6),
+        "choropleth": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}), "
+            f"zc AS (SELECT z.zone_id, z.x0, z.y0, COUNT(*) AS n FROM zones z JOIN pts p ON "
+            f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE} "
+            f"GROUP BY z.zone_id, z.x0, z.y0), "
+            f"pb AS (SELECT n, "
+            f"CAST(floor((x0 + 180.0) / 360.0 * {CHORO_RES_X}) AS BIGINT) AS px0, "
+            f"CAST(floor((x0 + {ZN_SIDE} + 180.0) / 360.0 * {CHORO_RES_X}) AS BIGINT) AS px1, "
+            f"CAST(floor((y0 + 90.0) / 180.0 * {CHORO_RES_Y}) AS BIGINT) AS py0, "
+            f"CAST(floor((y0 + {ZN_SIDE} + 90.0) / 180.0 * {CHORO_RES_Y}) AS BIGINT) AS py1 FROM zc) "
+            f"SELECT gx.x AS pixel_x, gy.y AS pixel_y, CAST(SUM(n) AS DOUBLE) AS weight "
+            f"FROM pb, UNNEST(range(px0 + 1, px1)) AS gx(x), UNNEST(range(py0 + 1, py1)) AS gy(y) "
+            f"GROUP BY 1, 2"
+        ),
         "jaccard_pairs": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "

@@ -7,6 +7,7 @@
 """
 
 from .tile import pixel_to_tile, tile_assign_batch_fn, world_to_pixel  # noqa: F401
+from .rasterize import choropleth_map, geometry_pixels, rasterize_batch_fn, scatter_plot  # noqa: F401
 from .raster import (  # noqa: F401
     Raster,
     RasterValueLookup,
