@@ -128,6 +128,62 @@ def as_arc_grid(raster: Raster, band: int = 1, fmt: str = "%.10g") -> str:
     return "\n".join(out) + "\n"
 
 
+def rs_envelope(raster: Raster):
+    """RS_Envelope (``RasterAccessors.java``): the raster's bounding box as
+    a polygon Geometry (min/max-normalized for negative pixel sizes)."""
+    from ..geom.core import Geometry
+
+    x1 = raster.x0 + raster.width * raster.pixel_w
+    y1 = raster.y0 + raster.height * raster.pixel_h
+    return Geometry.box(min(raster.x0, x1), min(raster.y0, y1), max(raster.x0, x1), max(raster.y0, y1))
+
+
+def rs_metadata(raster: Raster) -> dict:
+    """RS_Metadata (``RasterAccessors.java``): anchor, pixel sizes, grid
+    shape, band count, srid."""
+    return {
+        "upperleft_x": raster.x0,
+        "upperleft_y": raster.y0 + raster.height * raster.pixel_h,
+        "width": raster.width,
+        "height": raster.height,
+        "pixel_w": raster.pixel_w,
+        "pixel_h": raster.pixel_h,
+        "num_bands": raster.num_bands,
+        "srid": raster.srid,
+    }
+
+
+def rs_num_bands(raster: Raster) -> int:
+    return raster.num_bands
+
+
+def rs_srid(raster: Raster) -> int:
+    return raster.srid
+
+
+def rs_set_srid(raster: Raster, srid: int) -> Raster:
+    return Raster(raster.data, raster.x0, raster.y0, raster.pixel_w, raster.pixel_h, srid, raster.nodata)
+
+
+def rs_band_as_array(raster: Raster, band: int = 1) -> np.ndarray:
+    """RS_BandAsArray: one band as a (H, W) float64 array (copy)."""
+    return np.array(raster.data[band - 1], dtype=np.float64)
+
+
+def rs_add_band_from_array(raster: Raster, band_data: np.ndarray) -> Raster:
+    """RS_AddBandFromArray: append one (H, W) band."""
+    band = np.asarray(band_data, dtype=np.float64).reshape(1, raster.height, raster.width)
+    return Raster(
+        np.concatenate([raster.data, band]),
+        raster.x0,
+        raster.y0,
+        raster.pixel_w,
+        raster.pixel_h,
+        raster.srid,
+        raster.nodata,
+    )
+
+
 def fake_checkerboard_raster(width: int = 256, height: int = 256) -> Raster:
     """Deterministic test raster: value[y][x] = y*width + x (FIXTURES.md F5)."""
     yy, xx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")

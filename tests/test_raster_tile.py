@@ -280,3 +280,32 @@ class TestRasterize:
         tiles = scatter_plot(ray.data.from_items(rows), self.B, 8, 8, 2, 2).to_pandas()
         assert len(tiles) <= 4 and len(tiles) >= 1
         assert all(bytes(p).startswith(b"\x89PNG") for p in tiles["png"])
+
+
+def test_raster_accessors():
+    from incubator_sedona_ray.geom import Geometry
+    from incubator_sedona_ray.raster.raster import (
+        Raster,
+        rs_add_band_from_array,
+        rs_band_as_array,
+        rs_envelope,
+        rs_metadata,
+        rs_num_bands,
+        rs_set_srid,
+        rs_srid,
+    )
+
+    r = Raster(np.arange(12, dtype=np.float64).reshape(1, 3, 4), 10.0, 20.0, 0.5, 0.5)
+    assert rs_envelope(r) == Geometry.box(10.0, 20.0, 12.0, 21.5)
+    m = rs_metadata(r)
+    assert (m["width"], m["height"], m["num_bands"]) == (4, 3, 1)
+    assert rs_num_bands(r) == 1 and rs_srid(r) == 0
+    r2 = rs_set_srid(r, 4326)
+    assert rs_srid(r2) == 4326 and r2.data is r.data
+    band = rs_band_as_array(r)
+    assert band.shape == (3, 4) and band[0, 1] == 1.0
+    r3 = rs_add_band_from_array(r, band * 2)
+    assert rs_num_bands(r3) == 2 and r3.data[1, 0, 1] == 2.0
+    # negative pixel_h (north-up geotiff convention) normalizes the envelope
+    rneg = Raster(r.data, 0.0, 3.0, 1.0, -1.0)
+    assert rs_envelope(rneg) == Geometry.box(0.0, 0.0, 4.0, 3.0)
