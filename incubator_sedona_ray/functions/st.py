@@ -1135,6 +1135,298 @@ def st_geomfromkml(col) -> pa.Array:
     return _wkb_arr([None if s is None else _markup.from_kml(s) for s in _to_list(col)])
 
 
+# -- catalog completion: aliases, typed FromText, spheroid, misc
+#    (Constructors.java:50-138, Functions.java spheroid/force/dump family) --
+
+st_aswkb = st_asbinary
+st_aswkt = st_astext
+st_geomfromtext = st_geomfromwkt
+st_precisionreduce = st_reduceprecision
+
+
+def _coords2(a: np.ndarray, fn):
+    """Apply an (n,2)->(n,2) transform to coords of any stored shape."""
+    arr = np.asarray(a, dtype=np.float64)
+    flat = arr.reshape(-1, 2)
+    return fn(flat).reshape(arr.shape)
+
+
+_SPLITTERS = {"csv": ",", "tsv": "\t"}
+
+
+def _from_text_one(s: str, fmt: str, want: str | None):
+    """Constructors.geomFromText semantics: fmt 'wkt' parses WKT; 'csv'/'tsv'
+    parse a delimited coordinate sequence as the wanted type; a parsed
+    geometry of the wrong type -> None (reference returns null)."""
+    if fmt.lower() == "wkt":
+        g = _wkt.from_wkt(s)
+    else:
+        delim = _SPLITTERS[fmt.lower()]
+        vals = [float(v) for v in s.strip().split(delim)]
+        pts = np.asarray(vals, dtype=np.float64).reshape(-1, 2)
+        if want == "Point":
+            g = Geometry.point(pts[0, 0], pts[0, 1])
+        elif want == "LineString":
+            g = Geometry(GeometryType.LINESTRING, pts)
+        elif want == "Polygon":
+            g = Geometry.polygon(pts)
+        else:
+            raise ValueError(f"csv/tsv parse needs a target type, got {want}")
+    if want is not None and str(g.kind) not in (want, f"Multi{want}"):
+        return None
+    return g
+
+
+def st_pointfromtext(col, fmt: str = "csv") -> pa.Array:
+    return _wkb_arr([None if s is None else _from_text_one(s, fmt, "Point") for s in _to_list(col)])
+
+
+def st_linefromtext(col, fmt: str = "wkt") -> pa.Array:
+    return _wkb_arr([None if s is None else _from_text_one(s, fmt, "LineString") for s in _to_list(col)])
+
+
+def st_linestringfromtext(col, fmt: str = "csv") -> pa.Array:
+    return _wkb_arr([None if s is None else _from_text_one(s, fmt, "LineString") for s in _to_list(col)])
+
+
+def st_polygonfromtext(col, fmt: str = "csv") -> pa.Array:
+    return _wkb_arr([None if s is None else _from_text_one(s, fmt, "Polygon") for s in _to_list(col)])
+
+
+def _prefixed_wkt(col, prefix: str, srid: int) -> pa.Array:
+    out = []
+    for s in _to_list(col):
+        if s is None or not s.lstrip().upper().startswith(prefix):
+            out.append(None)
+            continue
+        g = _wkt.from_wkt(s)
+        g.srid = srid
+        out.append(g)
+    return _wkb_arr(out)
+
+
+def st_mlinefromtext(col, srid: int = 0) -> pa.Array:
+    """null unless the text starts with MULTILINESTRING (Constructors.java:50)."""
+    return _prefixed_wkt(col, "MULTILINESTRING", srid)
+
+
+def st_mpolyfromtext(col, srid: int = 0) -> pa.Array:
+    """null unless the text starts with MULTIPOLYGON (Constructors.java:58)."""
+    return _prefixed_wkt(col, "MULTIPOLYGON", srid)
+
+
+def st_asewkb(col) -> pa.Array:
+    return pa.array(
+        [None if g is None else _wkb.to_wkb(g, include_srid=True) for g in _geoms(col)],
+        type=pa.binary(),
+    )
+
+
+def st_asewkt(col) -> pa.Array:
+    def ewkt(g: Geometry) -> str:
+        t = _wkt.to_wkt(g)
+        return f"SRID={g.srid};{t}" if g.srid else t
+
+    return pa.array([None if g is None else ewkt(g) for g in _geoms(col)], type=pa.string())
+
+
+def st_degrees(col) -> pa.Array:
+    """radians -> degrees over a NUMERIC column (Functions.java degrees)."""
+    vals = np.asarray(_to_list(col), dtype=np.float64)
+    return pa.array(np.degrees(vals))
+
+
+def st_dumppoints(col) -> pa.Array:
+    """Every vertex as a Point WKB, one list per input geometry
+    (Functions.java dumpPoints)."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        pts = np.asarray(g.all_coords(), dtype=np.float64).reshape(-1, 2)
+        out.append([_wkb.to_wkb(Geometry.point(x, y)) for x, y in pts])
+    return pa.array(out, type=pa.list_(pa.binary()))
+
+
+def st_numpoints(col) -> pa.Array:
+    """Vertex count of a LINESTRING; None for other types (the reference
+    throws — Functions.java numPoints accepts only LineString)."""
+    return pa.array(
+        [
+            None if g is None or g.kind != GeometryType.LINESTRING else len(np.asarray(g.coords))
+            for g in _geoms(col)
+        ],
+        type=pa.int64(),
+    )
+
+
+def st_force3d(col, z: float = 0.0) -> pa.Array:
+    """Add a constant Z to points/linestrings (the kinds whose Z survives
+    our WKB writer, geom/wkb.py _write_geom); other kinds pass through
+    unchanged (Functions.java force3D)."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        if g.kind in (GeometryType.POINT, GeometryType.LINESTRING) and getattr(g, "z", None) is None:
+            g2 = Geometry(g.kind, g.coords, g.srid)
+            # z storage convention (core.py): float for Point, (n,) for LineString
+            g2.z = float(z) if g.kind == GeometryType.POINT else np.full(len(np.asarray(g.coords)), float(z))
+            out.append(g2)
+        else:
+            out.append(g)
+    return _wkb_arr(out)
+
+
+def st_force_2d(col) -> pa.Array:
+    """Drop Z (Functions.java force2D)."""
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        if getattr(g, "z", None) is not None:
+            g2 = Geometry(g.kind, g.coords, g.srid)
+            g2.z = None
+            out.append(g2)
+        else:
+            out.append(g)
+    return _wkb_arr(out)
+
+
+def st_force2d(col) -> pa.Array:
+    return st_force_2d(col)
+
+
+def st_isvalid(col) -> pa.Array:
+    """OGC-style validity for the kinds we model: polygon rings closed with
+    >= 4 points and no PROPER self-intersection (bowtie crossing; adjacent
+    segments touching at shared vertices are fine); a linestring needs
+    >= 2 points; points need finite coords."""
+    from ..geom.predicates import segments_intersect_any
+
+    def ring_ok(r: np.ndarray) -> bool:
+        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+            return False
+        segs = np.column_stack([r[:-1], r[1:]])
+        _, proper = segments_intersect_any(segs, segs, proper_only=True)
+        return not proper
+
+    def valid(g: Geometry) -> bool:
+        if g.kind == GeometryType.POINT:
+            return bool(np.all(np.isfinite(np.asarray(g.all_coords(), dtype=np.float64))))
+        if g.kind == GeometryType.LINESTRING:
+            return len(np.asarray(g.coords)) >= 2
+        if g.kind == GeometryType.POLYGON:
+            rings = g.coords if isinstance(g.coords, list) else [g.coords]
+            return all(ring_ok(np.asarray(r, dtype=np.float64)) for r in rings)
+        return all(valid(p) for p in g.parts())
+
+    return pa.array([None if g is None else valid(g) for g in _geoms(col)], type=pa.bool_())
+
+
+def st_geohash(col, precision: int = 12) -> pa.Array:
+    """Point geometry -> geohash string (Functions.java geohash)."""
+    gs = _geoms(col)
+    out = []
+    for g in gs:
+        if g is None or g.kind != GeometryType.POINT:
+            out.append(None)
+            continue
+        x, y = np.asarray(g.all_coords(), dtype=np.float64).reshape(-1, 2)[0]
+        out.append(_geohash.encode(float(x), float(y), precision))
+    return pa.array(out, type=pa.string())
+
+
+def st_s2cellids(col, level: int = 10) -> pa.Array:
+    """S2 cell cover of each geometry at ``level`` (Functions.java
+    s2CellIDs), via the same cover the cell-join plan uses."""
+    from ..encoders.s2 import cover_geometry
+
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        out.append([int(c) for c in cover_geometry(g, level)])
+    return pa.array(out, type=pa.list_(pa.uint64()))
+
+
+def st_transform(col, src: str, dst: str) -> pa.Array:
+    """Reproject every coordinate of each geometry (Functions.java:184-212
+    ST_Transform; supported CRSs per functions/transform.py)."""
+    from .transform import transform_xy
+
+    def tx(flat: np.ndarray) -> np.ndarray:
+        x, y = transform_xy(src, dst, flat[:, 0], flat[:, 1])
+        return np.column_stack([x, y])
+
+    return _wkb_arr(
+        [None if g is None else _map_coords(g, lambda a: _coords2(a, tx)) for g in _geoms(col)]
+    )
+
+
+def st_distancespheroid(col_a, col_b) -> pa.Array:
+    """WGS84 spheroid distance between point pairs (Vincenty inverse;
+    sphere/Spheroid.java semantics)."""
+    from .transform import vincenty_distance
+
+    out = []
+    for a, b in zip(_geoms(col_a), _geoms(col_b)):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        pa_, pb = a.all_coords()[0], b.all_coords()[0]
+        out.append(vincenty_distance(pa_[0], pa_[1], pb[0], pb[1]))
+    return pa.array(out, type=pa.float64())
+
+
+def st_lengthspheroid(col) -> pa.Array:
+    """Sum of Vincenty segment lengths along a linestring (meters)."""
+    from .transform import vincenty_distance
+
+    out = []
+    for g in _geoms(col):
+        if g is None:
+            out.append(None)
+            continue
+        c = np.asarray(g.all_coords(), dtype=np.float64).reshape(-1, 2)
+        out.append(
+            float(sum(vincenty_distance(c[i, 0], c[i, 1], c[i + 1, 0], c[i + 1, 1]) for i in range(len(c) - 1)))
+        )
+    return pa.array(out, type=pa.float64())
+
+
+_AUTHALIC_R = 6371007.1809  # WGS84 authalic sphere radius (public constant)
+
+
+def st_areaspheroid(col) -> pa.Array:
+    """Polygon area in m^2 on the WGS84 AUTHALIC sphere (l'Huilier
+    spherical-excess sum) — a documented approximation of the reference's
+    GeographicLib spheroid area (relative error < ~0.3%)."""
+    def ring_area(r: np.ndarray) -> float:
+        lon = np.radians(r[:, 0])
+        lat = np.radians(r[:, 1])
+        # spherical excess via the shoelace-on-sphere formula
+        s = np.sum((lon[1:] - lon[:-1]) * (2.0 + np.sin(lat[1:]) + np.sin(lat[:-1])))
+        return abs(s) * _AUTHALIC_R * _AUTHALIC_R / 2.0
+
+    def area(g: Geometry) -> float:
+        if g.kind == GeometryType.POLYGON:
+            rings = g.coords if isinstance(g.coords, list) else [g.coords]
+            a = ring_area(np.asarray(rings[0], dtype=np.float64))
+            for h in rings[1:]:
+                a -= ring_area(np.asarray(h, dtype=np.float64))
+            return a
+        if g.kind == GeometryType.MULTIPOLYGON:
+            return float(sum(area(p) for p in g.parts()))
+        return 0.0
+
+    return pa.array([None if g is None else area(g) for g in _geoms(col)], type=pa.float64())
+
+
 def st_asgml(col) -> pa.Array:
     from ..geom import markup as _markup
 

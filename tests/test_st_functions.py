@@ -386,3 +386,76 @@ def test_asgml_askml_roundtrip():
     mp = from_wkb(S.st_geomfromkml(["<MultiGeometry><Point><coordinates>1,2</coordinates></Point><Point><coordinates>3,4</coordinates></Point></MultiGeometry>"])[0].as_py())
     assert from_kml(S.st_askml([to_wkb(mp)])[0].as_py()) == mp
     assert from_gml(S.st_asgml([to_wkb(mp)])[0].as_py()) == mp
+
+
+class TestCatalogCompletion:
+    def test_aliases(self):
+        assert S.st_aswkb([PT])[0].as_py() == S.st_asbinary([PT])[0].as_py()
+        assert S.st_aswkt([PT])[0].as_py() == "POINT (1 2)"
+        assert from_wkb(S.st_geomfromtext(["POINT (5 6)"])[0].as_py()) == Geometry.point(5, 6)
+
+    def test_typed_fromtext(self):
+        assert from_wkb(S.st_pointfromtext(["1.0,2.0"])[0].as_py()) == Geometry.point(1, 2)
+        g = from_wkb(S.st_linestringfromtext(["0.0,0.0,3.0,4.0"])[0].as_py())
+        assert to_wkt(g) == "LINESTRING (0 0, 3 4)"
+        assert S.st_linefromtext(["POINT (1 2)"])[0].as_py() is None
+        g = from_wkb(S.st_linefromtext(["LINESTRING (0 0, 1 1)"])[0].as_py())
+        assert to_wkt(g) == "LINESTRING (0 0, 1 1)"
+        assert S.st_mpolyfromtext(["POINT (1 2)"])[0].as_py() is None
+        g = from_wkb(S.st_mpolyfromtext(["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"], srid=4326)[0].as_py())
+        assert g.kind == "MultiPolygon"
+        assert S.st_mlinefromtext(["MULTILINESTRING ((0 0, 1 1))"])[0].as_py() is not None
+
+    def test_ewkb_ewkt(self):
+        g = Geometry.point(1, 2, srid=4326)
+        from incubator_sedona_ray.geom.wkb import to_wkb as _towkb
+
+        blob = _towkb(g)
+        assert S.st_asewkt([blob])[0].as_py() == "POINT (1 2)"  # srid lost in plain WKB
+        eblob = S.st_asewkb([S.st_setsrid([blob], 4326)[0].as_py()])[0].as_py()
+        assert from_wkb(eblob).srid == 4326
+        assert S.st_asewkt([S.st_setsrid([blob], 4326)[0].as_py()])[0].as_py() == "SRID=4326;POINT (1 2)"
+
+    def test_degrees_dump_numpoints(self):
+        assert S.st_degrees([np.pi])[0].as_py() == pytest.approx(180.0)
+        pts = S.st_dumppoints([LINE])[0].as_py()
+        assert len(pts) == 2 and from_wkb(pts[1]) == Geometry.point(3, 4)
+        assert S.st_numpoints([LINE])[0].as_py() == 2
+        assert S.st_numpoints([SQ])[0].as_py() is None
+
+    def test_force_z(self):
+        up = S.st_force3d([PT], z=5.0)[0].as_py()
+        g = from_wkb(up)
+        assert g.z == 5.0
+        back = from_wkb(S.st_force_2d([up])[0].as_py())
+        assert back.z is None and back == Geometry.point(1, 2)
+
+    def test_isvalid(self):
+        assert S.st_isvalid([SQ])[0].as_py() is True
+        bowtie = to_wkb(Geometry("Polygon", [np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])]))
+        assert S.st_isvalid([bowtie])[0].as_py() is False
+        open_ring = to_wkb(Geometry("Polygon", [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])]))
+        assert S.st_isvalid([open_ring])[0].as_py() is False
+        assert S.st_isvalid([LINE])[0].as_py() is True
+
+    def test_geohash_s2(self):
+        gh = S.st_geohash([to_wkb(Geometry.point(10.40744, 57.64911))], precision=6)[0].as_py()
+        assert gh == "u4pruy"
+        cells = S.st_s2cellids([SQ], level=8)[0].as_py()
+        assert len(cells) >= 1 and all(isinstance(c, int) for c in cells)
+
+    def test_transform_spheroid(self):
+        out = S.st_transform([PT], "EPSG:4326", "EPSG:3857")
+        g = from_wkb(out[0].as_py())
+        x, y = g.all_coords()[0][:2]
+        assert x == pytest.approx(111319.49, abs=1.0) and y == pytest.approx(222684.2, abs=1.0)
+        d = S.st_distancespheroid([to_wkb(Geometry.point(0, 0))], [to_wkb(Geometry.point(1, 0))])[0].as_py()
+        assert d == pytest.approx(111319.49, rel=1e-4)
+        ln = S.st_lengthspheroid([to_wkb(Geometry.linestring([[0, 0], [1, 0], [2, 0]]))])[0].as_py()
+        assert ln == pytest.approx(2 * 111319.49, rel=1e-4)
+
+    def test_areaspheroid(self):
+        # 1x1 degree box at the equator ~ 12364 km^2 (public reference value)
+        box = to_wkb(Geometry.box(0, 0, 1, 1))
+        a = S.st_areaspheroid([box])[0].as_py()
+        assert a == pytest.approx(12364e6 * 1e3 / 1e3, rel=0.01)  # ~1.236e10 m^2
