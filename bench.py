@@ -274,6 +274,16 @@ def run_bench() -> dict:
 
     timed("q7_distance_join", q7, rows=n_pages // 50)
 
+    # q8: EXACT n-gram-Jaccard all-pairs dedup (prefix-filtered
+    # set-similarity self-join, df-ordered prefixes) over the documents table
+    def q8():
+        from incubator_sedona_ray.dedup import jaccard_self_join
+
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return jaccard_self_join(docs, threshold=0.35, order="df").count()
+
+    timed("q8_jaccard_pairs", q8, rows=n_docs)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",
