@@ -95,6 +95,137 @@ def _df_rank_table(ds, text_col: str, n: int):
     return toks_arr[byval], rank_orig[byval]
 
 
+def _prefix_of(s: np.ndarray, threshold: float, lookup) -> np.ndarray:
+    """Value-sorted prefix tokens of one doc under the chosen global order
+    (hash order when ``lookup`` is None, else df-ascending ranks)."""
+    p = _prefix_len(len(s), threshold)
+    if lookup is None:
+        return s[:p]
+    tok_by_val, rank_by_val = lookup
+    idx = np.searchsorted(tok_by_val, s)
+    idx_c = np.minimum(idx, max(len(tok_by_val) - 1, 0))
+    found = (len(tok_by_val) > 0) & (tok_by_val[idx_c] == s)
+    key = np.where(found, rank_by_val[idx_c], len(tok_by_val))
+    sel = np.lexsort((s, key))[:p]
+    return np.sort(s[sel])
+
+
+def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
+    """carry="ids" plan: slim (token, rid, |sig|, prefix) rows through the
+    token shuffle; candidate (a, b) pairs hash-join back to the (rid, sig)
+    table for exact verification — two extra exchanges of tiny rows
+    instead of shipping large shingle arrays once per prefix token."""
+    import ray
+
+    from ..join.payload import attach_payload
+
+    rank_ref = ray.put(_df_rank_table(ds, text_col, n)) if order == "df" else None
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rids, sigs = [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            s = word_shingles_arr(t or "", n)
+            if len(s):
+                rids.append(int(i))
+                # packed little-endian uint64 bytes: hash joins (Acero)
+                # reject list<> non-key fields but carry binary fine
+                sigs.append(s.tobytes())
+        return pa.table(
+            {"rid": pa.array(rids, type=pa.int64()), "sig": pa.array(sigs, type=pa.binary())}
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..partition.assign import resolve_ref
+
+        lookup = resolve_ref(rank_ref) if rank_ref is not None else None
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_tok, out_id, out_len, out_pre = [], [], [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            s = word_shingles_arr(t or "", n)
+            if len(s) == 0:
+                continue
+            prefix = _prefix_of(s, threshold, lookup)
+            pre_list = prefix.tolist()
+            for tok in prefix:
+                out_tok.append(int(tok))
+                out_id.append(int(i))
+                out_len.append(len(s))
+                out_pre.append(pre_list)
+        return pa.table(
+            {
+                "token": pa.array(out_tok, type=pa.uint64()),
+                "rid": pa.array(out_id, type=pa.int64()),
+                "slen": pa.array(out_len, type=pa.int64()),
+                "prefix": pa.array(out_pre, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+
+    def cand(g: pd.DataFrame) -> pd.DataFrame:
+        tok = int(g["token"].iloc[0])
+        rids = g["rid"].to_numpy()
+        lens = g["slen"].to_numpy()
+        pres = [np.asarray(p, dtype=np.uint64) for p in g["prefix"]]
+        order_ = np.argsort(rids, kind="mergesort")
+        a_out, b_out = [], []
+        for ii in range(len(order_)):
+            i = order_[ii]
+            for jj in range(ii + 1, len(order_)):
+                j = order_[jj]
+                if rids[i] == rids[j]:
+                    continue
+                if min(lens[i], lens[j]) < threshold * max(lens[i], lens[j]):
+                    continue
+                shared = np.intersect1d(pres[i], pres[j], assume_unique=True)
+                if len(shared) == 0 or int(shared[0]) != tok:
+                    continue
+                lo, hi = sorted((int(rids[i]), int(rids[j])))
+                a_out.append(lo)
+                b_out.append(hi)
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+        )
+
+    pairs = ex.groupby("token").map_groups(cand, batch_format="pandas")
+    sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    ja = attach_payload(pairs, sigs_ds, key="a", payload_key="rid", strategy="hash")
+
+    def keep_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["rid"], "b": batch["b"], "sig_a": batch["sig"]})
+
+    jb = attach_payload(
+        ja.map_batches(keep_a, batch_format="pyarrow"), sigs_ds, key="b", payload_key="rid", strategy="hash"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["rid"].to_numpy(zero_copy_only=False)
+        sa = batch["sig_a"].to_pylist()
+        sb = batch["sig"].to_pylist()
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(a)):
+            si = np.frombuffer(sa[i], dtype=np.uint64)
+            sj = np.frombuffer(sb[i], dtype=np.uint64)
+            inter = len(np.intersect1d(si, sj, assume_unique=True))
+            jac = inter / (len(si) + len(sj) - inter)
+            if jac >= threshold:
+                a_out.append(int(a[i]))
+                b_out.append(int(b[i]))
+                j_out.append(jac)
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "jac": pa.array(j_out, type=pa.float64()),
+            }
+        )
+
+    return jb.map_batches(verify, batch_format="pyarrow")
+
+
 def jaccard_self_join(
     ds,
     text_col: str = "text",
@@ -102,6 +233,7 @@ def jaccard_self_join(
     threshold: float = 0.5,
     n: int = 3,
     order: str = "hash",
+    carry: str = "full",
 ):
     """All pairs of rows whose word-``n``-gram Jaccard >= ``threshold``.
 
@@ -109,9 +241,20 @@ def jaccard_self_join(
     Rows with an empty shingle set never pair (Jaccard undefined).
     ``order``: ``"hash"`` (no extra pass) or ``"df"`` (skew-robust
     rarest-token prefixes; one extra count pass) — same exact result.
+    ``carry``: ``"full"`` ships each doc's whole shingle array through the
+    token shuffle and verifies in-group (one shuffle, right for short
+    docs); ``"ids"`` ships only (token, rid, |sig|, prefix) through the
+    shuffle, then hash-joins the candidate pairs back to a (rid, sig)
+    table for verification (``join/payload.py`` re-attach) — the
+    Vernica-et-al indirection for LARGE documents whose shingle arrays
+    would dominate the exchange. Same exact result.
     """
     if order not in ("hash", "df"):
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
+    if carry not in ("full", "ids"):
+        raise ValueError(f"carry must be 'full' or 'ids', got {carry!r}")
+    if carry == "ids":
+        return _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order)
 
     rank_ref = None
     if order == "df":
@@ -133,18 +276,7 @@ def jaccard_self_join(
             s = word_shingles_arr(t or "", n)
             if len(s) == 0:
                 continue
-            p = _prefix_len(len(s), threshold)
-            if lookup is None:
-                prefix = s[:p]  # value order
-            else:
-                tok_by_val, rank_by_val = lookup
-                idx = np.searchsorted(tok_by_val, s)
-                idx_c = np.minimum(idx, max(len(tok_by_val) - 1, 0))
-                found = (len(tok_by_val) > 0) & (tok_by_val[idx_c] == s)
-                # unfound = singleton tokens: rank after all table entries
-                key = np.where(found, rank_by_val[idx_c], len(tok_by_val))
-                sel = np.lexsort((s, key))[:p]
-                prefix = np.sort(s[sel])  # ownership compares by VALUE
+            prefix = _prefix_of(s, threshold, lookup)  # value-sorted: ownership compares by VALUE
             sig_list = s.tolist()
             pre_list = prefix.tolist()
             for tok in prefix:

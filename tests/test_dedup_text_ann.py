@@ -301,3 +301,18 @@ class TestJaccardSelfJoin:
         ds = ray.data.from_items([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
         got = jaccard_self_join(ds, threshold=0.6, order="df").to_pandas()
         assert len(got) == 0  # no pair reaches 0.6
+
+    def test_ids_carry_same_result(self, ray_session):
+        import ray
+
+        from incubator_sedona_ray.dedup import jaccard_self_join
+
+        rng = np.random.default_rng(13)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 25))) for _ in range(40)]
+        texts += [texts[5], texts[7] + " tail words", ""]
+        ds = ray.data.from_items([{"doc_id": i, "text": s} for i, s in enumerate(texts)])
+        full = jaccard_self_join(ds, threshold=0.4, carry="full").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        ids = jaccard_self_join(ds, threshold=0.4, carry="ids").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert full.equals(ids[full.columns])
+        assert len(full) == len(self._brute(texts, 0.4))
