@@ -114,7 +114,8 @@ def _summarize_side(ds, geom, radius: float = 0.0, circle: bool = False, per_bat
             return pa.table(
                 {"minx": pa.array([], pa.float64()), "miny": pa.array([], pa.float64()),
                  "maxx": pa.array([], pa.float64()), "maxy": pa.array([], pa.float64()),
-                 "n": pa.array([], pa.int64()), "sample": pa.array([], pa.list_(pa.float64()))}
+                 "n": pa.array([], pa.int64()), "sample": pa.array([], pa.list_(pa.float64())),
+                 "cols": pa.array([], pa.list_(pa.string()))}
             )
         env = _side_fields(batch, geom, radius=radius, circle=circle)["e"]
         take = min(n, per_batch_cap)
@@ -128,12 +129,16 @@ def _summarize_side(ds, geom, radius: float = 0.0, circle: bool = False, per_bat
                 "maxy": pa.array([float(env[:, 3].max())]),
                 "n": pa.array([n], pa.int64()),
                 "sample": pa.array([samp], pa.list_(pa.float64())),
+                # schema rides the summary rows: the caller then never needs
+                # a separate ds.schema() probe (each probe is its own small
+                # Dataset execution on a lazy chain)
+                "cols": pa.array([list(batch.column_names)], pa.list_(pa.string())),
             }
         )
 
     rows = ds.map_batches(summarize, batch_format="pyarrow").take_all()
     if not rows:
-        return 0, (0.0, 0.0, 0.0, 0.0), np.empty((0, 4))
+        return 0, (0.0, 0.0, 0.0, 0.0), np.empty((0, 4)), None
     total = int(sum(r["n"] for r in rows))
     env = (
         min(r["minx"] for r in rows),
@@ -142,7 +147,8 @@ def _summarize_side(ds, geom, radius: float = 0.0, circle: bool = False, per_bat
         max(r["maxy"] for r in rows),
     )
     samples = np.concatenate([np.asarray(r["sample"], dtype=np.float64).reshape(-1, 4) for r in rows])
-    return total, env, samples
+    names = list(rows[0]["cols"]) if rows[0].get("cols") is not None else None
+    return total, env, samples, names
 
 
 def get_sample_count_safe(num_partitions: int, conf) -> int:
@@ -580,9 +586,6 @@ def spatial_join(
     """
     self_join = right is left
 
-    l_user = [lprefix + c for c in left.schema().names]
-    r_user = [rprefix + c for c in right.schema().names]
-
     # ONE summary pass per distinct side (fused analyze + sample); a
     # self-join reuses the right summary, expanding envelopes by the radius.
     # FAST PATH: with caller-provided boundary + num_partitions, the fit
@@ -596,13 +599,14 @@ def spatial_join(
         if cheap_fit:
             target = get_sample_count_safe(num_partitions, conf)
             sampled = ds.randomize_block_order(seed=conf.seed).limit(max(target, 4 * num_partitions))
-            t, e, s = _summarize_side(sampled, geom, radius=radius_, circle=circle_)
-            return max(t, 1), boundary, s
+            t, e, s, names = _summarize_side(sampled, geom, radius=radius_, circle=circle_)
+            return max(t, 1), boundary, s, names
         return _summarize_side(ds, geom, radius=radius_, circle=circle_)
 
     if self_join and not circle:
-        r_total, r_env, r_samples = summarize(right, right_geom)
+        r_total, r_env, r_samples, r_names = summarize(right, right_geom)
         l_total = r_total
+        l_names = r_names
         l_env = (r_env[0] - rad, r_env[1] - rad, r_env[2] + rad, r_env[3] + rad)
         l_samples = r_samples + np.array([-rad, -rad, rad, rad]) if rad else r_samples
     else:
@@ -613,8 +617,12 @@ def spatial_join(
         with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
             lf = ex.submit(summarize, left, left_geom, rad, circle)
             rf = ex.submit(summarize, right, right_geom)
-            l_total, l_env, l_samples = lf.result()
-            r_total, r_env, r_samples = rf.result()
+            l_total, l_env, l_samples, l_names = lf.result()
+            r_total, r_env, r_samples, r_names = rf.result()
+    # user-facing column lists come from the summary rows; a lazy chain only
+    # pays a schema() probe execution if a side was empty
+    l_user = [lprefix + c for c in (l_names if l_names is not None else left.schema().names)]
+    r_user = [rprefix + c for c in (r_names if r_names is not None else right.schema().names)]
     if l_total == 0 or r_total == 0:
         # inner join with an empty side: emit an empty table with the
         # correct prefixed schema (an empty Dataset has no schema to union)
