@@ -194,6 +194,22 @@ def q_choropleth(sf_dir: str):
     return pix
 
 
+def q_scatter_zones(sf_dir: str):
+    """ScatterPlot pixel weights over the zone squares: Bresenham outline
+    rasterization (axis-parallel edges -> straight pixel runs), per-zone
+    pixel dedup, count per pixel where outlines overlap. Closed-form SQL
+    oracle via unioned pixel ranges."""
+    from incubator_sedona_ray.raster.rasterize import _pixel_sum, rasterize_batch_fn
+
+    zones = ray.data.from_arrow(_zones_table())
+    pix = _pixel_sum(
+        zones.map_batches(
+            rasterize_batch_fn(WORLD, CHORO_RES_X, CHORO_RES_Y, fill=False), batch_format="pyarrow"
+        )
+    )
+    return pix
+
+
 def q_distance_join(sf_dir: str):
     def subset(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -793,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_survivors": q_minhash_survivors,
         "jaccard_pairs": q_jaccard_pairs,
         "choropleth": q_choropleth,
+        "scatter_zones": q_scatter_zones,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1099,6 +1116,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT gx.x AS pixel_x, gy.y AS pixel_y, CAST(SUM(n) AS DOUBLE) AS weight "
             f"FROM pb, UNNEST(range(px0 + 1, px1)) AS gx(x), UNNEST(range(py0 + 1, py1)) AS gy(y) "
             f"GROUP BY 1, 2"
+        ),
+        "scatter_zones": (
+            f"WITH zones AS ({_ZONES_SQL}), "
+            f"pb AS (SELECT zone_id, "
+            f"CAST(floor((x0 + 180.0) / 360.0 * {CHORO_RES_X}) AS BIGINT) AS px0, "
+            f"CAST(floor((x0 + {ZN_SIDE} + 180.0) / 360.0 * {CHORO_RES_X}) AS BIGINT) AS px1, "
+            f"CAST(floor((y0 + 90.0) / 180.0 * {CHORO_RES_Y}) AS BIGINT) AS py0, "
+            f"CAST(floor((y0 + {ZN_SIDE} + 90.0) / 180.0 * {CHORO_RES_Y}) AS BIGINT) AS py1 FROM zones), "
+            f"edges AS ("
+            f"SELECT zone_id, gx.x AS px, py0 AS py FROM pb, UNNEST(range(px0, px1 + 1)) gx(x) "
+            f"UNION SELECT zone_id, gx.x, py1 FROM pb, UNNEST(range(px0, px1 + 1)) gx(x) "
+            f"UNION SELECT zone_id, px0, gy.y FROM pb, UNNEST(range(py0, py1 + 1)) gy(y) "
+            f"UNION SELECT zone_id, px1, gy.y FROM pb, UNNEST(range(py0, py1 + 1)) gy(y)) "
+            f"SELECT px AS pixel_x, py AS pixel_y, CAST(COUNT(*) AS DOUBLE) AS weight "
+            f"FROM edges GROUP BY 1, 2"
         ),
         "jaccard_pairs": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
