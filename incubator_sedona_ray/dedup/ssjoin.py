@@ -325,6 +325,14 @@ def jaccard_self_join(
                     a_out.append(lo)
                     b_out.append(hi)
                     j_out.append(jac)
-        return pd.DataFrame({"a": a_out, "b": b_out, "jac": j_out})
+        # explicit dtypes: an empty python list defaults to float64 and a
+        # pair-less group would then emit a mismatched block schema
+        return pd.DataFrame(
+            {
+                "a": pd.Series(a_out, dtype="int64"),
+                "b": pd.Series(b_out, dtype="int64"),
+                "jac": pd.Series(j_out, dtype="float64"),
+            }
+        )
 
     return ex.groupby("token").map_groups(pairs, batch_format="pandas")
