@@ -105,12 +105,12 @@ def embedding_dedup(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")})
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         frames = _pairs_recursive(ids, m, 0)
         if not frames:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")})
         return pd.concat(frames, ignore_index=True)
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()

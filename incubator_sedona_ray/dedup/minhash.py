@@ -202,7 +202,7 @@ def minhash_dedup(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
         # emit the bucket as a star around the min id — enough for connected
         # components; avoids quadratic blowup on giant buckets
         return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})

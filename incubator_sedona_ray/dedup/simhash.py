@@ -77,7 +77,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().view(np.uint64) if g["simhash"].dtype != object else g["simhash"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ham": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "ham": pd.Series([], dtype="int64")})
         d = hamming(np.full(len(ids) - 1, sh[0]), sh[1:])
         return pd.DataFrame({"a": ids[0], "b": ids[1:], "ham": d})
 
