@@ -80,11 +80,19 @@ def polygon_fill_pixels(g: Geometry, boundary, res_x: int, res_y: int):
     y0, y1 = int(shell[:, 1].min()), int(shell[:, 1].max())
     if x1 < x0 or y1 < y0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij")
-    gx, gy = gx.ravel().astype(np.float64), gy.ravel().astype(np.float64)
-    loc = locate_points_in_polygon(gx, gy, pix_rings)
-    inside = loc == INTERIOR
-    return _clip_dedup(gx[inside].astype(np.int64), gy[inside].astype(np.int64), res_x, res_y)
+    # banded scan: a world-extent polygon at high res would otherwise
+    # materialize the whole bbox grid at once (O(width*height) points)
+    band = max(1, (1 << 20) // max(x1 - x0 + 1, 1))
+    xs_all, ys_all = [], []
+    for yb in range(y0, y1 + 1, band):
+        ye = min(yb + band - 1, y1)
+        gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(yb, ye + 1), indexing="ij")
+        gx, gy = gx.ravel().astype(np.float64), gy.ravel().astype(np.float64)
+        loc = locate_points_in_polygon(gx, gy, pix_rings)
+        inside = loc == INTERIOR
+        xs_all.append(gx[inside].astype(np.int64))
+        ys_all.append(gy[inside].astype(np.int64))
+    return _clip_dedup(np.concatenate(xs_all), np.concatenate(ys_all), res_x, res_y)
 
 
 def geometry_pixels(g: Geometry, boundary, res_x: int, res_y: int, fill: bool = False):
