@@ -159,3 +159,24 @@ def test_markup_roundtrip_linestring(pts):
     g = Geometry.linestring(np.asarray(pts, dtype=np.float64))
     assert from_gml(to_gml(g)) == g
     assert from_kml(to_kml(g)) == g
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes())
+def test_box_fill_is_strict_interior_of_pixel_rect(g):
+    """Polygon fill == integer points strictly inside the vertex-truncated
+    pixel rectangle (the reference's JTS-contains rule), for random boxes."""
+    from incubator_sedona_ray.raster.rasterize import geometry_pixels
+    from incubator_sedona_ray.raster.tile import world_to_pixel
+
+    B, RX, RY = (-1100.0, -1100.0, 1100.0, 1100.0), 64, 64
+    fx, fy = geometry_pixels(g, B, RX, RY, fill=True)
+    e = g.envelope()
+    px, py = world_to_pixel(np.array([e[0], e[2]]), np.array([e[1], e[3]]), B, RX, RY)
+    expect = {
+        (x, y)
+        for x in range(int(px[0]) + 1, int(px[1]))
+        for y in range(int(py[0]) + 1, int(py[1]))
+        if 0 <= x < RX and 0 <= y < RY
+    }
+    assert set(zip(fx, fy)) == expect
