@@ -167,8 +167,16 @@ def _parse_markup(text: str) -> Geometry:
 
 
 def from_gml(text: str) -> Geometry:
-    """GML 2/3 fragment -> Geometry (ST_GeomFromGML)."""
-    return _parse_markup(text)
+    """GML 2/3 fragment -> Geometry (ST_GeomFromGML). Fragments with an
+    UNDECLARED ``gml:`` prefix (common when stored standalone in a column)
+    are retried with the prefixes stripped — PostGIS/JTS leniency."""
+    try:
+        return _parse_markup(text)
+    except ET.ParseError:
+        import re
+
+        stripped = re.sub(r"(</?)[A-Za-z_][\w.-]*:", r"\1", text)
+        return _parse_markup(stripped)
 
 
 def from_kml(text: str) -> Geometry:

@@ -459,3 +459,9 @@ class TestCatalogCompletion:
         box = to_wkb(Geometry.box(0, 0, 1, 1))
         a = S.st_areaspheroid([box])[0].as_py()
         assert a == pytest.approx(12364e6 * 1e3 / 1e3, rel=0.01)  # ~1.236e10 m^2
+
+
+def test_geomfromgml_undeclared_prefix():
+    # standalone fragment with no xmlns declaration (PostGIS-style leniency)
+    frag = "<gml:Point><gml:coordinates>7,8</gml:coordinates></gml:Point>"
+    assert from_wkb(S.st_geomfromgml([frag])[0].as_py()) == Geometry.point(7, 8)
