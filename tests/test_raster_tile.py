@@ -309,3 +309,61 @@ def test_raster_accessors():
     # negative pixel_h (north-up geotiff convention) normalizes the envelope
     rneg = Raster(r.data, 0.0, 3.0, 1.0, -1.0)
     assert rs_envelope(rneg) == Geometry.box(0.0, 0.0, 4.0, 3.0)
+
+
+class TestBandAlgebra:
+    """Array-based RS_ surface (MapAlgebra.scala / IO.scala formulas incl.
+    the 2-decimal Scala rounding and truncation quirks)."""
+
+    def test_registry_covers_reference_catalog(self):
+        import re
+
+        from incubator_sedona_ray.raster.algebra import RS_FUNCTIONS
+
+        cat = open(
+            "/root/reference/sql/common/src/main/scala/org/apache/sedona/sql/UDF/Catalog.scala"
+        ).read()
+        names = {n[3:].lower() for n in re.findall(r"RS_[A-Za-z0-9_]+", cat)}
+        assert names <= set(RS_FUNCTIONS), names - set(RS_FUNCTIONS)
+
+    def test_arithmetic_quirks(self):
+        from incubator_sedona_ray.raster import algebra as A
+
+        b1 = np.array([1.0, 2.0, 3.0])
+        b2 = np.array([4.0, 10.0, 7.0])
+        np.testing.assert_array_equal(A.band_add(b1, b2), [5.0, 12.0, 10.0])
+        # subtract is band2 - band1 in the reference
+        np.testing.assert_array_equal(A.band_subtract(b1, b2), [3.0, 8.0, 4.0])
+        # divide rounds to 2 decimals, scala-style floor(x*100+0.5)
+        np.testing.assert_array_equal(A.band_divide(np.array([1.0]), np.array([3.0])), [0.33])
+        np.testing.assert_array_equal(A.band_square_root(np.array([2.0])), [1.41])
+        np.testing.assert_array_equal(A.band_bitwise_and(np.array([6.0]), np.array([3.0])), [2.0])
+        np.testing.assert_array_equal(A.band_greater_than(b1, 1.5), [0.0, 1.0, 1.0])
+        np.testing.assert_array_equal(A.band_logical_difference(b1, np.array([1.0, 9.0, 3.0])), [0.0, 2.0, 0.0])
+        np.testing.assert_array_equal(A.band_logical_over(np.array([0.0, 5.0]), np.array([7.0, 8.0])), [7.0, 5.0])
+
+    def test_ndvi_normalize_stats(self):
+        from incubator_sedona_ray.raster import algebra as A
+
+        # the reference substitutes 0 -> -1 BEFORE the ratio
+        nd = A.band_normalized_difference(np.array([0.0, 2.0]), np.array([4.0, 6.0]))
+        np.testing.assert_array_equal(nd, [np.floor((4 - -1) / (4 + -1) * 100 + 0.5) / 100, 0.5])
+        norm = A.band_normalize(np.array([0.0, 5.0, 10.0]))
+        np.testing.assert_array_equal(norm, [0.0, 127.0, 255.0])
+        assert A.band_mean(np.array([1.0, 2.0, 2.0])) == 1.67
+        np.testing.assert_array_equal(A.band_mode(np.array([3.0, 1.0, 3.0, 1.0, 2.0])), [3.0, 1.0])
+        assert A.band_count_value(np.array([1.0, 2.0, 1.0]), 1.0) == 2
+
+    def test_band_layout_ops(self):
+        from incubator_sedona_ray.raster import algebra as A
+
+        data = np.arange(12, dtype=np.float64)  # 2 bands x 6
+        np.testing.assert_array_equal(A.band_get_band(data, 2, 2), np.arange(6, 12))
+        appended = A.band_append(data, np.full(6, 9.0), 2)
+        assert len(appended) == 18 and (appended[-6:] == 9.0).all()
+        # fetch region: band index = i*dim0 + j (reference row-major quirk)
+        band = np.arange(16, dtype=np.float64)
+        region = A.band_fetch_region(band, [1, 1, 2, 2], [4, 4])
+        np.testing.assert_array_equal(region, [5.0, 6.0, 9.0, 10.0])
+        html = A.band_html(np.zeros(16), 4, 4)
+        assert html.startswith("<img src=\"data:image/png;base64,")
