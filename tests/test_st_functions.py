@@ -20,7 +20,22 @@ PT = to_wkb(Geometry.point(1, 2))
 def test_catalog_size():
     # breadth check: the catalog carries a meaningful share of the ~125
     # vector functions in the reference registry
-    assert len(FUNCTIONS) >= 55
+    assert len(FUNCTIONS) >= 120
+
+
+def test_catalog_name_coverage_vs_reference():
+    """Every ST_ name in the reference Catalog.scala resolves here, except
+    the aggregates (functions/aggregates.py) and SubDivideExplode (the
+    flat-map stage factory st_subdivideexplode_fn)."""
+    import re
+
+    cat = open(
+        "/root/reference/sql/common/src/main/scala/org/apache/sedona/sql/UDF/Catalog.scala"
+    ).read()
+    names = {n[3:].lower().replace("_", "") for n in re.findall(r"ST_[A-Za-z0-9_]+", cat)}
+    ours = {k.lower().replace("_", "") for k in FUNCTIONS}
+    allowed_elsewhere = {"unionaggr", "envelopeaggr", "intersectionaggr", "subdivideexplode"}
+    assert names - ours <= allowed_elsewhere, names - ours - allowed_elsewhere
 
 
 def test_constructors():
