@@ -180,3 +180,48 @@ def test_box_fill_is_strict_interior_of_pixel_rect(g):
         if 0 <= x < RX and 0 <= y < RY
     }
     assert set(zip(fx, fy)) == expect
+
+
+# -- codec round-trips over random arrays -----------------------------------
+
+_dtypes = st.sampled_from(["f8", "f4", "i2", "u1", "i4"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    _dtypes,
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_arcgrid_hdf4_roundtrip_random(h, w, dt, seed):
+    from incubator_sedona_ray.raster.raster import Raster, as_arc_grid, from_arc_grid
+    from incubator_sedona_ray.sources.earthdata import decode_hdf4_sds, encode_hdf4_sds
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.integers(-100, 100, size=(h, w))).astype(dt)
+    # HDF4 DFSD: exact round-trip for every supported dtype
+    back = decode_hdf4_sds(encode_hdf4_sds({"g/x": arr}))["g/x"]
+    assert back.dtype == arr.dtype
+    np.testing.assert_array_equal(back, arr)
+    # ArcGrid: float64 text grid round-trip
+    r = Raster(arr.astype(np.float64)[None], 1.5, -2.5, 0.25, 0.25)
+    r2 = from_arc_grid(as_arc_grid(r))
+    np.testing.assert_array_equal(r2.data, r.data)
+    assert (r2.x0, r2.y0, r2.pixel_w) == (1.5, -2.5, 0.25)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_geotiff_roundtrip_random(h, w, bands, seed):
+    from incubator_sedona_ray.raster.raster import Raster, as_geotiff, from_geotiff
+
+    rng = np.random.default_rng(seed)
+    r = Raster(rng.normal(size=(bands, h, w)), -10.0, 5.0, 0.5, 0.5)
+    r2 = from_geotiff(as_geotiff(r))
+    np.testing.assert_array_equal(r2.data, r.data)
