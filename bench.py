@@ -341,7 +341,7 @@ def run_scaling():
     ceiling; the normalized efficiency (engine/control) is what a dedicated
     cluster would see."""
     scaling_expand = os.environ.get("BENCH_SCALING_EXPAND", "8000")
-    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "4"))
 
     def run(ncpu: int) -> dict:
         env = dict(
