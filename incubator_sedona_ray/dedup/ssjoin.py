@@ -69,18 +69,44 @@ def _prefix_len(size: int, threshold: float) -> int:
     return size - int(math.ceil(threshold * size)) + 1
 
 
-def _df_rank_table(ds, text_col: str, n: int):
-    """(tok_by_val, rank_by_val) for tokens with document frequency >= 2:
-    tokens value-sorted, each with its position under the global
-    (df asc, value asc) order. Tokens absent from the table are singletons
-    and rank after every table entry (they cannot join a pair)."""
+def _sig_rows_fn(text_col: str, id_col: str, n: int):
+    """map_batches stage: text rows -> compact (rid, sig) signature rows,
+    sig packed as little-endian uint64 bytes (binary survives both the
+    object store and Acero hash joins; empty shingle sets dropped)."""
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rids, sigs = [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            s = word_shingles_arr(t or "", n)
+            if len(s):
+                rids.append(int(i))
+                sigs.append(s.tobytes())
+        return pa.table(
+            {"rid": pa.array(rids, type=pa.int64()), "sig": pa.array(sigs, type=pa.binary())}
+        )
+
+    return sig_rows
+
+
+def _unpack_sigs(batch: pa.Table):
+    ids = batch["rid"].to_numpy(zero_copy_only=False)
+    return ids, [np.frombuffer(b, dtype=np.uint64) for b in batch["sig"].to_pylist()]
+
+
+def _df_rank_table(sigs_ds):
+    """(tok_by_val, rank_by_val) for tokens with document frequency >= 2,
+    computed over the materialized signature table: tokens value-sorted,
+    each with its position under the global (df asc, value asc) order.
+    Tokens absent from the table are singletons and rank after every table
+    entry (they cannot join a pair)."""
 
     def toks(batch: pa.Table) -> pa.Table:
-        parts = [word_shingles_arr(t or "", n) for t in batch[text_col].to_pylist()]
-        allt = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+        _, sigs = _unpack_sigs(batch)
+        allt = np.concatenate(sigs) if sigs else np.empty(0, dtype=np.uint64)
         return pa.table({"token": pa.array(allt, type=pa.uint64())})
 
-    counts = ds.map_batches(toks, batch_format="pyarrow").groupby("token").count()
+    counts = sigs_ds.map_batches(toks, batch_format="pyarrow").groupby("token").count()
 
     def keep_repeated(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
@@ -119,30 +145,18 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
 
     from ..join.payload import attach_payload
 
-    rank_ref = ray.put(_df_rank_table(ds, text_col, n)) if order == "df" else None
-
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        rids, sigs = [], []
-        for i, t in zip(ids, batch[text_col].to_pylist()):
-            s = word_shingles_arr(t or "", n)
-            if len(s):
-                rids.append(int(i))
-                # packed little-endian uint64 bytes: hash joins (Acero)
-                # reject list<> non-key fields but carry binary fine
-                sigs.append(s.tobytes())
-        return pa.table(
-            {"rid": pa.array(rids, type=pa.int64()), "sig": pa.array(sigs, type=pa.binary())}
-        )
+    # shingle ONCE into the materialized signature table: it feeds the
+    # df-count pass, the slim explode AND the verification joins
+    sigs_ds = ds.map_batches(_sig_rows_fn(text_col, id_col, n), batch_format="pyarrow").materialize()
+    rank_ref = ray.put(_df_rank_table(sigs_ds)) if order == "df" else None
 
     def explode(batch: pa.Table) -> pa.Table:
         from ..partition.assign import resolve_ref
 
         lookup = resolve_ref(rank_ref) if rank_ref is not None else None
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids, sig_arrays = _unpack_sigs(batch)
         out_tok, out_id, out_len, out_pre = [], [], [], []
-        for i, t in zip(ids, batch[text_col].to_pylist()):
-            s = word_shingles_arr(t or "", n)
+        for i, s in zip(ids, sig_arrays):
             if len(s) == 0:
                 continue
             prefix = _prefix_of(s, threshold, lookup)
@@ -161,7 +175,7 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
             }
         )
 
-    ex = ds.map_batches(explode, batch_format="pyarrow")
+    ex = sigs_ds.map_batches(explode, batch_format="pyarrow")
 
     def cand(g: pd.DataFrame) -> pd.DataFrame:
         tok = int(g["token"].iloc[0])
@@ -189,7 +203,6 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
         )
 
     pairs = ex.groupby("token").map_groups(cand, batch_format="pandas")
-    sigs_ds = ds.map_batches(sig_rows, batch_format="pyarrow")
 
     ja = attach_payload(pairs, sigs_ds, key="a", payload_key="rid", strategy="hash")
 
@@ -248,6 +261,11 @@ def jaccard_self_join(
     table for verification (``join/payload.py`` re-attach) — the
     Vernica-et-al indirection for LARGE documents whose shingle arrays
     would dominate the exchange. Same exact result.
+
+    NOTE: ``order="df"`` and ``carry="ids"`` shingle the corpus ONCE into
+    a materialized compact signature table reused by every pass, so the
+    call executes that stage EAGERLY (Vernica et al. likewise persist the
+    tokenized relation between passes).
     """
     if order not in ("hash", "df"):
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
@@ -257,23 +275,32 @@ def jaccard_self_join(
         return _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order)
 
     rank_ref = None
+    sigs_ds = None
     if order == "df":
         import ray
 
-        rank_ref = ray.put(_df_rank_table(ds, text_col, n))
+        # shingle ONCE: the compact signature table is materialized and
+        # reused by the df-count pass AND the explode (Vernica et al.
+        # likewise persist the tokenized relation between the two passes;
+        # the materialization is a DERIVED table ~|sig| bytes per doc, far
+        # smaller than the text input)
+        sigs_ds = ds.map_batches(_sig_rows_fn(text_col, id_col, n), batch_format="pyarrow").materialize()
+        rank_ref = ray.put(_df_rank_table(sigs_ds))
 
     def explode(batch: pa.Table) -> pa.Table:
         from ..partition.assign import resolve_ref
 
         lookup = resolve_ref(rank_ref) if rank_ref is not None else None
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = batch[text_col].to_pylist()
+        if sigs_ds is not None:
+            ids, sig_arrays = _unpack_sigs(batch)
+        else:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sig_arrays = [word_shingles_arr(t or "", n) for t in batch[text_col].to_pylist()]
         out_tok: list[int] = []
         out_id: list[int] = []
         out_sig: list[list[int]] = []
         out_pre: list[list[int]] = []
-        for i, t in zip(ids, texts):
-            s = word_shingles_arr(t or "", n)
+        for i, s in zip(ids, sig_arrays):
             if len(s) == 0:
                 continue
             prefix = _prefix_of(s, threshold, lookup)  # value-sorted: ownership compares by VALUE
@@ -293,7 +320,7 @@ def jaccard_self_join(
             }
         )
 
-    ex = ds.map_batches(explode, batch_format="pyarrow")
+    ex = (sigs_ds if sigs_ds is not None else ds).map_batches(explode, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         tok = int(g["token"].iloc[0])
