@@ -522,6 +522,18 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_self_join(_docs(sf_dir, columns=["doc_id", "text"]), threshold=JAC_THRESHOLD)
 
 
+def q_jaccard_pairs_ids(sf_dir: str):
+    """Same exact join through the carry="ids" large-document plan (slim
+    token shuffle + candidate hash-join back to the signature table) with
+    df-ordered prefixes — both plan variants against one oracle, like the
+    pip_join family."""
+    from incubator_sedona_ray.dedup import jaccard_self_join
+
+    return jaccard_self_join(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=JAC_THRESHOLD, order="df", carry="ids"
+    )
+
+
 def q_fingerprint(sf_dir: str):
     out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fingerprint_fn(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"])
@@ -808,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "minhash_survivors": q_minhash_survivors,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_ids": q_jaccard_pairs_ids,
         "choropleth": q_choropleth,
         "scatter_zones": q_scatter_zones,
         "simhash": q_simhash,
@@ -1133,6 +1146,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM edges GROUP BY 1, 2"
         ),
         "jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) END AS s FROM toks), "
+            "ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0) "
+            "SELECT a, b, jac FROM ("
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac "
+            f"FROM ne a JOIN ne b ON a.doc_id < b.doc_id) WHERE jac >= {JAC_THRESHOLD}"
+        ),
+        "jaccard_pairs_ids": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
             "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
