@@ -33,10 +33,12 @@ Token order — the skew lever:
   entirely — group sizes stay near df-bounded, the exact result is
   unchanged (prefix filtering is correct under any fixed total order).
 
-Scale note: rows carry their full shingle arrays through the exchange
-(the "full-record" variant of Vernica et al.). For very large documents
-switch to id-only candidates + a hash-join back to the shingle table
-(the pattern :mod:`.minhash` uses for its verify step).
+Carry layout — the document-size lever: ``carry="full"`` ships each
+doc's whole shingle array through the exchange (the "full-record"
+variant of Vernica et al., right for short documents);
+``carry="ids"`` ships only slim candidate rows and hash-joins pairs
+back to the materialized signature table for verification (the
+indirection for very large documents). Both produce identical results.
 """
 
 from __future__ import annotations
