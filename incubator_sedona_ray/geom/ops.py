@@ -350,12 +350,133 @@ def geometric_median(g: Geometry, tol: float = 1e-6, max_iter: int = 1000) -> Ge
     return Geometry.point(float(cur[0]), float(cur[1]), g.srid)
 
 
+def _seg_intersection_point(p1, p2, p3, p4):
+    """Intersection point of properly-crossing segments (caller guarantees
+    a proper crossing; plain line-line solve)."""
+    d1 = p2 - p1
+    d2 = p4 - p3
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    t = ((p3[0] - p1[0]) * d2[1] - (p3[1] - p1[1]) * d2[0]) / denom
+    return p1 + t * d1, t
+
+
+def _node_ring(r: np.ndarray) -> list[np.ndarray]:
+    """Split a self-crossing closed ring into its simple sub-rings (the
+    JTS MakeValid bowtie repair): compute every proper segment crossing,
+    insert the crossing vertices into the walk, then pop a simple ring each
+    time the walk revisits a vertex (stack-cycle extraction). Crossing
+    coordinates are computed ONCE per pair, so the revisit test is exact
+    float equality. Returns [r] unchanged when the ring is simple."""
+    n = len(r) - 1
+    inserts: dict[int, list[tuple[float, tuple[float, float]]]] = {}
+    found = False
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+            a1, a2, b1, b2 = r[i], r[i + 1], r[j], r[j + 1]
+            d1 = np.cross(a2 - a1, b1 - a1)
+            d2 = np.cross(a2 - a1, b2 - a1)
+            d3 = np.cross(b2 - b1, a1 - b1)
+            d4 = np.cross(b2 - b1, a2 - b1)
+            if d1 * d2 < 0 and d3 * d4 < 0:  # proper crossing
+                pt, t = _seg_intersection_point(a1, a2, b1, b2)
+                tj = np.dot(pt - b1, b2 - b1) / np.dot(b2 - b1, b2 - b1)
+                key = (float(pt[0]), float(pt[1]))
+                inserts.setdefault(i, []).append((float(t), key))
+                inserts.setdefault(j, []).append((float(tj), key))
+                found = True
+    if not found:
+        return [r]
+    walk: list[tuple[float, float]] = []
+    for i in range(n):
+        walk.append((float(r[i, 0]), float(r[i, 1])))
+        for _, key in sorted(inserts.get(i, [])):
+            walk.append(key)
+    walk.append(walk[0])
+    rings: list[np.ndarray] = []
+    stack: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+    for v in walk:
+        if v in pos:
+            cycle = stack[pos[v] :] + [v]
+            if len(cycle) >= 4:
+                rings.append(np.asarray(cycle, dtype=np.float64))
+            # unwind the stack back to the first occurrence
+            for w in stack[pos[v] + 1 :]:
+                pos.pop(w, None)
+            stack = stack[: pos[v] + 1]
+        else:
+            pos[v] = len(stack)
+            stack.append(v)
+    # keep only pieces with area; interleaved crossings can leave an
+    # extracted cycle still self-crossing -> recurse until simple (each
+    # level consumes at least one crossing, so this terminates)
+    kept = [c for c in rings if abs(_shoelace(c)) > 0.0]
+    if not kept:
+        return [r]
+    out: list[np.ndarray] = []
+    for c in kept:
+        if len(c) == len(r) and np.array_equal(c, r):
+            out.append(c)
+        else:
+            out.extend(_node_ring(c))
+    return out
+
+
+def _shoelace(c: np.ndarray) -> float:
+    x, y = c[:, 0], c[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
 def make_valid(g: Geometry) -> Geometry:
-    """Normalize ring closure; the numpy kernel has no bowtie-splitting —
-    inputs in this engine are generated valid."""
-    if g.kind == GeometryType.POLYGON:
-        return Geometry(g.kind, [_close_ring(np.asarray(r, dtype=np.float64)) for r in g.coords], g.srid)
-    return g
+    """ST_MakeValid: normalize ring closure and split self-crossing
+    (bowtie) rings into simple pieces — a single bowtie shell becomes the
+    MULTIPOLYGON of its lobes, matching JTS MakeValid structure. Polygons
+    whose repaired rings multiply are reassembled by even-odd nesting."""
+    if g.kind != GeometryType.POLYGON:
+        return g
+    pieces: list[np.ndarray] = []
+    for r in g.coords:
+        pieces.extend(_node_ring(_close_ring(np.asarray(r, dtype=np.float64))))
+    if len(pieces) == len(g.coords):
+        return Geometry(g.kind, pieces, g.srid)
+    # even-odd nesting over the repaired ring set (buildArea semantics)
+    from . import predicates as _p
+
+    depth = []
+    for i, r in enumerate(pieces):
+        d = 0
+        probe = r[:-1].mean(axis=0) if abs(_shoelace(r)) > 0 else r[0]
+        for j, other in enumerate(pieces):
+            if i != j and _p.locate_points_in_ring(
+                np.array([probe[0]]), np.array([probe[1]]), other
+            )[0] == _p.INTERIOR:
+                d += 1
+        depth.append(d)
+    polys = []
+    for i, r in enumerate(pieces):
+        if depth[i] % 2 == 0:
+            holes = [
+                pieces[j]
+                for j in range(len(pieces))
+                if j != i
+                and depth[j] == depth[i] + 1
+                and _p.locate_points_in_ring(np.array([pieces[j][0, 0]]), np.array([pieces[j][0, 1]]), r)[0]
+                != _p.EXTERIOR
+            ]
+            polys.append([r] + holes)
+    if not polys:
+        # deeply-interleaved crossings (e.g. a pentagram) extract OVERLAPPING
+        # simple cycles — dissolve them with the piecewise union kernel
+        from .triangulate import union_aggr_general
+
+        u = union_aggr_general([Geometry(GeometryType.POLYGON, [p]) for p in pieces])
+        u.srid = g.srid
+        return u
+    if len(polys) == 1:
+        return Geometry(GeometryType.POLYGON, polys[0], g.srid)
+    return Geometry(GeometryType.MULTIPOLYGON, polys, g.srid)
 
 
 def union_envelope_aggr(envs: np.ndarray) -> tuple[float, float, float, float]:
