@@ -22,7 +22,7 @@ Coverage notes:
 * boolean ops: intersection/union/difference/symDifference of simple
   polygons (incl. holes) via the piecewise triangulation kernel
   (geom/triangulate.py); concaveHull/split/buildArea/subdivide are real;
-  makeValid bowtie repair remains out of scope (GEOS absent)
+  makeValid repairs bowties via ring noding + cycle extraction (geom/ops.py)
 * markup constructors: geomFromGML/geomFromKML (geom/markup.py)
 """
 
