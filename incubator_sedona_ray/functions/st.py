@@ -555,7 +555,9 @@ def st_minimumboundingcircle(col, quad_segs: int = 8) -> pa.Array:
 def st_intersection(col_a, col_b) -> pa.Array:
     """General polygon intersection: direct Sutherland–Hodgman when one
     operand is convex; otherwise ear-clip triangulation + pairwise convex
-    clips (exact PIECEWISE MultiPolygon — see geom/triangulate.py)."""
+    clips (geom/triangulate.py), dissolved to boundary rings with holes
+    (geom/dissolve.py) to match the reference's JTS overlayOp output
+    (``Functions.java:466``)."""
     from ..geom import triangulate as _tri
 
     out = []
@@ -568,7 +570,9 @@ def st_intersection(col_a, col_b) -> pa.Array:
         elif _is_convex(a):
             out.append(_lin.clip_convex(b, a))
         else:
-            out.append(_tri.intersection(a, b))
+            from ..geom.dissolve import dissolve as _dis
+
+            out.append(_dis(_tri.intersection(a, b)))
     return _wkb_arr(out)
 
 
@@ -595,13 +599,27 @@ FUNCTIONS.update(
 )
 
 
-# -- boolean ops (geom/triangulate.py piecewise kernels) --------------------
+# -- boolean ops (geom/triangulate.py piecewise kernels, dissolved to
+#    boundary rings like the reference's JTS overlayOp; geom/dissolve.py) ---
+
+def _dissolved(g: Geometry) -> Geometry:
+    """Dissolve a piecewise boolean result into shells+holes. Single-ring
+    polygons (the convex-clip fast path) skip the planar overlay."""
+    if g.kind == GeometryType.POLYGON and len(g.coords) == 1:
+        return g
+    from ..geom.dissolve import dissolve
+
+    return dissolve(g)
+
 
 def st_difference(col_a, col_b) -> pa.Array:
     from ..geom import triangulate as _tri
 
     return _wkb_arr(
-        [None if a is None or b is None else _tri.difference(a, b) for a, b in zip(_geoms(col_a), _geoms(col_b))]
+        [
+            None if a is None or b is None else _dissolved(_tri.difference(a, b))
+            for a, b in zip(_geoms(col_a), _geoms(col_b))
+        ]
     )
 
 
@@ -609,7 +627,10 @@ def st_union(col_a, col_b) -> pa.Array:
     from ..geom import triangulate as _tri
 
     return _wkb_arr(
-        [None if a is None or b is None else _tri.union(a, b) for a, b in zip(_geoms(col_a), _geoms(col_b))]
+        [
+            None if a is None or b is None else _dissolved(_tri.union(a, b))
+            for a, b in zip(_geoms(col_a), _geoms(col_b))
+        ]
     )
 
 
@@ -617,7 +638,10 @@ def st_symdifference(col_a, col_b) -> pa.Array:
     from ..geom import triangulate as _tri
 
     return _wkb_arr(
-        [None if a is None or b is None else _tri.sym_difference(a, b) for a, b in zip(_geoms(col_a), _geoms(col_b))]
+        [
+            None if a is None or b is None else _dissolved(_tri.sym_difference(a, b))
+            for a, b in zip(_geoms(col_a), _geoms(col_b))
+        ]
     )
 
 

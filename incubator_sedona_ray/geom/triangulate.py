@@ -105,6 +105,13 @@ def triangulate(poly: Geometry) -> list[np.ndarray]:
         ring = _merge_hole(ring, hr)
     idx = list(range(len(ring)))
     tris: list[np.ndarray] = []
+    # relative epsilon (area units): a cross product below eps is treated as
+    # collinear. Near-collinear vertex chains (common in angular-sampled
+    # polygons) otherwise pass the exact convexity test while a just-outside
+    # blocking vertex fails the exact containment test, yielding overlapping
+    # ears.
+    span = float(max(ring[:, 0].ptp(), ring[:, 1].ptp(), 1.0))
+    eps = span * span * 1e-12
     guard = 0
     while len(idx) > 3 and guard < 10000:
         guard += 1
@@ -114,14 +121,14 @@ def triangulate(poly: Geometry) -> list[np.ndarray]:
             i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
             a, b, c = ring[i0], ring[i1], ring[i2]
             cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-            if cross <= 0:
-                continue  # reflex or degenerate vertex
-            # no other active vertex strictly inside the candidate ear
+            if cross <= eps:
+                continue  # reflex, degenerate or numerically-unsafe vertex
+            # no other active vertex (nearly) inside the candidate ear
             ok = True
             for j in idx:
                 if j in (i0, i1, i2):
                     continue
-                if _in_triangle(ring[j], a, b, c):
+                if _in_triangle(ring[j], a, b, c, eps):
                     ok = False
                     break
             if ok:
@@ -129,7 +136,9 @@ def triangulate(poly: Geometry) -> list[np.ndarray]:
                 idx.pop(k)
                 ear_found = True
                 break
-        if not ear_found:  # numerically degenerate remainder
+        if not ear_found:
+            # numerically degenerate remainder: every remaining vertex is
+            # within eps of collinear — the residual area is O(eps)
             break
     if len(idx) == 3:
         a, b, c = ring[idx[0]], ring[idx[1]], ring[idx[2]]
@@ -138,17 +147,17 @@ def triangulate(poly: Geometry) -> list[np.ndarray]:
     return tris
 
 
-def _in_triangle(p, a, b, c) -> bool:
-    """CLOSED-triangle membership (boundary counts): a vertex lying exactly
-    on a candidate ear's edge (e.g. a reflex vertex on the diagonal) must
-    BLOCK the ear, or the remainder ring self-overlaps."""
+def _in_triangle(p, a, b, c, eps: float = 0.0) -> bool:
+    """CLOSED-triangle membership (boundary counts, within eps): a vertex
+    lying (nearly) on a candidate ear's edge (e.g. a reflex vertex on the
+    diagonal) must BLOCK the ear, or the remainder ring self-overlaps."""
     for q in (a, b, c):
         if p[0] == q[0] and p[1] == q[1]:
             return False  # coincident with an ear corner -> doesn't block
     d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
     d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
     d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
-    return d1 >= 0 and d2 >= 0 and d3 >= 0
+    return d1 >= -eps and d2 >= -eps and d3 >= -eps
 
 
 def _is_convex_ring(ring: np.ndarray) -> bool:
