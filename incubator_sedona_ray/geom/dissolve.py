@@ -110,21 +110,25 @@ def _chain_rings(coords: np.ndarray, directed: list[tuple[int, int]]) -> list[np
     At a junction vertex (degree > 1) take the clockwise-most outgoing edge
     relative to the incoming direction — the standard face-walk rule that
     keeps the region interior on the left and splits pinch vertices into
-    simple rings."""
+    simple rings. ``directed`` is a MULTISET: an edge traversed twice in
+    the same direction (two loops tangent along it) appears twice and must
+    be consumed twice, or Eulerian parity breaks and whole rings drop as
+    dead-end chains."""
     out_adj: dict[int, list[int]] = {}
+    remaining: dict[tuple[int, int], int] = {}
     for u, v in directed:
         out_adj.setdefault(u, []).append(v)
-    used = set()
+        remaining[(u, v)] = remaining.get((u, v), 0) + 1
     rings: list[np.ndarray] = []
     for start_edge in directed:
-        if start_edge in used:
+        if remaining.get(start_edge, 0) <= 0:
             continue
         ring_idx = [start_edge[0]]
         u, v = start_edge
-        used.add(start_edge)
+        remaining[start_edge] -= 1
         while v != ring_idx[0]:
             ring_idx.append(v)
-            cands = [w for w in out_adj.get(v, []) if (v, w) not in used]
+            cands = [w for w in out_adj.get(v, []) if remaining.get((v, w), 0) > 0]
             if not cands:
                 break  # open chain (degenerate input) — drop below
             if len(cands) == 1:
@@ -146,7 +150,7 @@ def _chain_rings(coords: np.ndarray, directed: list[tuple[int, int]]) -> list[np
                     if ang > best_ang:
                         best, best_ang = w2, ang
                 w = best
-            used.add((v, w))
+            remaining[(v, w)] -= 1
             u, v = v, w
         else:
             rings.append(np.asarray(ring_idx, dtype=np.int64))
@@ -168,6 +172,47 @@ def _drop_collinear(ring: np.ndarray) -> np.ndarray:
             keep[i] = False
     out = ring[keep]
     return out if len(out) >= 3 else ring
+
+
+def _ring_is_simple(ring: np.ndarray) -> bool:
+    """No edge of the open ring properly crosses, T-touches the interior
+    of, or collinearly overlaps another edge. Shared VERTICES are allowed
+    (pinch rings self-touch at vertices by construction). Used as the
+    validity gate in :func:`dissolve`: genuinely-overlapping input pieces
+    chain into self-intersecting rings whose shoelace area still matches
+    the (double-counted) piece sum, so the area check alone cannot reject
+    them."""
+    n = len(ring)
+    if n < 4:
+        return True
+    A = ring
+    B = np.vstack([ring[1:], ring[:1]])
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    def strictly_within(px, py, qx, qy, rx, ry):
+        # r collinear-with and strictly between p..q (caller checked collinear)
+        t = (rx - px) * (qx - px) + (ry - py) * (qy - py)
+        L2 = (qx - px) ** 2 + (qy - py) ** 2
+        return (t > 0) & (t < L2)
+
+    for i in range(n - 1):
+        ax, ay, bx, by = A[i, 0], A[i, 1], B[i, 0], B[i, 1]
+        cx, cy = A[i + 1 :, 0], A[i + 1 :, 1]
+        dx, dy = B[i + 1 :, 0], B[i + 1 :, 1]
+        o1 = orient(ax, ay, bx, by, cx, cy)
+        o2 = orient(ax, ay, bx, by, dx, dy)
+        o3 = orient(cx, cy, dx, dy, ax, ay)
+        o4 = orient(cx, cy, dx, dy, bx, by)
+        bad = (o1 * o2 < 0) & (o3 * o4 < 0)
+        bad |= (o1 == 0) & strictly_within(ax, ay, bx, by, cx, cy)
+        bad |= (o2 == 0) & strictly_within(ax, ay, bx, by, dx, dy)
+        bad |= (o3 == 0) & strictly_within(cx, cy, dx, dy, ax, ay)
+        bad |= (o4 == 0) & strictly_within(cx, cy, dx, dy, bx, by)
+        if bool(bad.any()):
+            return False
+    return True
 
 
 def _point_in_ring(p: np.ndarray, ring: np.ndarray) -> bool:
@@ -223,9 +268,9 @@ def dissolve_rings(
     directed = []
     for (p, q), c in edges.items():
         if c > 0:
-            directed.extend([(p, q)] * min(c, 1))
+            directed.extend([(p, q)] * c)
         elif c < 0:
-            directed.extend([(q, p)] * min(-c, 1))
+            directed.extend([(q, p)] * -c)
     chains = _chain_rings(coords, directed)
     shells: list[np.ndarray] = []
     holes: list[np.ndarray] = []
@@ -305,5 +350,13 @@ def dissolve(g: Geometry, tol: float | None = None) -> Geometry:
                 out_area += abs(a) if i == 0 else -abs(a)
     if abs(out_area - piece_area) > 1e-6 * max(abs(piece_area), 1e-12):
         return g
+    for part in out.parts():
+        if part.kind == GeometryType.POLYGON:
+            for ring in part.coords:
+                r = np.asarray(ring, dtype=np.float64)
+                if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+                    r = r[:-1]
+                if not _ring_is_simple(r):
+                    return g
     out.srid = g.srid
     return out

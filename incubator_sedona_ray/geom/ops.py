@@ -222,20 +222,118 @@ def buffer_point(x: float, y: float, radius: float, quad_segs: int = 8, srid: in
     return Geometry.polygon(shell, srid=srid)
 
 
+def _path_buffer_pieces(
+    path: np.ndarray, radius: float, quad_segs: int, closed: bool = False
+) -> list[Geometry]:
+    """Convex pieces of the round-join buffer of a polyline: one disc
+    (4*quad_segs-gon) per vertex + one offset rectangle per segment, in
+    path order so the union fold's bbox skip only touches neighbors. With
+    ``closed`` the last segment wraps to the first vertex (ring input
+    WITHOUT the duplicated closing vertex — a duplicate disc would
+    degenerate the union fold)."""
+    n = max(4, 4 * quad_segs)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ca, sa = radius * np.cos(ang), radius * np.sin(ang)
+    out: list[Geometry] = []
+    m = len(path)
+    for i in range(m):
+        x, y = float(path[i][0]), float(path[i][1])
+        out.append(Geometry.polygon(np.column_stack([x + ca, y + sa])))
+        if i + 1 < m or closed:
+            a, b = path[i], path[(i + 1) % m]
+            dx, dy = float(b[0] - a[0]), float(b[1] - a[1])
+            L = float(np.hypot(dx, dy))
+            if L == 0.0:
+                continue
+            nx, ny = -dy / L * radius, dx / L * radius
+            # CCW for radius > 0 (the only sign this helper receives)
+            out.append(
+                Geometry.polygon(
+                    np.array(
+                        [
+                            [a[0] + nx, a[1] + ny],
+                            [a[0] - nx, a[1] - ny],
+                            [b[0] - nx, b[1] - ny],
+                            [b[0] + nx, b[1] + ny],
+                        ]
+                    )
+                )
+            )
+    return out
+
+
 def buffer(g: Geometry, radius: float, quad_segs: int = 8) -> Geometry:
-    """Buffer. Exact for points; for other geometries returns the convex
-    Minkowski approximation (hull of per-vertex circles) — adequate for
-    envelope expansion / distance-join pre-filters; not a general GEOS
-    buffer (no boolean-ops kernel available)."""
+    """Round-join / round-cap buffer (JTS BufferOp semantics,
+    ``Functions.java:80``): the Minkowski sum with a disc discretized at
+    GEOS's 4*quad_segs circle resolution, decomposed into per-vertex discs
+    + per-segment offset rectangles (+ the interior pieces for polygons),
+    folded with the convex-piece union kernel and dissolved to boundary
+    rings (``geom/dissolve.py``). Negative radius erodes polygons
+    (interior minus the boundary's buffer); a negative buffer of points /
+    lines is empty, as in JTS."""
+    from .dissolve import dissolve
+    from .triangulate import _as_geom, _convex_pieces, _pieces_minus_filtered
+
     if radius == 0:
         return g
-    if g.kind == GeometryType.POINT:
+    k = g.kind
+    if radius < 0 and k not in (GeometryType.POLYGON, GeometryType.MULTIPOLYGON):
+        return Geometry(GeometryType.GEOMETRYCOLLECTION, [], g.srid)
+    if k == GeometryType.POINT:
         return buffer_point(float(g.coords[0]), float(g.coords[1]), radius, quad_segs, g.srid)
-    pts = g.all_coords()
-    n = max(8, 4 * quad_segs)
-    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    cloud = (pts[:, None, :] + radius * np.stack([np.cos(ang), np.sin(ang)], axis=1).T[None]).reshape(-1, 2)
-    return convex_hull(Geometry(GeometryType.MULTIPOINT, cloud, g.srid))
+
+    # sliver threshold: 1e-9 r^2 is far below the discretization error of
+    # the 4*quad_segs circle (~1e-3 r^2), so dropped slivers never show up
+    # against the arc approximation itself, but they keep the fold's
+    # fragment count linear in path length
+    eps_area = abs(radius) * abs(radius) * 1e-9
+
+    def fold_union(pieces: list[Geometry]) -> list[Geometry]:
+        # pieces overlap each other (a vertex disc overlaps both adjacent
+        # segment rectangles), so each one must be clipped against the
+        # accumulated tiling individually. Epsilon-area slivers (coincident
+        # piece edges fragmenting on each other) are dropped — they change
+        # the buffered area by O(1e-12 r^2) but otherwise fragment the fold
+        # combinatorially.
+        acc: list[Geometry] = []
+        for p in pieces:
+            acc = acc + _pieces_minus_filtered([p], acc, eps_area)
+        return acc
+
+    piece_lists: list[list[Geometry]] = []
+    interior: list[Geometry] = []
+    if k == GeometryType.MULTIPOINT:
+        pts = np.asarray(g.coords, dtype=np.float64).reshape(-1, 2)
+        piece_lists = [[buffer_point(float(x), float(y), radius, quad_segs)] for x, y in pts]
+    elif k in (GeometryType.LINESTRING, GeometryType.MULTILINESTRING):
+        paths = [np.asarray(g.coords, dtype=np.float64)] if k == GeometryType.LINESTRING else [
+            np.asarray(p, dtype=np.float64) for p in g.coords
+        ]
+        piece_lists = [_path_buffer_pieces(p, radius, quad_segs) for p in paths]
+    elif k in (GeometryType.POLYGON, GeometryType.MULTIPOLYGON):
+        interior = _convex_pieces(g)
+        rings = list(g.coords) if k == GeometryType.POLYGON else [r for poly in g.coords for r in poly]
+        ring_paths = []
+        for r in rings:
+            rr = np.asarray(r, dtype=np.float64)
+            if len(rr) >= 2 and rr[0][0] == rr[-1][0] and rr[0][1] == rr[-1][1]:
+                rr = rr[:-1]
+            ring_paths.append(rr)
+        piece_lists = [_path_buffer_pieces(rr, abs(radius), quad_segs, closed=True) for rr in ring_paths]
+        if radius < 0:
+            boundary_pieces = fold_union([p for pl in piece_lists for p in pl])
+            out = dissolve(_as_geom(_pieces_minus_filtered(interior, boundary_pieces, eps_area)))
+            out.srid = g.srid
+            return out
+    else:  # GeometryCollection etc.: buffer the union of member buffers
+        parts = list(g.parts())
+        if not parts:
+            return Geometry(GeometryType.GEOMETRYCOLLECTION, [], g.srid)
+        piece_lists = [_convex_pieces(buffer(p, radius, quad_segs)) for p in parts]
+    acc = fold_union(interior + [p for pl in piece_lists for p in pl])
+    out = dissolve(_as_geom(acc))
+    out.srid = g.srid
+    return out
 
 
 def expand_envelope(env: tuple[float, float, float, float], d: float):

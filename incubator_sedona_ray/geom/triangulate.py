@@ -225,21 +225,22 @@ def intersection_aggr(geoms: list[Geometry]) -> Geometry:
 def _clip_halfplane(ring: np.ndarray, a, b, keep_left: bool) -> np.ndarray:
     """Clip an open convex ring against the half-plane of directed edge a->b
     (keep_left=True keeps the left side). Returns open ring (may be empty)."""
-    out = []
     n = len(ring)
     sign = 1.0 if keep_left else -1.0
-
-    def side(p):
-        return sign * ((b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]))
-
+    s = sign * ((b[0] - a[0]) * (ring[:, 1] - a[1]) - (b[1] - a[1]) * (ring[:, 0] - a[0]))
+    inside = s >= 0
+    if inside.all():
+        return ring
+    if not inside.any():
+        return np.empty((0, 2))
+    out = []
     for j in range(n):
-        cur, nxt = ring[j], ring[(j + 1) % n]
-        cs, ns = side(cur), side(nxt)
-        if cs >= 0:
-            out.append(cur)
-        if (cs >= 0) != (ns >= 0):
-            t = cs / (cs - ns)
-            out.append(cur + t * (nxt - cur))
+        jn = (j + 1) % n
+        if inside[j]:
+            out.append(ring[j])
+        if inside[j] != inside[jn]:
+            t = s[j] / (s[j] - s[jn])
+            out.append(ring[j] + t * (ring[jn] - ring[j]))
     return np.asarray(out) if len(out) >= 3 else np.empty((0, 2))
 
 
@@ -255,6 +256,12 @@ def convex_difference(piece: Geometry, clip: Geometry) -> list[Geometry]:
     current = pring  # region of piece inside all previously-processed edges
     for i in range(len(cring) - 1):
         a, b = cring[i], cring[i + 1]
+        if a[0] == b[0] and a[1] == b[1]:
+            # zero-length clip edge (duplicate vertex, common in clip rings
+            # that are themselves fragments): no half-plane — skipping it
+            # is mandatory, else side() is identically 0 and the whole
+            # remainder is emitted as outside AND kept in current
+            continue
         outside = _clip_halfplane(current, a, b, keep_left=False)
         if len(outside) >= 3:
             out.append(Geometry.polygon(outside))
@@ -264,12 +271,62 @@ def convex_difference(piece: Geometry, clip: Geometry) -> list[Geometry]:
     return out
 
 
+def _piece_bbox(p: Geometry) -> tuple[float, float, float, float]:
+    bb = getattr(p, "_piece_bbox_cache", None)
+    if bb is None:
+        r = np.asarray(p.coords[0], dtype=np.float64)
+        bb = (float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max()))
+        p._piece_bbox_cache = bb
+    return bb
+
+
 def _pieces_minus(pieces: list[Geometry], clip_pieces: list[Geometry]) -> list[Geometry]:
+    # bbox fast-skip: a piece whose envelope is disjoint from the clip
+    # piece's survives the convex difference unchanged. Turns the fold from
+    # all-pairs into locally-overlapping pairs (critical for long piece
+    # chains, e.g. buffer decompositions).
+    boxes = [_piece_bbox(p) for p in pieces]
     for c in clip_pieces:
+        c0, c1, c2, c3 = _piece_bbox(c)
         nxt: list[Geometry] = []
-        for p in pieces:
-            nxt.extend(convex_difference(p, c))
-        pieces = nxt
+        nboxes: list[tuple[float, float, float, float]] = []
+        for p, b in zip(pieces, boxes):
+            if b[2] < c0 or b[0] > c2 or b[3] < c1 or b[1] > c3:
+                nxt.append(p)
+                nboxes.append(b)
+                continue
+            frags = convex_difference(p, c)
+            nxt.extend(frags)
+            nboxes.extend(_piece_bbox(f) for f in frags)
+        pieces, boxes = nxt, nboxes
+        if not pieces:
+            break
+    return pieces
+
+
+def _pieces_minus_filtered(
+    pieces: list[Geometry], clip_pieces: list[Geometry], eps_area: float
+) -> list[Geometry]:
+    """Like :func:`_pieces_minus` but drops fragments below ``eps_area``
+    after EVERY clip step. Not exact (area shrinks by O(eps_area) per
+    step) — used by the buffer fold, where slivers far below the arc
+    discretization error otherwise multiply fragment counts
+    combinatorially. The exact kernels keep using ``_pieces_minus``."""
+    boxes = [_piece_bbox(p) for p in pieces]
+    for c in clip_pieces:
+        c0, c1, c2, c3 = _piece_bbox(c)
+        nxt: list[Geometry] = []
+        nboxes: list[tuple[float, float, float, float]] = []
+        for p, b in zip(pieces, boxes):
+            if b[2] < c0 or b[0] > c2 or b[3] < c1 or b[1] > c3:
+                nxt.append(p)
+                nboxes.append(b)
+                continue
+            for f in convex_difference(p, c):
+                if abs(ring_area(np.asarray(f.coords[0], dtype=np.float64))) > eps_area:
+                    nxt.append(f)
+                    nboxes.append(_piece_bbox(f))
+        pieces, boxes = nxt, nboxes
         if not pieces:
             break
     return pieces
