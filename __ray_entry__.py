@@ -711,6 +711,37 @@ def q_zone_diff_area(sf_dir: str):
     return pd.DataFrame({"zone_id": t["zone_id"].to_pylist(), "diff_area": areas.to_pylist()})
 
 
+def q_zone_buffer_area(sf_dir: str):
+    """ST_Buffer (round-join Minkowski buffer, ``geom/ops.py buffer``):
+    dilate and erode each zone square by a per-zone radius. Closed forms:
+    erosion (side-2r)^2, dilation side^2 + 4*side*r + 16 r^2 sin(pi/16)
+    (inscribed-32-gon corners). The engine agrees to ~1e-12 relative
+    (shoelace cancellation at |coord|~180), so both sides are compared as
+    integers in 1e-4 area units."""
+    from incubator_sedona_ray.functions.st import st_buffer, st_area
+
+    t = _zones_table()
+    zone_ids = np.asarray(t["zone_id"].to_pylist())
+    radii = 0.5 + 0.5 * (zone_ids % 5).astype(np.float64)
+    dil = np.empty(len(zone_ids))
+    ero = np.empty(len(zone_ids))
+    for r in np.unique(radii):
+        m = radii == r
+        sub = t["geom"].filter(pa.array(m))
+        dil[m] = st_area(st_buffer(sub, float(r))).to_numpy(zero_copy_only=False)
+        ero[m] = st_area(st_buffer(sub, -float(r))).to_numpy(zero_copy_only=False)
+    # dilated area as an integer in 1e-4 units: float round() of the two
+    # sides lands on different nearest-doubles; integers can't
+    return pd.DataFrame(
+        {
+            "zone_id": zone_ids,
+            "r": radii,
+            "dil_area_e4": np.rint(dil * 10000.0).astype(np.int64),
+            "ero_area_e4": np.rint(ero * 10000.0).astype(np.int64),
+        }
+    )
+
+
 SLIDE_US = 6 * 3600 * 1_000_000   # 6h slide
 WIN_US = 24 * 3600 * 1_000_000    # 24h window
 
@@ -808,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_sort": q_spatial_sort,
         "zone_clip_area": q_zone_clip_area,
         "zone_diff_area": q_zone_diff_area,
+        "zone_buffer_area": q_zone_buffer_area,
         "sliding_window": q_sliding_window,
         "asof_join": q_asof_join,
         # rows-only checks (non-SQL-expressible)
@@ -1098,6 +1130,14 @@ def oracle_sql() -> dict[str, str]:
             f"greatest(0.0, least(x0 + {ZN_SIDE}, 50.0) - greatest(x0, -50.0)) * "
             f"greatest(0.0, least(y0 + {ZN_SIDE}, 50.0) - greatest(y0, -50.0)) AS clip_area FROM zones) "
             f"SELECT zone_id, {ZN_SIDE} * {ZN_SIDE} - clip_area AS diff_area FROM c"
+        ),
+        "zone_buffer_area": (
+            f"WITH zones AS ({_ZONES_SQL}), "
+            "b AS (SELECT zone_id, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (zone_id % 5) AS r FROM zones) "
+            f"SELECT zone_id, r, "
+            f"CAST(round((CAST({ZN_SIDE} * {ZN_SIDE} AS DOUBLE) + CAST(4 * {ZN_SIDE} AS DOUBLE) * r "
+            "+ CAST(16 AS DOUBLE) * r * r * sin(pi() / 16)) * 10000) AS BIGINT) AS dil_area_e4, "
+            f"CAST(round((CAST({ZN_SIDE} AS DOUBLE) - 2 * r) * (CAST({ZN_SIDE} AS DOUBLE) - 2 * r) * 10000) AS BIGINT) AS ero_area_e4 FROM b"
         ),
         "sliding_window": (
             f"WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events), "

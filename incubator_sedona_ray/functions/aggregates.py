@@ -38,16 +38,20 @@ def envelope_aggr(ds, geom_col: str = "geom") -> Geometry:
 
 def union_aggr_geoms(geoms: list[Geometry], check_disjoint: bool = True) -> Geometry:
     """Union of geometries. Disjoint inputs -> Multi* assembly; overlapping
-    POLYGONS fall back to the exact piecewise boolean kernel
-    (geom/triangulate.py union_aggr_general)."""
+    POLYGONS go through the exact piecewise boolean kernel
+    (geom/triangulate.py union_aggr_general), dissolved to boundary
+    shells+holes like the reference's JTS union (geom/dissolve.py; the
+    dissolve self-check falls back to the piecewise form on pathological
+    input)."""
     parts = [p for g in geoms for p in g.parts()]
     if check_disjoint:
         for i in range(len(parts)):
             for j in range(i + 1, len(parts)):
                 if _pred._interiors_overlap(parts[i], parts[j]):
+                    from ..geom.dissolve import dissolve
                     from ..geom.triangulate import union_aggr_general
 
-                    return union_aggr_general(parts)
+                    return dissolve(union_aggr_general(parts))
     kinds = {p.kind for p in parts}
     if kinds == {GeometryType.POLYGON}:
         return Geometry(GeometryType.MULTIPOLYGON, [p.coords for p in parts])
