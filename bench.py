@@ -284,6 +284,31 @@ def run_bench() -> dict:
 
     timed("q8_jaccard_pairs", q8, rows=n_docs)
 
+    # q9: broadcast join with a polygon-WKB BIG side (per-page footprint
+    # boxes x zone polygons) — exercises the batch WKB envelope scanner and
+    # the vectorized polygon-x-polygon refine instead of the point fast path
+    def q9():
+        from incubator_sedona_ray.geom.wkb import boxes_to_wkb
+
+        def boxify(b: pa.Table) -> pa.Table:
+            lon = b["lon"].to_numpy(zero_copy_only=False)
+            lat = b["lat"].to_numpy(zero_copy_only=False)
+            w = boxes_to_wkb(lon - 0.25, lat - 0.25, lon + 0.25, lat + 0.25)
+            return pa.table({"doc_id": b["doc_id"], "geom": pa.array(list(w), type=pa.binary())})
+
+        boxes = (
+            expanded_pages(ray, n_docs, columns=["doc_id", "url"])
+            .map_batches(geocode_batch, batch_format="pyarrow")
+            .map_batches(boxify, batch_format="pyarrow")
+        )
+        joined = broadcast_spatial_join(
+            boxes, country_zones_table(), "intersects",
+            big_geom="geom", small_geom="geom", how="inner", small_columns=["zone_cc"],
+        )
+        return joined.count()
+
+    timed("q9_wkb_poly_broadcast", q9, rows=n_pages)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

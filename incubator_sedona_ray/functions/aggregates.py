@@ -27,7 +27,7 @@ def envelope_aggr(ds, geom_col: str = "geom") -> Geometry:
     from ray.data.aggregate import Max, Min
 
     def env_cols(batch: pa.Table) -> pa.Table:
-        env = _wkb.envelopes_from_wkb(batch[geom_col].to_pylist())
+        env = _wkb.envelopes_from_wkb(batch[geom_col])  # zero-copy batch scan
         return pa.table({"e0": env[:, 0], "e1": env[:, 1], "e2": env[:, 2], "e3": env[:, 3]})
 
     row = ds.map_batches(env_cols, batch_format="pyarrow").aggregate(

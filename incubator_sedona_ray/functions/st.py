@@ -128,7 +128,7 @@ def st_y(col) -> pa.Array:
 
 
 def _env_part(col, i):
-    env = _wkb.envelopes_from_wkb(_to_list(col))
+    env = _wkb.envelopes_from_wkb(col)  # zero-copy batch scan
     return pa.array(env[:, i], type=pa.float64())
 
 

@@ -50,6 +50,36 @@ def points_to_wkb(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return out
 
 
+def boxes_to_wkb(x0, y0, x1, y1) -> np.ndarray:
+    """Vectorized axis-aligned boxes -> object array of 93-byte WKB
+    polygons (one CCW closed 5-point ring), zero Python per-row math."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    n = len(x0)
+    rec = np.zeros(
+        n,
+        dtype=[("bo", "u1"), ("typ", "<u4"), ("nr", "<u4"), ("np", "<u4"), ("c", "<f8", (5, 2))],
+    )
+    rec["bo"] = 1
+    rec["typ"] = 3
+    rec["nr"] = 1
+    rec["np"] = 5
+    c = rec["c"]
+    c[:, 0, 0] = x0; c[:, 0, 1] = y0
+    c[:, 1, 0] = x1; c[:, 1, 1] = y0
+    c[:, 2, 0] = x1; c[:, 2, 1] = y1
+    c[:, 3, 0] = x0; c[:, 3, 1] = y1
+    c[:, 4, 0] = x0; c[:, 4, 1] = y0
+    raw = rec.tobytes()
+    assert rec.dtype.itemsize == 93
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = raw[i * 93 : (i + 1) * 93]
+    return out
+
+
 def points_from_wkb(wkb_col) -> tuple[np.ndarray, np.ndarray]:
     """WKB point column (list/array of bytes) -> (x, y) float64 arrays.
 
@@ -226,25 +256,321 @@ def _read_coordseq_z(mv: memoryview, off: int, bo: str, dim: int, has_z: bool):
 # envelope extraction without full geometry build (for partition assignment)
 # ---------------------------------------------------------------------------
 
+def _flat_wkb_buffer(wkb_col):
+    """Binary column -> (u8 buffer, int64 starts, int64 lens).
+
+    Zero-copy for arrow Binary/LargeBinary arrays (reads the value and
+    offset buffers directly); one concatenation copy for python lists.
+    Returns None when the column has nulls or an unexpected layout (the
+    caller then walks rows one by one)."""
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        pa = None
+    if pa is not None and isinstance(wkb_col, pa.ChunkedArray):
+        wkb_col = wkb_col.combine_chunks()
+    if pa is not None and isinstance(wkb_col, pa.Array):
+        if wkb_col.null_count:
+            return None
+        t = wkb_col.type
+        if pa.types.is_binary(t) or pa.types.is_string(t):
+            odt = np.int32
+        elif pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+            odt = np.int64
+        else:
+            return None
+        bufs = wkb_col.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=odt)[
+            wkb_col.offset : wkb_col.offset + len(wkb_col) + 1
+        ].astype(np.int64)
+        u8 = np.frombuffer(bufs[2], dtype=np.uint8)
+        return u8, offsets[:-1], np.diff(offsets)
+    vals = list(wkb_col)
+    if not all(isinstance(b, (bytes, bytearray)) for b in vals):
+        return None
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=len(vals))
+    ends = np.cumsum(lens)
+    return np.frombuffer(b"".join(vals), dtype=np.uint8), ends - lens, lens
+
+
+def _gather_bytes(u8: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """One fancy-indexed gather of per-row byte ranges into a fresh
+    contiguous u8 array (so the caller can .view() any dtype aligned).
+
+    Index arithmetic is one repeat of the combined (src - dst) shift plus
+    one arange, in int32 whenever the buffer allows — the index array is
+    the dominant memory cost (bytes gathered x 4-8), so narrowing it
+    matters more than the gather itself."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    out_starts = ends - counts
+    dt = np.int32 if len(u8) < 2**31 - 1 and total < 2**31 - 1 else np.int64
+    shift = (starts - out_starts).astype(dt, copy=False)
+    idx = np.arange(total, dtype=dt)
+    idx += np.repeat(shift, counts)
+    return u8[idx]
+
+
+def _read_u32_at(u8: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Vectorized little-endian u32 read at each byte offset in ``pos``."""
+    idx = (pos[:, None] + np.arange(4, dtype=np.int64)[None, :]).ravel()
+    return u8[idx].copy().view("<u4").astype(np.int64)
+
+
+def _ring_peel_envelopes(u8, pos, nrings, out, rows):
+    """Accumulate min/max over ``nrings[i]`` consecutive WKB linearrings
+    starting at byte offset ``pos[i]``; vectorized per ring LEVEL (one
+    gather + reduceat per level), not per row. Writes into out[rows].
+    Returns False (caller falls back to the scalar walk) when a ring has
+    0 points (reduceat cannot express empty groups)."""
+    minx = np.full(len(pos), np.inf)
+    miny = np.full(len(pos), np.inf)
+    maxx = np.full(len(pos), -np.inf)
+    maxy = np.full(len(pos), -np.inf)
+    pos = pos.copy()
+    left = nrings.astype(np.int64).copy()
+    active = left > 0
+    while active.any():
+        cur = pos[active]
+        npts = _read_u32_at(u8, cur)
+        if (npts == 0).any():
+            return False
+        xy = _gather_bytes(u8, cur + 4, npts * 16).view("<f8").reshape(-1, 2)
+        cuts = np.cumsum(npts)[:-1]
+        bounds = np.concatenate([[0], cuts])
+        mnx = np.minimum.reduceat(xy[:, 0], bounds)
+        mny = np.minimum.reduceat(xy[:, 1], bounds)
+        mxx = np.maximum.reduceat(xy[:, 0], bounds)
+        mxy = np.maximum.reduceat(xy[:, 1], bounds)
+        minx[active] = np.minimum(minx[active], mnx)
+        miny[active] = np.minimum(miny[active], mny)
+        maxx[active] = np.maximum(maxx[active], mxx)
+        maxy[active] = np.maximum(maxy[active], mxy)
+        pos[active] = cur + 4 + npts * 16
+        left[active] -= 1
+        active = left > 0
+    out[rows, 0] = minx
+    out[rows, 1] = miny
+    out[rows, 2] = maxx
+    out[rows, 3] = maxy
+    return True
+
+
+def polygon_rings_from_wkb(wkb_col):
+    """Batch-extract every ring of plain little-endian 2D POLYGON rows.
+
+    Returns ``(handled, xy, ring_row, ring_counts)``:
+
+    * ``handled`` — bool mask of rows that are LE WKB type-3 polygons with
+      >= 1 ring and no empty rings (others must go through the scalar path);
+    * ``xy`` — (N, 2) float64 of all ring coordinates, rings concatenated
+      in row order (exterior first, then holes, matching WKB layout);
+    * ``ring_row`` — int64 row index per ring;
+    * ``ring_counts`` — int64 point count per ring.
+
+    One gather per ring nesting level, no per-row Python. Used by the
+    vectorized polygon-x-polygon join refine."""
+    flat = _flat_wkb_buffer(wkb_col)
+    if flat is None:
+        n = len(list(wkb_col))
+        return (
+            np.zeros(n, dtype=bool),
+            np.empty((0, 2), dtype=np.float64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    u8, starts, lens = flat
+    n = len(starts)
+    handled = np.zeros(n, dtype=bool)
+    rows = np.nonzero(lens >= 9)[0]
+    if len(rows):
+        rows = rows[u8[starts[rows]] == 1]
+    if len(rows):
+        raw = _read_u32_at(u8, starts[rows] + 1)
+        rows = rows[raw == 3]
+    if len(rows) == 0:
+        return handled, np.empty((0, 2)), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    nr = _read_u32_at(u8, starts[rows] + 5)
+    rows = rows[nr > 0]
+    nr = nr[nr > 0]
+    if len(rows) == 0:
+        return handled, np.empty((0, 2)), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # peel ring headers level by level to collect (row, start, count) per ring
+    pos = starts[rows] + 9
+    left = nr.copy()
+    ring_rows, ring_starts, ring_counts = [], [], []
+    bad = np.zeros(len(rows), dtype=bool)
+    active = left > 0
+    while active.any():
+        cur = pos[active]
+        npts = _read_u32_at(u8, cur)
+        z = npts == 0
+        if z.any():
+            gi = np.nonzero(active)[0]
+            bad[gi[z]] = True
+        ring_rows.append(rows[active][~z])
+        ring_starts.append(cur[~z] + 4)
+        ring_counts.append(npts[~z])
+        pos[active] = cur + 4 + npts * 16
+        left[active] -= 1
+        active = (left > 0) & ~bad
+    ring_row = np.concatenate(ring_rows)
+    rstart = np.concatenate(ring_starts)
+    rcount = np.concatenate(ring_counts)
+    # drop rings of rows poisoned by an empty ring, then sort rings back to
+    # (row, ring-order); peeling emits level-major order
+    good_rows = rows[~bad]
+    keep = np.isin(ring_row, good_rows)
+    ring_row, rstart, rcount = ring_row[keep], rstart[keep], rcount[keep]
+    order = np.argsort(ring_row, kind="stable")
+    ring_row, rstart, rcount = ring_row[order], rstart[order], rcount[order]
+    xy = _gather_bytes(u8, rstart, rcount * 16).view("<f8").reshape(-1, 2)
+    handled[good_rows] = True
+    return handled, xy, ring_row.astype(np.int64), rcount.astype(np.int64)
+
+
+def kinds_from_wkb(wkb_col) -> np.ndarray:
+    """Vectorized geometry base type code per row (1=Point .. 7=Collection;
+    -1 for null/empty values). Handles both endiannesses and strips
+    EWKB/ISO Z/M/SRID flags — one u32 gather instead of a per-row loop."""
+    flat = _flat_wkb_buffer(wkb_col)
+    if flat is not None:
+        u8, starts, lens = flat
+        n = len(starts)
+        out = np.full(n, -1, dtype=np.int64)
+        ok = lens >= 5
+        if ok.any():
+            raw = _read_u32_at(u8, starts[ok] + 1)
+            be = u8[starts[ok]] != 1
+            if be.any():
+                raw[be] = raw[be].astype(np.uint32).byteswap().astype(np.int64)
+            out[ok] = (raw & 0x0FFFFFFF) % 1000
+        return out
+    vals = list(wkb_col)
+    out = np.full(len(vals), -1, dtype=np.int64)
+    for i, b in enumerate(vals):
+        if b is not None and len(b) >= 5:
+            (code,) = struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)
+            out[i] = (code & 0x0FFFFFFF) % 1000
+    return out
+
+
 def envelopes_from_wkb(wkb_col) -> np.ndarray:
     """WKB column -> (n, 4) array of (minx, miny, maxx, maxy).
 
-    Point fast path is fully vectorized; general geometries go through
-    :func:`_env_scan` — a structure walk that reads only type codes and
-    counts and min/maxes coordinate blocks as numpy views, never building
-    Geometry objects (~8x faster than ``from_wkb(b).envelope()``)."""
-    vals = list(wkb_col)
-    n = len(vals)
-    out = np.empty((n, 4), dtype=np.float64)
-    if n and all(isinstance(b, (bytes, bytearray)) and len(b) == 21 and b[0] == 1 for b in vals):
-        x, y = points_from_wkb(vals)
-        out[:, 0] = x
-        out[:, 1] = y
-        out[:, 2] = x
-        out[:, 3] = y
+    Fully vectorized for the common little-endian 2D Point / LineString /
+    Polygon / MultiPolygon cases: the column's value buffer is read
+    zero-copy (arrow) or joined once (lists), then each geometry class is
+    handled with one gather + ``reduceat`` per ring nesting level — no
+    Python per-row work. Exotic rows (big-endian, Z/M, SRID flags,
+    GeometryCollection, Multi* of mixed parts) fall back per row to
+    :func:`_env_scan`, a structure walk that still never builds Geometry
+    objects."""
+    flat = _flat_wkb_buffer(wkb_col)
+    if flat is None:
+        vals = list(wkb_col)
+        out = np.empty((len(vals), 4), dtype=np.float64)
+        for i, b in enumerate(vals):
+            out[i, 0], out[i, 1], out[i, 2], out[i, 3], _ = _env_scan(memoryview(b), 0)
         return out
-    for i, b in enumerate(vals):
-        out[i, 0], out[i, 1], out[i, 2], out[i, 3], _ = _env_scan(memoryview(b), 0)
+    u8, starts, lens = flat
+    n = len(starts)
+    out = np.empty((n, 4), dtype=np.float64)
+    if n == 0:
+        return out
+    le = u8[starts] == 1
+    raw_type = np.full(n, -1, dtype=np.int64)
+    if le.any():
+        raw_type[le] = _read_u32_at(u8, starts[le] + 1)
+    handled = np.zeros(n, dtype=bool)
+
+    m = le & (raw_type == 1) & (lens == 21)  # Point
+    if m.any():
+        xy = _gather_bytes(u8, starts[m] + 5, np.full(int(m.sum()), 16, dtype=np.int64))
+        xy = xy.view("<f8").reshape(-1, 2)
+        out[m, 0] = out[m, 2] = xy[:, 0]
+        out[m, 1] = out[m, 3] = xy[:, 1]
+        handled |= m
+
+    m = le & (raw_type == 2)  # LineString = one coordinate block
+    if m.any():
+        rows = np.nonzero(m)[0]
+        if _ring_peel_envelopes(u8, starts[rows] + 5, np.full(len(rows), 1), out, rows):
+            handled |= m
+
+    m = le & (raw_type == 3)  # Polygon: nrings blocks
+    if m.any():
+        rows = np.nonzero(m)[0]
+        nr = _read_u32_at(u8, starts[rows] + 5)
+        ok = nr > 0
+        rows = rows[ok]
+        if len(rows) and _ring_peel_envelopes(u8, starts[rows] + 9, nr[ok], out, rows):
+            handled[rows] = True
+
+    m = le & (raw_type == 6) & ~handled  # MultiPolygon of plain LE polygons
+    if m.any():
+        rows = np.nonzero(m)[0]
+        nparts = _read_u32_at(u8, starts[rows] + 5)
+        # peel one POLYGON part per iteration; each part contributes its
+        # rings via the same ring-level peel
+        sub = np.empty((len(rows), 4), dtype=np.float64)
+        sub[:, :2] = np.inf
+        sub[:, 2:] = -np.inf
+        pos = starts[rows] + 9
+        left = nparts.copy()
+        good = np.ones(len(rows), dtype=bool)
+        active = (left > 0) & good
+        while active.any():
+            cur = pos[active]
+            hdr_le = u8[cur] == 1
+            ptyp = np.full(len(cur), -1, dtype=np.int64)
+            if hdr_le.any():
+                ptyp[hdr_le] = _read_u32_at(u8, cur[hdr_le] + 1)
+            bad = ptyp != 3
+            if bad.any():
+                gi = np.nonzero(active)[0]
+                good[gi[bad]] = False
+                active = (left > 0) & good
+                if not active.any():
+                    break
+                cur = pos[active]
+            nr = _read_u32_at(u8, cur + 5)
+            if (nr == 0).any():
+                gi = np.nonzero(active)[0]
+                good[gi[nr == 0]] = False
+                active = (left > 0) & good
+                continue
+            tmp = np.empty((len(cur), 4), dtype=np.float64)
+            if not _ring_peel_envelopes(u8, cur + 9, nr, tmp, np.arange(len(cur))):
+                gi = np.nonzero(active)[0]
+                good[gi] = False
+                break
+            ai = np.nonzero(active)[0]
+            sub[ai, 0] = np.minimum(sub[ai, 0], tmp[:, 0])
+            sub[ai, 1] = np.minimum(sub[ai, 1], tmp[:, 1])
+            sub[ai, 2] = np.maximum(sub[ai, 2], tmp[:, 2])
+            sub[ai, 3] = np.maximum(sub[ai, 3], tmp[:, 3])
+            # advance past this polygon part: 9-byte header + rings
+            rpos = cur + 9
+            rleft = nr.copy()
+            ract = rleft > 0
+            while ract.any():
+                rp = rpos[ract]
+                npts = _read_u32_at(u8, rp)
+                rpos[ract] = rp + 4 + npts * 16
+                rleft[ract] -= 1
+                ract = rleft > 0
+            pos[active] = rpos
+            left[active] -= 1
+            active = (left > 0) & good
+        done = good & (nparts > 0)
+        out[rows[done]] = sub[done]
+        handled[rows[done]] = True
+
+    rest = np.nonzero(~handled)[0]
+    for i in rest:
+        mv = memoryview(u8[starts[i] : starts[i] + lens[i]].tobytes())
+        out[i, 0], out[i, 1], out[i, 2], out[i, 3], _ = _env_scan(mv, 0)
     return out
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..geom import wkb as _wkb
@@ -38,19 +39,31 @@ class BroadcastIndex:
             self.wkb = [None] * table.num_rows
             self.ispt = np.ones(table.num_rows, dtype=bool)
         else:
-            blobs = table[geom].to_pylist()
-            self.envs = _wkb.envelopes_from_wkb(blobs)
-            self.x = np.where(np.array([b is not None and len(b) == 21 for b in blobs]), self.envs[:, 0], np.nan)
-            self.y = np.where(np.array([b is not None and len(b) == 21 for b in blobs]), self.envs[:, 1], np.nan)
-            self.wkb = blobs
-            self.ispt = np.array([b is not None and len(b) == 21 for b in blobs])
+            self.envs = _wkb.envelopes_from_wkb(table[geom])  # zero-copy batch scan
+            ispt = pc.binary_length(table[geom]).fill_null(0).to_numpy(zero_copy_only=False) == 21
+            self.x = np.where(ispt, self.envs[:, 0], np.nan)
+            self.y = np.where(ispt, self.envs[:, 1], np.nan)
+            self.wkb = table[geom].to_pylist()
+            self.ispt = ispt
         self.tree = STRtree(self.envs)
-        from .spatial_join import _wkb_kinds
-
-        self.kind = _wkb_kinds(self.wkb)
+        if isinstance(geom, (tuple, list)):
+            self.kind = np.full(table.num_rows, -1, dtype=np.int64)
+        else:
+            self.kind = _wkb.kinds_from_wkb(table[geom])
 
     def side_arrays(self):
-        return {"x": self.x, "y": self.y, "e": self.envs, "ispt": self.ispt, "wkb": self.wkb, "kind": self.kind}
+        d = {"x": self.x, "y": self.y, "e": self.envs, "ispt": self.ispt, "wkb": self.wkb, "kind": self.kind}
+        # ring/segment arrays for the vectorized polygon-x-polygon refine:
+        # computed once (driver, at index build) instead of per probe batch
+        poly = getattr(self, "_poly", None)
+        if poly is None:
+            from .spatial_join import _poly_side_arrays
+
+            poly = _poly_side_arrays(d)
+            self._poly = poly
+        else:
+            d["_poly"] = poly
+        return d
 
 
 def build_broadcast_index(small, geom) -> "ray.ObjectRef":
@@ -103,9 +116,9 @@ def broadcast_spatial_join(
             bwkb = [None] * n
             bispt = np.ones(n, dtype=bool)
         else:
+            benvs = _wkb.envelopes_from_wkb(batch[big_geom])  # zero-copy batch scan
             bwkb = batch[big_geom].to_pylist()
-            benvs = _wkb.envelopes_from_wkb(bwkb)
-            bispt = np.array([b is not None and len(b) == 21 for b in bwkb])
+            bispt = pc.binary_length(batch[big_geom]).fill_null(0).to_numpy(zero_copy_only=False) == 21
             bx = np.where(bispt, benvs[:, 0], np.nan)
             by = np.where(bispt, benvs[:, 1], np.nan)
         if radius is not None:
@@ -114,9 +127,9 @@ def broadcast_spatial_join(
             probe_envs = benvs
         bi, si = idx.tree.query_batch(probe_envs)
         big_arrays = {"x": bx, "y": by, "e": benvs, "ispt": bispt, "wkb": bwkb}
-        from .spatial_join import _wkb_kinds
-
-        big_arrays["kind"] = _wkb_kinds(bwkb)
+        big_arrays["kind"] = (
+            np.full(n, -1, dtype=np.int64) if big_is_point else _wkb.kinds_from_wkb(batch[big_geom])
+        )
         small_arrays = idx.side_arrays()
         if big_side == "left":
             lt, rt, li, ri = big_arrays, small_arrays, bi, si

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..conf import DEFAULT_CONF, SpatialConf
@@ -65,11 +66,10 @@ def _side_fields(tbl, geom, radius: float = 0.0, circle: bool = False):
         is_pt = np.full(n, radius == 0.0)
         wkb = None
     else:
+        env = _wkb.envelopes_from_wkb(tbl[geom])  # zero-copy batch scan
         wkb = tbl[geom].to_pylist()
-        env = _wkb.envelopes_from_wkb(wkb)
-        is_pt = np.fromiter(
-            (isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in wkb),
-            dtype=bool, count=n,
+        is_pt = (
+            pc.binary_length(tbl[geom]).fill_null(0).to_numpy(zero_copy_only=False) == 21
         ) & (radius == 0.0)
         x = np.where(is_pt, env[:, 0], np.nan)
         y = np.where(is_pt, env[:, 1], np.nan)
@@ -351,18 +351,9 @@ _POLYGONAL_FIRST_BYTEPAIRS = {3, 6}  # wkb type codes Polygon / MultiPolygon
 
 def _wkb_kinds(blobs, n: int | None = None):
     """Geometry type code per row (or -1 for point rows carried as x/y)."""
-    import struct
-
     if blobs is None:
         return np.full(int(n or 0), -1, dtype=np.int64)
-    out = np.empty(len(blobs), dtype=np.int64)
-    for i, b in enumerate(blobs):
-        if b is None:
-            out[i] = -1
-        else:
-            code = struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)[0]
-            out[i] = (code & 0x0FFFFFFF) % 1000
-    return out
+    return _wkb.kinds_from_wkb(blobs)
 
 
 def _pair_mask_predicate(lt, rt, li, ri, predicate):
@@ -407,7 +398,19 @@ def _pair_mask_predicate(lt, rt, li, ri, predicate):
     else:
         fc_done = np.zeros(n, dtype=bool)
 
-    rest = ~fa_done & ~fb_done & ~fc_done
+    # fast path D: polygon x polygon intersects/disjoint — batch ring
+    # extraction + vectorized vertex-locate / segment-crossing tests
+    fd_done = np.zeros(n, dtype=bool)
+    if predicate in ("intersects", "disjoint"):
+        fd = ~fa_done & ~fb_done & ~fc_done & ~l_pt & ~r_pt & (l_kind == 3) & (r_kind == 3)
+        if fd.any():
+            idx = np.nonzero(fd)[0]
+            elig, res_d = _poly_poly_intersects(lt, rt, li[idx], ri[idx])
+            done = idx[elig]
+            out[done] = res_d if predicate == "intersects" else ~res_d
+            fd_done[done] = True
+
+    rest = ~fa_done & ~fb_done & ~fc_done & ~fd_done
     if rest.any():
         # point-vs-non-point combos where the predicate is trivially False
         if predicate in _POINT_FALSE:
@@ -432,6 +435,185 @@ def _pair_mask_predicate(lt, rt, li, ri, predicate):
 
 def _flip(predicate: str) -> str:
     return {"within": "contains", "covered_by": "covers"}.get(predicate, predicate)
+
+
+def _poly_side_arrays(side):
+    """Lazily batch-extract ring/vertex/segment arrays for a side's plain
+    LE WKB polygons (cached on the side dict — computed once per batch):
+
+    ``handled`` row mask, flat ``xy``, per-row vertex (vstart, vcount) and
+    segment (sx1, sy1, sx2, sy2, sstart, scount) slices. Segment arrays are
+    in row order, so a row's segments are the contiguous slice
+    ``sstart[row] : sstart[row] + scount[row]``."""
+    cached = side.get("_poly")
+    if cached is not None:
+        return cached
+    n = len(side["ispt"])
+    if side["wkb"] is None:
+        handled = np.zeros(n, dtype=bool)
+        xy = np.empty((0, 2))
+        ring_row = ring_counts = np.empty(0, dtype=np.int64)
+    else:
+        handled, xy, ring_row, ring_counts = _wkb.polygon_rings_from_wkb(side["wkb"])
+    vcount = (
+        np.bincount(ring_row, weights=ring_counts, minlength=n).astype(np.int64)
+        if len(ring_row)
+        else np.zeros(n, dtype=np.int64)
+    )
+    vstart = np.cumsum(vcount) - vcount
+    if len(xy):
+        ends = np.cumsum(ring_counts) - 1
+        m = np.ones(len(xy), dtype=bool)
+        m[ends] = False
+        sidx = np.nonzero(m)[0]
+        seg_a = xy[sidx]
+        seg_b = xy[sidx + 1]
+        seg_row = np.repeat(ring_row, ring_counts)[sidx]
+        scount = np.bincount(seg_row, minlength=n).astype(np.int64)
+    else:
+        seg_a = seg_b = np.empty((0, 2))
+        scount = np.zeros(n, dtype=np.int64)
+    sstart = np.cumsum(scount) - scount
+    cached = {
+        "handled": handled, "xy": xy,
+        "vstart": vstart, "vcount": vcount,
+        "seg_a": seg_a, "seg_b": seg_b, "sstart": sstart, "scount": scount,
+    }
+    side["_poly"] = cached
+    return cached
+
+
+def _expand_pair_slices(starts, counts):
+    """Pair-local flat gather indices: for pair p with (starts[p],
+    counts[p]) emit starts[p] + 0..counts[p]-1, concatenated; plus the
+    reduceat boundaries (offsets) per pair."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    off = ends - counts
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - off, counts)
+    return idx, off
+
+
+def _any_reduceat(flags: np.ndarray, off: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-group ``any`` with possibly-empty groups."""
+    out = np.zeros(len(off), dtype=bool)
+    ne = counts > 0
+    if flags.size and ne.any():
+        s = np.add.reduceat(flags.astype(np.int64), off[ne])
+        out[ne] = s > 0
+    return out
+
+
+def _segments_intersect_mask(a1, a2, b1, b2) -> np.ndarray:
+    """Vectorized segment-pair intersection INCLUDING endpoint touches and
+    collinear overlap (the JTS ``intersects`` convention)."""
+    d1 = np.cross(b2 - b1, a1 - b1)
+    d2 = np.cross(b2 - b1, a2 - b1)
+    d3 = np.cross(a2 - a1, b1 - a1)
+    d4 = np.cross(a2 - a1, b2 - a1)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def on_seg(p, q, r):
+        # r collinear with pq: is r within pq's bbox?
+        return (
+            (r[:, 0] <= np.maximum(p[:, 0], q[:, 0]))
+            & (r[:, 0] >= np.minimum(p[:, 0], q[:, 0]))
+            & (r[:, 1] <= np.maximum(p[:, 1], q[:, 1]))
+            & (r[:, 1] >= np.minimum(p[:, 1], q[:, 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(b1, b2, a1))
+        | ((d2 == 0) & on_seg(b1, b2, a2))
+        | ((d3 == 0) & on_seg(a1, a2, b1))
+        | ((d4 == 0) & on_seg(a1, a2, b2))
+    )
+    return proper | touch
+
+
+_SEG_CHUNK = 4_000_000  # max segment-pair expansion per vectorized chunk
+
+
+def _poly_poly_intersects(lt, rt, li, ri):
+    """Vectorized intersects for candidate pairs where BOTH sides are plain
+    LE WKB polygons. Returns (eligible_mask, result_for_eligible).
+
+    intersects(A, B) over valid polygons holds iff any A boundary vertex is
+    in/on B, or any boundary segments cross/touch, or B lies entirely
+    inside A (decided by B's first vertex — only possible when env(B) is
+    inside env(A), so the per-pair fallback triggers rarely and is itself
+    grouped by A)."""
+    pl = _poly_side_arrays(lt)
+    pr = _poly_side_arrays(rt)
+    elig = pl["handled"][li] & pr["handled"][ri]
+    if not elig.any():
+        return elig, np.empty(0, dtype=bool)
+    li = li[elig]
+    ri = ri[elig]
+    np_pairs = len(li)
+    res = np.zeros(np_pairs, dtype=bool)
+
+    # --- test 1: any A vertex in/on B, one locate call per distinct B ---
+    rg = _geom_cache(rt)
+    order = np.argsort(ri, kind="stable")
+    sorted_ri = ri[order]
+    bounds = np.nonzero(np.diff(sorted_ri))[0] + 1
+    for grp in np.split(order, bounds):
+        b_geom = rg(int(ri[grp[0]]))
+        idx, off = _expand_pair_slices(pl["vstart"][li[grp]], pl["vcount"][li[grp]])
+        loc = P.locate_points_in_geometry(pl["xy"][idx, 0], pl["xy"][idx, 1], b_geom)
+        res[grp] |= _any_reduceat(loc >= P.BOUNDARY, off, pl["vcount"][li[grp]])
+
+    # --- test 2: any boundary segments cross/touch (pair-vectorized) ---
+    pend = np.nonzero(~res)[0]
+    na = pl["scount"][li[pend]]
+    nb = pr["scount"][ri[pend]]
+    m = na * nb
+    cuts = np.cumsum(m)
+    start = 0
+    while start < len(pend):
+        stop = int(np.searchsorted(cuts, (cuts[start - 1] if start else 0) + _SEG_CHUNK, side="left")) + 1
+        stop = min(max(stop, start + 1), len(pend))
+        sel = pend[start:stop]
+        cna, cnb = na[start:stop], nb[start:stop]
+        cm = cna * cnb
+        total = int(cm.sum())
+        if total:
+            ends = np.cumsum(cm)
+            off = ends - cm
+            t = np.arange(total, dtype=np.int64) - np.repeat(off, cm)
+            ai = np.repeat(pl["sstart"][li[sel]], cm) + t // np.repeat(cnb, cm)
+            bi = np.repeat(pr["sstart"][ri[sel]], cm) + t % np.repeat(cnb, cm)
+            hit = _segments_intersect_mask(
+                pl["seg_a"][ai], pl["seg_b"][ai], pr["seg_a"][bi], pr["seg_b"][bi]
+            )
+            res[sel] |= _any_reduceat(hit, off, cm)
+        start = stop
+
+    # --- test 3: B entirely inside A (env containment pre-filter) ---
+    pend = np.nonzero(~res)[0]
+    if len(pend):
+        le = lt["e"][li[pend]]
+        re_ = rt["e"][ri[pend]]
+        inside_env = (
+            (re_[:, 0] >= le[:, 0]) & (re_[:, 1] >= le[:, 1])
+            & (re_[:, 2] <= le[:, 2]) & (re_[:, 3] <= le[:, 3])
+        )
+        cand = pend[inside_env]
+        if len(cand):
+            lg = _geom_cache(lt)
+            order = np.argsort(li[cand], kind="stable")
+            sorted_li = li[cand][order]
+            bounds = np.nonzero(np.diff(sorted_li))[0] + 1
+            for grp in np.split(order, bounds):
+                a_geom = lg(int(li[cand[grp[0]]]))
+                vx = pr["xy"][pr["vstart"][ri[cand[grp]]], 0]
+                vy = pr["xy"][pr["vstart"][ri[cand[grp]]], 1]
+                loc = P.locate_points_in_geometry(vx, vy, a_geom)
+                res[cand[grp]] |= loc != P.EXTERIOR
+    return elig, res
 
 
 def _locate_grouped(lt, rt, li, ri, predicate, container: str):

@@ -128,7 +128,7 @@ def dataset_envelope_stats(ds, x_col: str = "lon", y_col: str = "lat", geom_col:
 
 def _envelope_cols_fn(geom_col: str):
     def fn(batch: pa.Table) -> pa.Table:
-        env = _wkb.envelopes_from_wkb(batch[geom_col].to_pylist())
+        env = _wkb.envelopes_from_wkb(batch[geom_col])  # zero-copy batch scan
         return pa.table(
             {
                 "__minx": env[:, 0],
@@ -236,11 +236,13 @@ def make_assign_fn(
             envs = np.column_stack([x - radius, y - radius, x + radius, y + radius])
             ri, pid = part.place_envelopes(envs)
         else:
-            envs = _wkb.envelopes_from_wkb(batch[geom_col].to_pylist())
+            import pyarrow.compute as pc
+
+            envs = _wkb.envelopes_from_wkb(batch[geom_col])  # zero-copy batch scan
             if radius:
                 envs = envs + np.array([-radius, -radius, radius, radius])
-            is_point = np.array(
-                [isinstance(b, (bytes, bytearray)) and len(b) == 21 for b in batch[geom_col].to_pylist()]
+            is_point = (
+                pc.binary_length(batch[geom_col]).fill_null(0).to_numpy(zero_copy_only=False) == 21
             )
             ri, pid = part.place_mixed(envs, is_point)
         order = np.argsort(ri, kind="stable")

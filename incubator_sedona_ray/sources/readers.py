@@ -70,7 +70,7 @@ def write_geoparquet(ds, path: str, *, geom_col: str = "geom"):
         if not f.endswith(".parquet"):
             continue
         t = pq.read_table(os.path.join(path, f), columns=[geom_col])
-        env = _wkb.envelopes_from_wkb(t[geom_col].to_pylist())
+        env = _wkb.envelopes_from_wkb(t[geom_col])  # zero-copy batch scan
         if len(env):
             bboxes[f] = [float(env[:, 0].min()), float(env[:, 1].min()), float(env[:, 2].max()), float(env[:, 3].max())]
     with open(os.path.join(path, "_geo_manifest.json"), "w") as fh:

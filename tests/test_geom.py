@@ -89,6 +89,78 @@ def test_envelopes_from_wkb():
     np.testing.assert_array_equal(env[1], [7, 8, 7, 8])
 
 
+def test_envelopes_from_wkb_batch_paths_agree():
+    """The vectorized batch scanner (list / arrow / large / chunked / sliced
+    inputs) must agree with the per-row _env_scan walk over a mixed-kind,
+    mixed-layout column — including the exotic rows that fall back."""
+    import struct
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    geoms = []
+    for i in range(60):
+        k = i % 6
+        if k == 0:
+            geoms.append(Geometry.point(*rng.uniform(-90, 90, 2)))
+        elif k == 1:
+            geoms.append(Geometry(GeometryType.LINESTRING, rng.uniform(-90, 90, (4, 2))))
+        elif k == 2:
+            x, y = rng.uniform(-90, 90, 2)
+            geoms.append(Geometry.polygon([[x, y], [x + 2, y], [x + 2, y + 2], [x, y + 2]]))
+        elif k == 3:  # polygon with a hole: env still spans all rings
+            geoms.append(
+                Geometry.polygon([[0, 0], [10, 0], [10, 10], [0, 10]], holes=[[[4, 4], [6, 4], [6, 6], [4, 6]]])
+            )
+        elif k == 4:
+            x, y = rng.uniform(-90, 90, 2)
+            geoms.append(
+                Geometry(
+                    GeometryType.MULTIPOLYGON,
+                    [
+                        np.array([[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]]),
+                        np.array([[x + 5, y], [x + 6, y], [x + 6, y + 1], [x + 5, y + 1], [x + 5, y]]),
+                    ],
+                )
+            )
+        else:
+            geoms.append(Geometry(GeometryType.MULTIPOINT, [rng.uniform(-90, 90, 2) for _ in range(3)]))
+    blobs = [wkb.to_wkb(g) for g in geoms]
+    # exotic fallback rows: big-endian point, EWKB-Z point, ISO-Z point
+    blobs.append(struct.pack(">BIdd", 0, 1, 3.0, 4.0))
+    blobs.append(struct.pack("<BIddd", 1, 0x80000001, 5.0, 6.0, 7.0))
+    blobs.append(struct.pack("<BIddd", 1, 1001, 8.0, 9.0, 7.0))
+    ref = np.empty((len(blobs), 4))
+    for i, b in enumerate(blobs):
+        ref[i, 0], ref[i, 1], ref[i, 2], ref[i, 3], _ = wkb._env_scan(memoryview(b), 0)
+    arr = pa.array(blobs, type=pa.binary())
+    for col in (
+        blobs,
+        arr,
+        pa.array(blobs, type=pa.large_binary()),
+        pa.chunked_array([arr.slice(0, 20), arr.slice(20)]),
+    ):
+        np.testing.assert_allclose(wkb.envelopes_from_wkb(col), ref)
+    np.testing.assert_allclose(wkb.envelopes_from_wkb(arr.slice(5, 40)), ref[5:45])
+
+
+def test_kinds_from_wkb():
+    import struct
+
+    import pyarrow as pa
+
+    blobs = [
+        wkb.to_wkb(Geometry.point(1, 2)),
+        wkb.to_wkb(Geometry(GeometryType.LINESTRING, np.array([[0.0, 0.0], [1.0, 1.0]]))),
+        wkb.to_wkb(Geometry.polygon([[0, 0], [1, 0], [1, 1]])),
+        struct.pack(">BIdd", 0, 1, 3.0, 4.0),  # big-endian point
+        struct.pack("<BIddd", 1, 0x80000001, 5.0, 6.0, 7.0),  # EWKB Z point
+    ]
+    for col in (blobs, pa.array(blobs, type=pa.binary())):
+        assert list(wkb.kinds_from_wkb(col)) == [1, 2, 3, 1, 1]
+    assert list(wkb.kinds_from_wkb([blobs[0], None])) == [1, -1]
+
+
 # ---------------------------------------------------------------------------
 # point locate / predicates — the reference world semantics
 # ---------------------------------------------------------------------------

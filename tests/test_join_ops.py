@@ -319,3 +319,66 @@ def test_partitioned_outer_empty_right():
         left_geom=("lon", "lat"), right_geom="geom", num_partitions=2,
     )
     assert anti.count() == 60
+
+
+def test_poly_poly_fastpath_matches_bruteforce():
+    """The vectorized polygon-x-polygon intersects/disjoint refine (fast
+    path D: batch ring extraction + grouped vertex locate + segment
+    crossing) must match the per-pair predicate evaluator on adversarial
+    pairs: holes, shared edges/vertices, containment both ways, B inside
+    A's hole, crossing a hole boundary."""
+    import importlib
+
+    from incubator_sedona_ray.geom import predicates as PP
+    from incubator_sedona_ray.geom import wkb as wkbm
+
+    SJ = importlib.import_module("incubator_sedona_ray.join.spatial_join")
+    rng = np.random.default_rng(3)
+
+    def rand_poly(cx, cy, r, nv=6, hole=False):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5 * r, r, nv)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        if hole:
+            hr = 0.2 * r
+            h = np.column_stack([cx + hr * np.cos(ang), cy + hr * np.sin(ang)])
+            return Geometry.polygon(ring.tolist(), holes=[h[::-1].tolist()])
+        return Geometry.polygon(ring.tolist())
+
+    lpolys, rpolys = [], []
+    for i in range(150):
+        cx, cy = rng.uniform(-10, 10, 2)
+        lpolys.append(rand_poly(cx, cy, rng.uniform(0.5, 3.0), nv=int(rng.integers(3, 8)), hole=(i % 5 == 0)))
+        dx, dy = rng.uniform(-2, 2, 2)
+        rpolys.append(rand_poly(cx + dx, cy + dy, rng.uniform(0.2, 4.0), nv=int(rng.integers(3, 8)), hole=(i % 7 == 0)))
+    A = Geometry.polygon([[0, 0], [10, 0], [10, 10], [0, 10]], holes=[[[3, 3], [7, 3], [7, 7], [3, 7]]])
+    for pair in [
+        (A, Geometry.polygon([[4, 4], [6, 4], [6, 6], [4, 6]])),  # B inside A's hole
+        (A, Geometry.polygon([[2, 2], [8, 2], [8, 8], [2, 8]])),  # crosses hole boundary
+        (A, Geometry.polygon([[10, 0], [20, 0], [20, 10], [10, 10]])),  # shared edge
+        (A, Geometry.polygon([[10, 10], [20, 10], [20, 20]])),  # shared vertex
+        (A, Geometry.polygon([[-5, -5], [15, -5], [15, 15], [-5, 15]])),  # A inside B
+        (Geometry.polygon([[4, 4], [6, 4], [6, 6], [4, 6]]), A),  # reversed
+        (A, Geometry.polygon([[11, 11], [12, 11], [12, 12]])),  # fully disjoint
+    ]:
+        lpolys.append(pair[0])
+        rpolys.append(pair[1])
+
+    lw = [to_wkb(g) for g in lpolys]
+    rw = [to_wkb(g) for g in rpolys]
+
+    def mkside(ws):
+        env = wkbm.envelopes_from_wkb(ws)
+        return {
+            "x": np.full(len(ws), np.nan), "y": np.full(len(ws), np.nan),
+            "e": env, "ispt": np.zeros(len(ws), bool), "wkb": ws,
+            "kind": wkbm.kinds_from_wkb(ws),
+        }
+
+    li = np.arange(len(lw))
+    for pred in ("intersects", "disjoint"):
+        lt, rt = mkside(lw), mkside(rw)
+        got = SJ._pair_mask_predicate(lt, rt, li, li, pred)
+        fn = PP.PREDICATES[pred]
+        want = np.array([fn(lpolys[i], rpolys[i]) for i in range(len(lw))])
+        np.testing.assert_array_equal(got, want)
