@@ -356,77 +356,153 @@ def _ring_peel_envelopes(u8, pos, nrings, out, rows):
     return True
 
 
+_EMPTY_RINGS = (
+    np.zeros(0, dtype=bool),
+    np.empty((0, 2), dtype=np.float64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
+
+
 def polygon_rings_from_wkb(wkb_col):
-    """Batch-extract every ring of plain little-endian 2D POLYGON rows.
+    """Batch-extract every ring of plain little-endian 2D POLYGON and
+    MULTIPOLYGON rows.
 
-    Returns ``(handled, xy, ring_row, ring_counts)``:
+    Returns ``(handled, xy, ring_row, ring_counts, part_row, part_first)``:
 
-    * ``handled`` — bool mask of rows that are LE WKB type-3 polygons with
-      >= 1 ring and no empty rings (others must go through the scalar path);
-    * ``xy`` — (N, 2) float64 of all ring coordinates, rings concatenated
-      in row order (exterior first, then holes, matching WKB layout);
-    * ``ring_row`` — int64 row index per ring;
-    * ``ring_counts`` — int64 point count per ring.
+    * ``handled`` — bool mask of rows fully extractable here (LE WKB type
+      3/6, >= 1 ring per part, no empty rings; others must go through the
+      scalar path);
+    * ``xy`` — (N, 2) float64 of all ring coordinates, concatenated in
+      (row, part, ring) order — a row's vertices are one contiguous slice;
+    * ``ring_row`` / ``ring_counts`` — int64 row index and point count per
+      ring, in the same order;
+    * ``part_row`` / ``part_first`` — per polygon PART: its row index and
+      the ``xy`` offset of its first (exterior-ring) vertex — one
+      representative interior-side probe point per part.
 
-    One gather per ring nesting level, no per-row Python. Used by the
-    vectorized polygon-x-polygon join refine."""
+    One u32 gather + one coordinate gather per nesting level, no per-row
+    Python. Used by the vectorized polygon-x-polygon join refine."""
     flat = _flat_wkb_buffer(wkb_col)
     if flat is None:
         n = len(list(wkb_col))
-        return (
-            np.zeros(n, dtype=bool),
-            np.empty((0, 2), dtype=np.float64),
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.int64),
-        )
+        return (np.zeros(n, dtype=bool),) + _EMPTY_RINGS[1:]
     u8, starts, lens = flat
     n = len(starts)
     handled = np.zeros(n, dtype=bool)
+    e_row, e_part, e_ring, e_start, e_count = [], [], [], [], []
+
+    def peel_rings(row_ids, pos0, nr, part_ids, bad_l):
+        """Emit ring entries for ``nr[i]`` rings at ``pos0[i]``; marks
+        ``bad_l`` on empty rings; returns end positions."""
+        pos = pos0.copy()
+        left = nr.astype(np.int64).copy()
+        lvl = 0
+        act = (left > 0) & ~bad_l
+        while act.any():
+            ai = np.nonzero(act)[0]
+            cur = pos[ai]
+            npts = _read_u32_at(u8, cur)
+            z = npts == 0
+            if z.any():
+                bad_l[ai[z]] = True
+                ai, cur, npts = ai[~z], cur[~z], npts[~z]
+            if len(ai):
+                e_row.append(row_ids[ai])
+                e_part.append(part_ids[ai])
+                e_ring.append(np.full(len(ai), lvl, dtype=np.int64))
+                e_start.append(cur + 4)
+                e_count.append(npts)
+                pos[ai] = cur + 4 + npts * 16
+                left[ai] -= 1
+            lvl += 1
+            act = (left > 0) & ~bad_l
+        return pos
+
     rows = np.nonzero(lens >= 9)[0]
     if len(rows):
         rows = rows[u8[starts[rows]] == 1]
     if len(rows):
         raw = _read_u32_at(u8, starts[rows] + 1)
-        rows = rows[raw == 3]
-    if len(rows) == 0:
-        return handled, np.empty((0, 2)), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    nr = _read_u32_at(u8, starts[rows] + 5)
-    rows = rows[nr > 0]
-    nr = nr[nr > 0]
-    if len(rows) == 0:
-        return handled, np.empty((0, 2)), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    # peel ring headers level by level to collect (row, start, count) per ring
-    pos = starts[rows] + 9
-    left = nr.copy()
-    ring_rows, ring_starts, ring_counts = [], [], []
-    bad = np.zeros(len(rows), dtype=bool)
-    active = left > 0
-    while active.any():
-        cur = pos[active]
-        npts = _read_u32_at(u8, cur)
-        z = npts == 0
-        if z.any():
-            gi = np.nonzero(active)[0]
-            bad[gi[z]] = True
-        ring_rows.append(rows[active][~z])
-        ring_starts.append(cur[~z] + 4)
-        ring_counts.append(npts[~z])
-        pos[active] = cur + 4 + npts * 16
-        left[active] -= 1
-        active = (left > 0) & ~bad
-    ring_row = np.concatenate(ring_rows)
-    rstart = np.concatenate(ring_starts)
-    rcount = np.concatenate(ring_counts)
-    # drop rings of rows poisoned by an empty ring, then sort rings back to
-    # (row, ring-order); peeling emits level-major order
-    good_rows = rows[~bad]
-    keep = np.isin(ring_row, good_rows)
-    ring_row, rstart, rcount = ring_row[keep], rstart[keep], rcount[keep]
-    order = np.argsort(ring_row, kind="stable")
-    ring_row, rstart, rcount = ring_row[order], rstart[order], rcount[order]
+        polys = rows[raw == 3]
+        multis = rows[raw == 6]
+    else:
+        polys = multis = np.empty(0, dtype=np.int64)
+
+    bad_rows = []
+    ok_rows = []
+    if len(polys):
+        nr3 = _read_u32_at(u8, starts[polys] + 5)
+        bad3 = nr3 == 0
+        peel_rings(polys, starts[polys] + 9, np.where(bad3, 0, nr3), np.zeros(len(polys), dtype=np.int64), bad3)
+        bad_rows.append(polys[bad3])
+        ok_rows.append(polys[~bad3])
+    if len(multis):
+        bad6 = np.zeros(len(multis), dtype=bool)
+        nparts = _read_u32_at(u8, starts[multis] + 5)
+        bad6 |= nparts == 0
+        pos = starts[multis] + 9
+        pleft = np.where(bad6, 0, nparts)
+        pctr = np.zeros(len(multis), dtype=np.int64)
+        act = pleft > 0
+        while act.any():
+            ai = np.nonzero(act)[0]
+            cur = pos[ai]
+            ok_hdr = u8[cur] == 1
+            ptyp = np.full(len(ai), -1, dtype=np.int64)
+            if ok_hdr.any():
+                ptyp[ok_hdr] = _read_u32_at(u8, cur[ok_hdr] + 1)
+            badp = ptyp != 3
+            if badp.any():
+                bad6[ai[badp]] = True
+                ai, cur = ai[~badp], cur[~badp]
+            if len(ai):
+                nr = _read_u32_at(u8, cur + 5)
+                z = nr == 0
+                if z.any():
+                    bad6[ai[z]] = True
+                    ai, cur, nr = ai[~z], cur[~z], nr[~z]
+            if len(ai):
+                sub_bad = np.zeros(len(ai), dtype=bool)
+                endpos = peel_rings(multis[ai], cur + 9, nr, pctr[ai], sub_bad)
+                bad6[ai[sub_bad]] = True
+                pos[ai] = endpos
+                pctr[ai] += 1
+                pleft[ai] -= 1
+            act = (pleft > 0) & ~bad6
+        bad_rows.append(multis[bad6])
+        ok_rows.append(multis[~bad6])
+
+    if not e_row:
+        return (handled,) + _EMPTY_RINGS[1:]
+    row = np.concatenate(e_row)
+    part = np.concatenate(e_part)
+    ring = np.concatenate(e_ring)
+    rstart = np.concatenate(e_start)
+    rcount = np.concatenate(e_count)
+    good = np.concatenate(ok_rows) if ok_rows else np.empty(0, dtype=np.int64)
+    bad = np.concatenate(bad_rows) if bad_rows else np.empty(0, dtype=np.int64)
+    if len(bad):
+        keep = ~np.isin(row, bad)
+        row, part, ring, rstart, rcount = row[keep], part[keep], ring[keep], rstart[keep], rcount[keep]
+    if len(row) == 0:
+        return (handled,) + _EMPTY_RINGS[1:]
+    order = np.lexsort((ring, part, row))
+    row, part, ring, rstart, rcount = row[order], part[order], ring[order], rstart[order], rcount[order]
     xy = _gather_bytes(u8, rstart, rcount * 16).view("<f8").reshape(-1, 2)
-    handled[good_rows] = True
-    return handled, xy, ring_row.astype(np.int64), rcount.astype(np.int64)
+    voff = np.cumsum(rcount) - rcount
+    first = ring == 0
+    handled[good] = True
+    return (
+        handled,
+        xy,
+        row.astype(np.int64),
+        rcount.astype(np.int64),
+        row[first].astype(np.int64),
+        voff[first].astype(np.int64),
+    )
 
 
 def kinds_from_wkb(wkb_col) -> np.ndarray:

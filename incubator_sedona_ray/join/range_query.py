@@ -33,8 +33,27 @@ def range_query(ds, window: Geometry, predicate: str = "covers", *, geom=("lon",
             else:
                 raise ValueError(predicate)
         else:
-            fn_p = P.PREDICATES[predicate]
-            keep = np.array([fn_p(window, _wkb.from_wkb(b)) for b in batch[geom].to_pylist()])
+            # WKB rows: envelope pre-filter, then the join refine kernel
+            # (vectorized point / polygon fast paths incl. poly-x-poly)
+            from .spatial_join import _pair_mask_predicate, _side_fields, _wkb_kinds
+
+            n = batch.num_rows
+            rt = _side_fields(batch, geom)
+            rt["kind"] = _wkb_kinds(rt["wkb"], n)
+            wx0, wy0, wx1, wy1 = window.envelope()
+            e = rt["e"]
+            overlap = (e[:, 0] <= wx1) & (e[:, 2] >= wx0) & (e[:, 1] <= wy1) & (e[:, 3] >= wy0)
+            keep = np.zeros(n, dtype=bool)
+            if predicate == "disjoint":
+                keep[~overlap] = True
+            cand = np.nonzero(overlap)[0]
+            if len(cand):
+                wt = pa.table({"g": pa.array([_wkb.to_wkb(window)], type=pa.binary())})
+                lt = _side_fields(wt, "g")
+                lt["kind"] = _wkb_kinds(lt["wkb"], 1)
+                keep[cand] = _pair_mask_predicate(
+                    lt, rt, np.zeros(len(cand), dtype=np.int64), cand, predicate
+                )
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -253,26 +253,182 @@ def _pad_union(left, right, l_cols, r_cols, l_schema, r_schema):
 # per-group join kernel
 # ---------------------------------------------------------------------------
 
+def _dist_point_xy(side):
+    """(x, y) arrays valid for every POINT row — bare x/y rows AND 21-byte
+    LE WKB point rows (whose side["x"] is NaN under a radius) — NaN for
+    extended geometries. Cached on the side dict."""
+    cached = side.get("_ptxy")
+    if cached is not None:
+        return cached
+    if side["wkb"] is None:
+        cached = (
+            np.asarray(side["x"], dtype=np.float64),
+            np.asarray(side["y"], dtype=np.float64),
+        )
+    else:
+        nones = _wkb_none(side)
+        x = np.where(nones, side["x"], np.nan)
+        y = np.where(nones, side["y"], np.nan)
+        vals = [b if isinstance(b, (bytes, bytearray)) else b"" for b in side["wkb"]]
+        flat = _wkb._flat_wkb_buffer(vals)
+        if flat is not None:
+            u8, starts, lens = flat
+            m = lens == 21
+            if m.any():
+                rows = np.nonzero(m)[0]
+                rows = rows[u8[starts[rows]] == 1]
+                if len(rows):
+                    typ = _wkb._read_u32_at(u8, starts[rows] + 1)
+                    rows = rows[typ == 1]
+                if len(rows):
+                    xy = _wkb._gather_bytes(
+                        u8, starts[rows] + 5, np.full(len(rows), 16, dtype=np.int64)
+                    ).view("<f8").reshape(-1, 2)
+                    x[rows] = xy[:, 0]
+                    y[rows] = xy[:, 1]
+        cached = (x, y)
+    side["_ptxy"] = cached
+    return cached
+
+
+def _min_reduceat(vals: np.ndarray, off: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-group min with possibly-empty groups (empty -> +inf)."""
+    out = np.full(len(off), np.inf)
+    ne = counts > 0
+    if vals.size and ne.any():
+        out[ne] = np.minimum.reduceat(vals, off[ne])
+    return out
+
+
+def _point_seg_dist2(px, py, a, b) -> np.ndarray:
+    """Squared distance point -> segment, vectorized (degenerate segments
+    collapse to their start point)."""
+    dx = b[:, 0] - a[:, 0]
+    dy = b[:, 1] - a[:, 1]
+    den = dx * dx + dy * dy
+    t = np.where(den > 0.0, ((px - a[:, 0]) * dx + (py - a[:, 1]) * dy) / np.where(den > 0.0, den, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    qx = a[:, 0] + t * dx - px
+    qy = a[:, 1] + t * dy - py
+    return qx * qx + qy * qy
+
+
+def _point_poly_dist(px, py, side, rows) -> np.ndarray:
+    """Vectorized distance from per-pair points to per-pair polygons of
+    ``side`` (rows must be ``_poly_side_arrays(side)["handled"]``):
+    0 when the point is in/on the polygon, else the min distance to any
+    boundary segment."""
+    ps = _poly_side_arrays(side)
+    idx, off = _expand_pair_slices(ps["sstart"][rows], ps["scount"][rows])
+    pex = np.repeat(px, ps["scount"][rows])
+    pey = np.repeat(py, ps["scount"][rows])
+    d2 = _point_seg_dist2(pex, pey, ps["seg_a"][idx], ps["seg_b"][idx])
+    d = np.sqrt(_min_reduceat(d2, off, ps["scount"][rows]))
+    # inside test, one locate call per distinct polygon row
+    g = _geom_cache(side)
+    order = np.argsort(rows, kind="stable")
+    sorted_r = rows[order]
+    bounds = np.nonzero(np.diff(sorted_r))[0] + 1
+    for grp in np.split(order, bounds):
+        geom = g(int(rows[grp[0]]))
+        loc = P.locate_points_in_geometry(px[grp], py[grp], geom)
+        inside = loc != P.EXTERIOR
+        if inside.any():
+            d[grp[inside]] = 0.0
+    return d
+
+
 def _pair_mask_distance(lt, rt, li, ri, radius, inclusive):
     """SQL DistanceJoinExec semantics: true geometric distance(l, r) <=/< radius.
 
-    Point-ness is judged by the actual geometry (``wkb is None`` == a bare
-    point row), NOT the ``__pt`` dedup flag — radius expansion clears the
+    Point-ness is judged by the actual geometry (bare x/y rows or 21-byte
+    WKB points), NOT the ``__pt`` dedup flag — radius expansion clears the
     flag but the geometry is still a point, and the vectorized hypot path
-    must keep applying."""
+    must keep applying. Polygon rows (incl. multipolygons) use the batch
+    ring arrays: point-polygon = min point-segment distance with a grouped
+    inside test; polygon-polygon = 0 when they intersect (fast path D) else
+    min segment-segment distance. Only exotic rows (lines, collections,
+    big-endian/Z WKB) fall back to the per-pair evaluator."""
     if len(li) == 0:
         return np.zeros(0, dtype=bool)
-    # O(side) None-scan once, then O(pairs) numpy indexing — never a Python
-    # loop over candidate pairs
-    l_pt = _wkb_none(lt)[li]
-    r_pt = _wkb_none(rt)[ri]
+    lx, ly = _dist_point_xy(lt)
+    rx, ry = _dist_point_xy(rt)
+    l_pt = ~np.isnan(lx[li]) & ~np.isnan(ly[li])
+    r_pt = ~np.isnan(rx[ri]) & ~np.isnan(ry[ri])
     out = np.zeros(len(li), dtype=bool)
+    done = np.zeros(len(li), dtype=bool)
+
+    def accept(idx, d):
+        out[idx] = (d <= radius) if inclusive else (d < radius)
+        done[idx] = True
+
     pp = l_pt & r_pt
     if pp.any():
         idx = np.nonzero(pp)[0]
-        d = np.hypot(lt["x"][li[idx]] - rt["x"][ri[idx]], lt["y"][li[idx]] - rt["y"][ri[idx]])
-        out[idx] = (d <= radius) if inclusive else (d < radius)
-    rest = np.nonzero(~pp)[0]
+        accept(idx, np.hypot(lx[li[idx]] - rx[ri[idx]], ly[li[idx]] - ry[ri[idx]]))
+
+    pl = _poly_side_arrays(lt)
+    pr = _poly_side_arrays(rt)
+    l_poly = pl["handled"][li]
+    r_poly = pr["handled"][ri]
+
+    m = ~done & l_pt & r_poly  # point x polygon
+    if m.any():
+        idx = np.nonzero(m)[0]
+        accept(idx, _point_poly_dist(lx[li[idx]], ly[li[idx]], rt, ri[idx]))
+    m = ~done & r_pt & l_poly  # polygon x point
+    if m.any():
+        idx = np.nonzero(m)[0]
+        accept(idx, _point_poly_dist(rx[ri[idx]], ry[ri[idx]], lt, li[idx]))
+
+    m = ~done & l_poly & r_poly  # polygon x polygon
+    if m.any():
+        idx = np.nonzero(m)[0]
+        elig, inter = _poly_poly_intersects(lt, rt, li[idx], ri[idx])
+        # all pairs are eligible (both handled), so elig is all-True here
+        touch = idx[inter]
+        out[touch] = True
+        done[touch] = True
+        far = idx[~inter]
+        if len(far):
+            # min seg-seg distance: for non-crossing segments it is the min
+            # of the four endpoint-to-segment distances (chunked expansion)
+            na = pl["scount"][li[far]]
+            nb = pr["scount"][ri[far]]
+            dmin = np.full(len(far), np.inf)
+            cm_all = na * nb
+            cuts = np.cumsum(cm_all)
+            start = 0
+            while start < len(far):
+                base = cuts[start - 1] if start else 0
+                stop = int(np.searchsorted(cuts, base + _SEG_CHUNK, side="right")) + 1
+                stop = min(max(stop, start + 1), len(far))
+                cna, cnb = na[start:stop], nb[start:stop]
+                cm = cna * cnb
+                total = int(cm.sum())
+                if total:
+                    ends = np.cumsum(cm)
+                    off = ends - cm
+                    t = np.arange(total, dtype=np.int64) - np.repeat(off, cm)
+                    ai = np.repeat(pl["sstart"][li[far[start:stop]]], cm) + t // np.repeat(cnb, cm)
+                    bi = np.repeat(pr["sstart"][ri[far[start:stop]]], cm) + t % np.repeat(cnb, cm)
+                    a1, a2 = pl["seg_a"][ai], pl["seg_b"][ai]
+                    b1, b2 = pr["seg_a"][bi], pr["seg_b"][bi]
+                    d2 = np.minimum(
+                        np.minimum(
+                            _point_seg_dist2(a1[:, 0], a1[:, 1], b1, b2),
+                            _point_seg_dist2(a2[:, 0], a2[:, 1], b1, b2),
+                        ),
+                        np.minimum(
+                            _point_seg_dist2(b1[:, 0], b1[:, 1], a1, a2),
+                            _point_seg_dist2(b2[:, 0], b2[:, 1], a1, a2),
+                        ),
+                    )
+                    dmin[start:stop] = np.sqrt(_min_reduceat(d2, off, cm))
+                start = stop
+            accept(far, dmin)
+
+    rest = np.nonzero(~done)[0]
     if len(rest):
         lg = _geom_cache(lt)
         rg = _geom_cache(rt)
@@ -402,7 +558,10 @@ def _pair_mask_predicate(lt, rt, li, ri, predicate):
     # extraction + vectorized vertex-locate / segment-crossing tests
     fd_done = np.zeros(n, dtype=bool)
     if predicate in ("intersects", "disjoint"):
-        fd = ~fa_done & ~fb_done & ~fc_done & ~l_pt & ~r_pt & (l_kind == 3) & (r_kind == 3)
+        fd = (
+            ~fa_done & ~fb_done & ~fc_done & ~l_pt & ~r_pt
+            & np.isin(l_kind, (3, 6)) & np.isin(r_kind, (3, 6))
+        )
         if fd.any():
             idx = np.nonzero(fd)[0]
             elig, res_d = _poly_poly_intersects(lt, rt, li[idx], ri[idx])
@@ -452,9 +611,11 @@ def _poly_side_arrays(side):
     if side["wkb"] is None:
         handled = np.zeros(n, dtype=bool)
         xy = np.empty((0, 2))
-        ring_row = ring_counts = np.empty(0, dtype=np.int64)
+        ring_row = ring_counts = part_row = part_first = np.empty(0, dtype=np.int64)
     else:
-        handled, xy, ring_row, ring_counts = _wkb.polygon_rings_from_wkb(side["wkb"])
+        handled, xy, ring_row, ring_counts, part_row, part_first = _wkb.polygon_rings_from_wkb(
+            side["wkb"]
+        )
     vcount = (
         np.bincount(ring_row, weights=ring_counts, minlength=n).astype(np.int64)
         if len(ring_row)
@@ -474,10 +635,17 @@ def _poly_side_arrays(side):
         seg_a = seg_b = np.empty((0, 2))
         scount = np.zeros(n, dtype=np.int64)
     sstart = np.cumsum(scount) - scount
+    pcount = (
+        np.bincount(part_row, minlength=n).astype(np.int64)
+        if len(part_row)
+        else np.zeros(n, dtype=np.int64)
+    )
+    pstart = np.cumsum(pcount) - pcount
     cached = {
         "handled": handled, "xy": xy,
         "vstart": vstart, "vcount": vcount,
         "seg_a": seg_a, "seg_b": seg_b, "sstart": sstart, "scount": scount,
+        "part_first": part_first, "pstart": pstart, "pcount": pcount,
     }
     side["_poly"] = cached
     return cached
@@ -592,27 +760,37 @@ def _poly_poly_intersects(lt, rt, li, ri):
             res[sel] |= _any_reduceat(hit, off, cm)
         start = stop
 
-    # --- test 3: B entirely inside A (env containment pre-filter) ---
+    # --- test 3: some part of B entirely inside A. With tests 1-2 false
+    # there are no boundary contacts, so each B part is wholly inside or
+    # wholly outside A — one probe vertex per part decides it. Pre-filter
+    # parts by A's envelope (a part inside A must probe inside env(A));
+    # a probe vertex in/on A is itself proof of intersection, so the
+    # pre-filter only cuts cost, never changes the answer. ---
     pend = np.nonzero(~res)[0]
     if len(pend):
-        le = lt["e"][li[pend]]
-        re_ = rt["e"][ri[pend]]
-        inside_env = (
-            (re_[:, 0] >= le[:, 0]) & (re_[:, 1] >= le[:, 1])
-            & (re_[:, 2] <= le[:, 2]) & (re_[:, 3] <= le[:, 3])
-        )
-        cand = pend[inside_env]
-        if len(cand):
-            lg = _geom_cache(lt)
-            order = np.argsort(li[cand], kind="stable")
-            sorted_li = li[cand][order]
-            bounds = np.nonzero(np.diff(sorted_li))[0] + 1
-            for grp in np.split(order, bounds):
-                a_geom = lg(int(li[cand[grp[0]]]))
-                vx = pr["xy"][pr["vstart"][ri[cand[grp]]], 0]
-                vy = pr["xy"][pr["vstart"][ri[cand[grp]]], 1]
-                loc = P.locate_points_in_geometry(vx, vy, a_geom)
-                res[cand[grp]] |= loc != P.EXTERIOR
+        pc = pr["pcount"][ri[pend]]
+        idx, off = _expand_pair_slices(pr["pstart"][ri[pend]], pc)
+        if len(idx):
+            pf = pr["part_first"][idx]
+            px = pr["xy"][pf, 0]
+            py = pr["xy"][pf, 1]
+            pair_of_part = np.repeat(np.arange(len(pend), dtype=np.int64), pc)
+            envp = lt["e"][li[pend[pair_of_part]]]
+            inenv = (px >= envp[:, 0]) & (px <= envp[:, 2]) & (py >= envp[:, 1]) & (py <= envp[:, 3])
+            sel = np.nonzero(inenv)[0]
+            if len(sel):
+                lg = _geom_cache(lt)
+                arow = li[pend[pair_of_part[sel]]]
+                order = np.argsort(arow, kind="stable")
+                sorted_a = arow[order]
+                bounds = np.nonzero(np.diff(sorted_a))[0] + 1
+                for grp in np.split(order, bounds):
+                    s = sel[grp]
+                    a_geom = lg(int(arow[grp[0]]))
+                    loc = P.locate_points_in_geometry(px[s], py[s], a_geom)
+                    hit = loc != P.EXTERIOR
+                    if hit.any():
+                        res[pend[pair_of_part[s[hit]]]] = True
     return elig, res
 
 

@@ -345,13 +345,46 @@ def test_poly_poly_fastpath_matches_bruteforce():
             return Geometry.polygon(ring.tolist(), holes=[h[::-1].tolist()])
         return Geometry.polygon(ring.tolist())
 
+    from incubator_sedona_ray.geom import GeometryType
+
+    def rand_multi(cx, cy):
+        def ring(px, py, r, nv):
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(0.5 * r, r, nv)
+            rr = np.column_stack([px + rad * np.cos(ang), py + rad * np.sin(ang)])
+            return np.vstack([rr, rr[:1]])
+
+        return Geometry(
+            GeometryType.MULTIPOLYGON,
+            [
+                [ring(cx, cy, rng.uniform(0.5, 2.0), int(rng.integers(3, 7)))],
+                [ring(cx + 6, cy, rng.uniform(0.5, 2.0), int(rng.integers(3, 7)))],
+            ],
+        )
+
     lpolys, rpolys = [], []
     for i in range(150):
         cx, cy = rng.uniform(-10, 10, 2)
-        lpolys.append(rand_poly(cx, cy, rng.uniform(0.5, 3.0), nv=int(rng.integers(3, 8)), hole=(i % 5 == 0)))
+        if i % 6 == 1:
+            lpolys.append(rand_multi(cx, cy))
+        else:
+            lpolys.append(rand_poly(cx, cy, rng.uniform(0.5, 3.0), nv=int(rng.integers(3, 8)), hole=(i % 5 == 0)))
         dx, dy = rng.uniform(-2, 2, 2)
-        rpolys.append(rand_poly(cx + dx, cy + dy, rng.uniform(0.2, 4.0), nv=int(rng.integers(3, 8)), hole=(i % 7 == 0)))
+        if i % 4 == 2:
+            rpolys.append(rand_multi(cx + dx, cy + dy))
+        else:
+            rpolys.append(rand_poly(cx + dx, cy + dy, rng.uniform(0.2, 4.0), nv=int(rng.integers(3, 8)), hole=(i % 7 == 0)))
     A = Geometry.polygon([[0, 0], [10, 0], [10, 10], [0, 10]], holes=[[[3, 3], [7, 3], [7, 7], [3, 7]]])
+
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+    # multipolygon with one part inside A and one far outside: test-3's
+    # per-part probe must still find the inside part
+    Bm = Geometry(GeometryType.MULTIPOLYGON, [[sq(0.5, 0.5, 2, 2)], [sq(50, 50, 60, 60)]])
+    Cm = Geometry(GeometryType.MULTIPOLYGON, [[sq(20, 20, 30, 30)], [sq(50, 50, 60, 60)]])
+    lpolys += [A, Bm, A]
+    rpolys += [Bm, A, Cm]
     for pair in [
         (A, Geometry.polygon([[4, 4], [6, 4], [6, 6], [4, 6]])),  # B inside A's hole
         (A, Geometry.polygon([[2, 2], [8, 2], [8, 8], [2, 8]])),  # crosses hole boundary
@@ -381,4 +414,58 @@ def test_poly_poly_fastpath_matches_bruteforce():
         got = SJ._pair_mask_predicate(lt, rt, li, li, pred)
         fn = PP.PREDICATES[pred]
         want = np.array([fn(lpolys[i], rpolys[i]) for i in range(len(lw))])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_distance_refine_fastpath_matches_bruteforce():
+    """Vectorized distance refine (point-polygon min-segment + grouped
+    inside test, polygon-polygon intersects-or-min-segseg) must match the
+    per-pair evaluator across mixed point/polygon/holed/multi rows."""
+    import importlib
+
+    from incubator_sedona_ray.geom import GeometryType
+    from incubator_sedona_ray.geom import ops as gops
+    from incubator_sedona_ray.geom import wkb as wkbm
+
+    SJ = importlib.import_module("incubator_sedona_ray.join.spatial_join")
+    rng = np.random.default_rng(17)
+
+    def ring(cx, cy, r, nv):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5 * r, r, nv)
+        rr = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        return np.vstack([rr, rr[:1]])
+
+    def rand_geom(i, cx, cy):
+        k = i % 4
+        if k == 0:
+            return Geometry.point(cx, cy)
+        if k == 1:
+            return Geometry(GeometryType.POLYGON, [ring(cx, cy, rng.uniform(0.5, 2.0), int(rng.integers(3, 8)))])
+        if k == 2:
+            return Geometry(GeometryType.POLYGON, [ring(cx, cy, 2.0, 6), ring(cx, cy, 0.3, 6)[::-1]])
+        return Geometry(GeometryType.MULTIPOLYGON, [[ring(cx, cy, 1.0, 5)], [ring(cx + 3, cy, 1.0, 5)]])
+
+    lp, rp = [], []
+    for i in range(300):
+        cx, cy = rng.uniform(-10, 10, 2)
+        dx, dy = rng.uniform(-4, 4, 2)
+        lp.append(rand_geom(i, cx, cy))
+        rp.append(rand_geom(i // 4, cx + dx, cy + dy))
+    lw = [to_wkb(g) for g in lp]
+    rw = [to_wkb(g) for g in rp]
+
+    def mkside(ws, radius):
+        env = wkbm.envelopes_from_wkb(ws)
+        ispt = np.array([len(b) == 21 for b in ws]) & (radius == 0.0)
+        return {
+            "x": np.where(ispt, env[:, 0], np.nan), "y": np.where(ispt, env[:, 1], np.nan),
+            "e": env, "ispt": ispt, "wkb": ws, "kind": wkbm.kinds_from_wkb(ws),
+        }
+
+    li = np.arange(len(lw))
+    for radius in (0.5, 2.0):
+        lt, rt = mkside(lw, radius), mkside(rw, radius)
+        got = SJ._pair_mask_distance(lt, rt, li, li, radius, True)
+        want = np.array([gops.distance(lp[i], rp[i]) <= radius for i in range(len(lw))])
         np.testing.assert_array_equal(got, want)
