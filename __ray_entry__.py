@@ -158,6 +158,35 @@ def q_pip_join_broadcast(sf_dir: str):
     return _rename(out.select_columns(["z_zone_id", "doc_id"]), {"z_zone_id": "zone_id"})
 
 
+def q_poly_join(sf_dir: str):
+    """Polygon-x-polygon intersects join (the vectorized fast path D,
+    ``join/spatial_join.py _poly_poly_intersects``): each document becomes
+    a box of per-doc half-width around its geocoded point (vectorized
+    ``boxes_to_wkb``), broadcast-joined against the zone squares. The
+    oracle is the closed-form box-overlap predicate."""
+    from incubator_sedona_ray.geom.wkb import boxes_to_wkb
+
+    def boxify(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = 0.5 + 0.5 * (ids % 4).astype(np.float64)
+        wkb = boxes_to_wkb(lon - w, lat - w, lon + w, lat + w)
+        return pa.table({"doc_id": b["doc_id"], "geom": pa.array(list(wkb), type=pa.binary())})
+
+    boxes = _geo_docs(sf_dir).map_batches(boxify, batch_format="pyarrow")
+    out = broadcast_spatial_join(
+        boxes,
+        _zones_table(),
+        "intersects",
+        big_geom="geom",
+        small_geom="geom",
+        how="inner",
+        small_prefix="z_",
+    )
+    return _rename(out.select_columns(["z_zone_id", "doc_id"]), {"z_zone_id": "zone_id"})
+
+
 def q_pip_join_count(sf_dir: str):
     counts = q_pip_join(sf_dir).groupby("zone_id").count()
     return _rename(counts, {"count()": "n_docs"})
@@ -813,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_query": q_range_query,
         "pip_join": q_pip_join,
         "pip_join_broadcast": q_pip_join_broadcast,
+        "poly_join": q_poly_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_cells": q_pip_join_cells,
         "pip_join_count": q_pip_join_count,
@@ -993,6 +1023,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
             f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
             f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
+        ),
+        "poly_join": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}), "
+            "b AS (SELECT doc_id, lon, lat, 0.5 + 0.5 * (doc_id % 4) AS w FROM pts) "
+            f"SELECT z.zone_id AS zone_id, b.doc_id AS doc_id FROM zones z JOIN b ON "
+            f"b.lon - b.w <= z.x0 + {ZN_SIDE} AND b.lon + b.w >= z.x0 "
+            f"AND b.lat - b.w <= z.y0 + {ZN_SIDE} AND b.lat + b.w >= z.y0"
         ),
         "pip_join_salted": (
             f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "

@@ -45,7 +45,20 @@ def knn_query(ds, query: Geometry, k: int, *, geom=("lon", "lat"), id_col: str |
             else:
                 d = _ops.points_to_geometry_distance(x, y, query)
         else:
-            d = np.array([_ops.distance(query, _wkb.from_wkb(b)) for b in batch[geom].to_pylist()])
+            col = batch[geom]
+            if query.kind == "Point":
+                from .spatial_join import point_to_wkb_polygons_dist
+
+                d = point_to_wkb_polygons_dist(
+                    col, float(query.coords[0]), float(query.coords[1])
+                )
+            else:
+                d = np.full(len(col), np.nan)
+            miss = np.nonzero(np.isnan(d))[0]
+            if len(miss):  # non-polygon rows (points/lines/exotic WKB)
+                blobs = col.to_pylist()
+                for i in miss:
+                    d[i] = _ops.distance(query, _wkb.from_wkb(blobs[i]))
         kk = min(k, len(d))
         if kk:
             # keep ALL rows tied at the k-th distance so the global

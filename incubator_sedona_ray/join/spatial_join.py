@@ -338,6 +338,38 @@ def _point_poly_dist(px, py, side, rows) -> np.ndarray:
     return d
 
 
+def point_to_wkb_polygons_dist(wkb_col, qx: float, qy: float) -> np.ndarray:
+    """Distance from ONE query point to every polygon/multipolygon row of a
+    WKB column, vectorized: min point-segment distance per row with a
+    ray-cast parity inside test (parity over ALL rings handles holes and
+    disjoint multi parts). Rows the batch ring extractor can't handle
+    (points, lines, exotic WKB) come back NaN — the caller falls back per
+    row. Used by the kNN-query WKB path."""
+    n = len(wkb_col)
+    side = {"ispt": np.zeros(n, dtype=bool), "wkb": wkb_col}
+    ps = _poly_side_arrays(side)
+    out = np.full(n, np.nan)
+    rows = np.nonzero(ps["handled"])[0]
+    if len(rows) == 0:
+        return out
+    idx, off = _expand_pair_slices(ps["sstart"][rows], ps["scount"][rows])
+    a = ps["seg_a"][idx]
+    b = ps["seg_b"][idx]
+    d2 = _point_seg_dist2(qx, qy, a, b)
+    dmin = np.sqrt(_min_reduceat(d2, off, ps["scount"][rows]))
+    straddle = (a[:, 1] > qy) != (b[:, 1] > qy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = a[:, 0] + (qy - a[:, 1]) * (b[:, 0] - a[:, 0]) / (b[:, 1] - a[:, 1])
+    cross = straddle & (qx < xint)
+    ncross = np.zeros(len(rows), dtype=np.int64)
+    ne = ps["scount"][rows] > 0
+    if cross.size and ne.any():
+        ncross[ne] = np.add.reduceat(cross.astype(np.int64), off[ne])
+    inside = (ncross % 2) == 1
+    out[rows] = np.where(inside, 0.0, dmin)
+    return out
+
+
 def _pair_mask_distance(lt, rt, li, ri, radius, inclusive):
     """SQL DistanceJoinExec semantics: true geometric distance(l, r) <=/< radius.
 

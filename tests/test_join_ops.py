@@ -469,3 +469,54 @@ def test_distance_refine_fastpath_matches_bruteforce():
         got = SJ._pair_mask_distance(lt, rt, li, li, radius, True)
         want = np.array([gops.distance(lp[i], rp[i]) <= radius for i in range(len(lw))])
         np.testing.assert_array_equal(got, want)
+
+
+def test_point_to_wkb_polygons_dist_and_knn_wkb():
+    """point_to_wkb_polygons_dist must equal ops.distance on polygon /
+    holed / multi rows (NaN for lines/points -> per-row fallback), and
+    knn_query over a WKB column must rank by those distances."""
+    import importlib
+
+    import pyarrow as pa
+
+    from incubator_sedona_ray.geom import GeometryType
+    from incubator_sedona_ray.geom import ops as gops
+    from incubator_sedona_ray.geom import wkb as wkbm
+
+    SJ = importlib.import_module("incubator_sedona_ray.join.spatial_join")
+    rng = np.random.default_rng(23)
+
+    def ring(cx, cy, r, nv):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5 * r, r, nv)
+        rr = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        return np.vstack([rr, rr[:1]])
+
+    geoms = []
+    for i in range(200):
+        cx, cy = rng.uniform(-10, 10, 2)
+        k = i % 5
+        if k == 0:
+            geoms.append(Geometry.point(cx, cy))
+        elif k == 1:
+            geoms.append(Geometry(GeometryType.POLYGON, [ring(cx, cy, rng.uniform(0.5, 2), int(rng.integers(3, 8)))]))
+        elif k == 2:
+            geoms.append(Geometry(GeometryType.POLYGON, [ring(cx, cy, 2.0, 6), ring(cx, cy, 0.3, 6)[::-1]]))
+        elif k == 3:
+            geoms.append(Geometry(GeometryType.MULTIPOLYGON, [[ring(cx, cy, 1, 5)], [ring(cx + 3, cy, 1, 5)]]))
+        else:
+            geoms.append(Geometry(GeometryType.LINESTRING, rng.uniform(-10, 10, (4, 2))))
+    blobs = [wkbm.to_wkb(g) for g in geoms]
+    qx, qy = 0.5, -0.25
+    d = SJ.point_to_wkb_polygons_dist(pa.array(blobs, type=pa.binary()), qx, qy)
+    q = Geometry.point(qx, qy)
+    want = np.array([gops.distance(q, g) for g in geoms])
+    m = ~np.isnan(d)
+    assert m.sum() == 120  # the polygonal 3/5 of rows
+    np.testing.assert_allclose(d[m], want[m], atol=1e-9)
+
+    df = pd.DataFrame({"gid": np.arange(len(blobs)), "geom": blobs})
+    out = knn_query(ray.data.from_pandas(df), q, 12, geom="geom", id_col="gid").to_pandas()
+    np.testing.assert_allclose(
+        np.sort(out.dist.to_numpy()), np.sort(want[np.argsort(want, kind="stable")[:12]]), atol=1e-9
+    )
