@@ -141,9 +141,16 @@ def s2_cell_join(
             wkb = None if wkb_col.null_count == n else wkb_col.to_pylist()
             xn = "__x" + suffix if "__x" + suffix in batch.column_names else "__x"
             yn = "__y" + suffix if "__y" + suffix in batch.column_names else "__y"
+            x = batch[xn].to_numpy(zero_copy_only=False)
+            y = batch[yn].to_numpy(zero_copy_only=False)
+            if wkb is None:
+                env = np.column_stack([x, y, x, y])
+            else:
+                env = _wkb.envelopes_from_wkb(wkb_col)  # zero-copy batch scan
             return {
-                "x": batch[xn].to_numpy(zero_copy_only=False),
-                "y": batch[yn].to_numpy(zero_copy_only=False),
+                "x": x,
+                "y": y,
+                "e": env,
                 "wkb": wkb,
                 "ispt": np.ones(n, dtype=bool)
                 if wkb is None
@@ -155,19 +162,26 @@ def s2_cell_join(
         rt = arrays("_r")
         idx = np.arange(n)
         keep = _pair_mask_predicate(lt, rt, idx, idx, predicate)
-        # min-shared-cell dedup for pairs where both sides cover >1 cell
+        # min-shared-cell dedup — only pairs where a side covers >1 cell
+        # can be duplicated, so vectorize the guard (cover byte lengths)
+        # and decode cell lists only for those rows
+        import pyarrow.compute as pc
+
         lcells_name = "__cells_l" if "__cells_l" in batch.column_names else "__cells"
         rcells_name = "__cells_r" if "__cells_r" in batch.column_names else "__cells"
-        lcells = batch[lcells_name].to_pylist()
-        rcells = batch[rcells_name].to_pylist()
-        cell = batch["__cell"].to_numpy(zero_copy_only=False)
-        for k in np.nonzero(keep)[0]:
-            lc = np.frombuffer(lcells[k], dtype=np.int64)
-            rc = np.frombuffer(rcells[k], dtype=np.int64)
-            if len(lc) == 1 and len(rc) == 1:
-                continue
-            if min(set(lc.tolist()) & set(rc.tolist())) != cell[k]:
-                keep[k] = False
+        llen = pc.binary_length(batch[lcells_name]).to_numpy(zero_copy_only=False) // 8
+        rlen = pc.binary_length(batch[rcells_name]).to_numpy(zero_copy_only=False) // 8
+        check = np.nonzero(keep & ((llen > 1) | (rlen > 1)))[0]
+        if len(check):
+            cell = batch["__cell"].to_numpy(zero_copy_only=False)
+            lcells = batch[lcells_name].take(pa.array(check)).to_pylist()
+            rcells = batch[rcells_name].take(pa.array(check)).to_pylist()
+            for j, k in enumerate(check):
+                lc = np.frombuffer(lcells[j], dtype=np.int64)
+                rc = np.frombuffer(rcells[j], dtype=np.int64)
+                shared = np.intersect1d(lc, rc)
+                if shared[0] != cell[k]:
+                    keep[k] = False
         out = batch.filter(pa.array(keep))
         return out.select(out_cols)
 

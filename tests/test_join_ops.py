@@ -520,3 +520,31 @@ def test_point_to_wkb_polygons_dist_and_knn_wkb():
     np.testing.assert_allclose(
         np.sort(out.dist.to_numpy()), np.sort(want[np.argsort(want, kind="stable")[:12]]), atol=1e-9
     )
+
+
+def test_s2_cell_join_poly_poly():
+    """Cell join with polygons on BOTH sides (the refine dict needs the
+    envelope key for fast path D's inside-test prefilter) must match the
+    brute-force predicate."""
+    import incubator_sedona_ray.geom.predicates as PP
+    from incubator_sedona_ray.join.cell_join import s2_cell_join
+
+    rng = np.random.default_rng(2)
+    lrows, lg, rrows, rg = [], [], [], []
+    for i in range(40):
+        x, y = rng.uniform(-40, 40, 2)
+        g = Geometry.box(x, y, x + 3, y + 3)
+        lg.append(g)
+        lrows.append({"aid": i, "geom": to_wkb(g)})
+        x, y = rng.uniform(-40, 40, 2)
+        g = Geometry.box(x, y, x + 4, y + 4)
+        rg.append(g)
+        rrows.append({"bid": i, "geom": to_wkb(g)})
+    out = s2_cell_join(
+        ray.data.from_pandas(pd.DataFrame(lrows)),
+        ray.data.from_pandas(pd.DataFrame(rrows)),
+        "intersects", level=8, left_geom="geom", right_geom="geom",
+    ).to_pandas()
+    got = set(zip(out.l_aid, out.r_bid))
+    want = {(i, j) for i in range(40) for j in range(40) if PP.intersects(lg[i], rg[j])}
+    assert got == want
