@@ -384,7 +384,10 @@ def polygon_rings_from_wkb(wkb_col):
       representative interior-side probe point per part.
 
     One u32 gather + one coordinate gather per nesting level, no per-row
-    Python. Used by the vectorized polygon-x-polygon join refine."""
+    Python. Used by the vectorized polygon-x-polygon join refine — the
+    role JTS geometry accessors play inside the reference's judgement
+    kernels (``core/.../judgement/JudgementBase.java``,
+    ``common/.../Predicates.java:19-52``), done batch-at-a-time here."""
     flat = _flat_wkb_buffer(wkb_col)
     if flat is None:
         n = len(list(wkb_col))

@@ -740,11 +740,12 @@ def _poly_poly_intersects(lt, rt, li, ri):
     """Vectorized intersects for candidate pairs where BOTH sides are plain
     LE WKB polygons. Returns (eligible_mask, result_for_eligible).
 
-    intersects(A, B) over valid polygons holds iff any A boundary vertex is
-    in/on B, or any boundary segments cross/touch, or B lies entirely
-    inside A (decided by B's first vertex — only possible when env(B) is
-    inside env(A), so the per-pair fallback triggers rarely and is itself
-    grouped by A)."""
+    Matches JTS ``Geometry.intersects`` semantics over valid (multi)
+    polygons (the reference refines candidate pairs per-pair through JTS,
+    ``common/.../Predicates.java:19-24``; here the three exhaustive cases
+    are each batch-vectorized): any A boundary vertex in/on B, any
+    boundary segments crossing/touching, or some part of B lying entirely
+    inside A (per-part probe vertices, envelope-prefiltered)."""
     pl = _poly_side_arrays(lt)
     pr = _poly_side_arrays(rt)
     elig = pl["handled"][li] & pr["handled"][ri]
