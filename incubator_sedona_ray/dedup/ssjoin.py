@@ -71,16 +71,25 @@ def _prefix_len(size: int, threshold: float) -> int:
     return size - int(math.ceil(threshold * size)) + 1
 
 
+def _shingles_i64(text: str, n: int) -> np.ndarray:
+    """Shingle hashes as SORTED int64 (the uint64 FNV values reinterpreted
+    bitwise). Prefix filtering is correct under ANY fixed total order, and
+    int64 tokens keep Ray's groupby/count key columns native Arrow — uint64
+    values above 2^63-1 overflow the aggregate builder's int64 inference
+    and fall back to pickled-object extension arrays (a scale killer)."""
+    return np.sort(word_shingles_arr(text, n).view(np.int64))
+
+
 def _sig_rows_fn(text_col: str, id_col: str, n: int):
     """map_batches stage: text rows -> compact (rid, sig) signature rows,
-    sig packed as little-endian uint64 bytes (binary survives both the
+    sig packed as little-endian int64 bytes (binary survives both the
     object store and Acero hash joins; empty shingle sets dropped)."""
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         rids, sigs = [], []
         for i, t in zip(ids, batch[text_col].to_pylist()):
-            s = word_shingles_arr(t or "", n)
+            s = _shingles_i64(t or "", n)
             if len(s):
                 rids.append(int(i))
                 sigs.append(s.tobytes())
@@ -93,7 +102,7 @@ def _sig_rows_fn(text_col: str, id_col: str, n: int):
 
 def _unpack_sigs(batch: pa.Table):
     ids = batch["rid"].to_numpy(zero_copy_only=False)
-    return ids, [np.frombuffer(b, dtype=np.uint64) for b in batch["sig"].to_pylist()]
+    return ids, [np.frombuffer(b, dtype=np.int64) for b in batch["sig"].to_pylist()]
 
 
 def _df_rank_table(sigs_ds):
@@ -105,8 +114,8 @@ def _df_rank_table(sigs_ds):
 
     def toks(batch: pa.Table) -> pa.Table:
         _, sigs = _unpack_sigs(batch)
-        allt = np.concatenate(sigs) if sigs else np.empty(0, dtype=np.uint64)
-        return pa.table({"token": pa.array(allt, type=pa.uint64())})
+        allt = np.concatenate(sigs) if sigs else np.empty(0, dtype=np.int64)
+        return pa.table({"token": pa.array(allt, type=pa.int64())})
 
     counts = sigs_ds.map_batches(toks, batch_format="pyarrow").groupby("token").count()
 
@@ -114,7 +123,7 @@ def _df_rank_table(sigs_ds):
         return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
 
     rep = counts.map_batches(keep_repeated, batch_format="pyarrow").to_pandas()
-    toks_arr = rep["token"].to_numpy().astype(np.uint64)
+    toks_arr = rep["token"].to_numpy().astype(np.int64)
     dfs = rep["count()"].to_numpy().astype(np.int64)
     order = np.lexsort((toks_arr, dfs))  # global rank order: (df, value)
     rank_orig = np.empty(len(toks_arr), dtype=np.int64)
@@ -157,23 +166,25 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
 
         lookup = resolve_ref(rank_ref) if rank_ref is not None else None
         ids, sig_arrays = _unpack_sigs(batch)
-        out_tok, out_id, out_len, out_pre = [], [], [], []
-        for i, s in zip(ids, sig_arrays):
-            if len(s) == 0:
-                continue
-            prefix = _prefix_of(s, threshold, lookup)
-            pre_list = prefix.tolist()
-            for tok in prefix:
-                out_tok.append(int(tok))
-                out_id.append(int(i))
-                out_len.append(len(s))
-                out_pre.append(pre_list)
+        prefixes = [_prefix_of(s, threshold, lookup) for s in sig_arrays]
+        plens = np.fromiter((len(p) for p in prefixes), dtype=np.int64, count=len(prefixes))
+        slens = np.fromiter((len(s) for s in sig_arrays), dtype=np.int64, count=len(sig_arrays))
+        tok = np.concatenate(prefixes) if prefixes else np.empty(0, dtype=np.int64)
+        # one output row per (doc, prefix token), each carrying the doc's
+        # full prefix as a list column — built with repeat/ListArray, no
+        # per-row Python list appends
+        pre_vals = np.concatenate(
+            [np.tile(p, max(len(p), 0)) for p in prefixes if len(p)]
+        ) if plens.sum() else np.empty(0, dtype=np.int64)
+        pre_offsets = np.concatenate(
+            [[0], np.cumsum(np.repeat(plens, plens))]
+        ).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array(out_tok, type=pa.uint64()),
-                "rid": pa.array(out_id, type=pa.int64()),
-                "slen": pa.array(out_len, type=pa.int64()),
-                "prefix": pa.array(out_pre, type=pa.list_(pa.uint64())),
+                "token": pa.array(tok, type=pa.int64()),
+                "rid": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), plens), type=pa.int64()),
+                "slen": pa.array(np.repeat(slens, plens), type=pa.int64()),
+                "prefix": pa.LargeListArray.from_arrays(pa.array(pre_offsets, type=pa.int64()), pa.array(pre_vals, type=pa.int64())),
             }
         )
 
@@ -183,7 +194,7 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
         tok = int(g["token"].iloc[0])
         rids = g["rid"].to_numpy()
         lens = g["slen"].to_numpy()
-        pres = [np.asarray(p, dtype=np.uint64) for p in g["prefix"]]
+        pres = [np.asarray(p, dtype=np.int64) for p in g["prefix"]]
         order_ = np.argsort(rids, kind="mergesort")
         a_out, b_out = [], []
         for ii in range(len(order_)):
@@ -222,8 +233,8 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
         sb = batch["sig"].to_pylist()
         a_out, b_out, j_out = [], [], []
         for i in range(len(a)):
-            si = np.frombuffer(sa[i], dtype=np.uint64)
-            sj = np.frombuffer(sb[i], dtype=np.uint64)
+            si = np.frombuffer(sa[i], dtype=np.int64)
+            sj = np.frombuffer(sb[i], dtype=np.int64)
             inter = len(np.intersect1d(si, sj, assume_unique=True))
             jac = inter / (len(si) + len(sj) - inter)
             if jac >= threshold:
@@ -296,29 +307,33 @@ def jaccard_self_join(
         if sigs_ds is not None:
             ids, sig_arrays = _unpack_sigs(batch)
         else:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            sig_arrays = [word_shingles_arr(t or "", n) for t in batch[text_col].to_pylist()]
-        out_tok: list[int] = []
-        out_id: list[int] = []
-        out_sig: list[list[int]] = []
-        out_pre: list[list[int]] = []
-        for i, s in zip(ids, sig_arrays):
-            if len(s) == 0:
-                continue
-            prefix = _prefix_of(s, threshold, lookup)  # value-sorted: ownership compares by VALUE
-            sig_list = s.tolist()
-            pre_list = prefix.tolist()
-            for tok in prefix:
-                out_tok.append(int(tok))
-                out_id.append(int(i))
-                out_sig.append(sig_list)
-                out_pre.append(pre_list)
+            raw_ids = batch[id_col].to_numpy(zero_copy_only=False)
+            ids, sig_arrays = [], []
+            for i, t in zip(raw_ids, batch[text_col].to_pylist()):
+                s = _shingles_i64(t or "", n)
+                if len(s):
+                    ids.append(int(i))
+                    sig_arrays.append(s)
+        # value-sorted prefixes: ownership compares by VALUE
+        prefixes = [_prefix_of(s, threshold, lookup) for s in sig_arrays]
+        plens = np.fromiter((len(p) for p in prefixes), dtype=np.int64, count=len(prefixes))
+        slens = np.fromiter((len(s) for s in sig_arrays), dtype=np.int64, count=len(sig_arrays))
+        tok = np.concatenate(prefixes) if prefixes else np.empty(0, dtype=np.int64)
+        if plens.sum():
+            pre_vals = np.concatenate([np.tile(p, len(p)) for p in prefixes])
+            sig_vals = np.concatenate(
+                [np.tile(s, int(p)) for s, p in zip(sig_arrays, plens)]
+            )
+        else:
+            pre_vals = sig_vals = np.empty(0, dtype=np.int64)
+        pre_off = np.concatenate([[0], np.cumsum(np.repeat(plens, plens))]).astype(np.int64)
+        sig_off = np.concatenate([[0], np.cumsum(np.repeat(slens, plens))]).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array(out_tok, type=pa.uint64()),
-                "rid": pa.array(out_id, type=pa.int64()),
-                "sig": pa.array(out_sig, type=pa.list_(pa.uint64())),
-                "prefix": pa.array(out_pre, type=pa.list_(pa.uint64())),
+                "token": pa.array(tok, type=pa.int64()),
+                "rid": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), plens), type=pa.int64()),
+                "sig": pa.LargeListArray.from_arrays(pa.array(sig_off, type=pa.int64()), pa.array(sig_vals, type=pa.int64())),
+                "prefix": pa.LargeListArray.from_arrays(pa.array(pre_off, type=pa.int64()), pa.array(pre_vals, type=pa.int64())),
             }
         )
 
@@ -327,8 +342,8 @@ def jaccard_self_join(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         tok = int(g["token"].iloc[0])
         rids = g["rid"].to_numpy()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in g["sig"]]
-        pres = [np.asarray(p, dtype=np.uint64) for p in g["prefix"]]
+        sigs = [np.asarray(s, dtype=np.int64) for s in g["sig"]]
+        pres = [np.asarray(p, dtype=np.int64) for p in g["prefix"]]
         order_ = np.argsort(rids, kind="mergesort")
         a_out, b_out, j_out = [], [], []
         for ii in range(len(order_)):
