@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -26,21 +24,22 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_cols: l
     """Dataset -> surviving rows (min id per distinct text). Returns columns
     [id_col, text_hash] + keep_cols.
 
-    Fast path (no keep_cols): a native ``groupby.aggregate(Min)`` — partial
-    per-block combine + one small shuffle, no per-group Python. With
-    keep_cols the representative ROW must survive, so it falls back to
-    per-group head(1)."""
+    Both paths are per-group-Python-free: a native ``groupby.aggregate(Min)``
+    (partial per-block combine + one small shuffle) picks the surviving id
+    per hash; with keep_cols the representative ROW is then re-attached by
+    a distributed hash join on ``id_col`` (``join/payload.py``) — two slim
+    exchanges instead of one Python call per distinct document."""
+    from ray.data.aggregate import Min
+
     hashed = ds.map_batches(add_text_hash_fn(text_col), batch_format="pyarrow")
+    slim = hashed.select_columns([id_col, "text_hash"])
+    survivors = slim.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
     if not keep_cols:
-        from ray.data.aggregate import Min
+        return survivors
 
-        slim = hashed.select_columns([id_col, "text_hash"])
-        return slim.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+    from ..join.payload import attach_payload
 
-    cols = [id_col, "text_hash"] + keep_cols
-    slim = hashed.select_columns(cols)
-
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
-
-    return slim.groupby("text_hash").map_groups(keep_min, batch_format="pandas")
+    payload = hashed.select_columns([id_col] + keep_cols)
+    return attach_payload(
+        survivors, payload, key=id_col, payload_key=id_col, strategy="hash"
+    )

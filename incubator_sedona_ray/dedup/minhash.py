@@ -100,6 +100,58 @@ _FNV_BAND_OFFSET = np.uint64(14695981039346656037)
 _FNV_BAND_PRIME = np.uint64(1099511628211)
 
 
+def star_pairs_by_bucket(
+    banded,
+    bucket_cols: list[str],
+    id_col: str,
+    num_parts: int,
+    carry_col: str | None = None,
+):
+    """Star pairs (bucket-min id ``a`` -> every other member ``b``) for every
+    multi-member bucket, WITHOUT one Python call per bucket: buckets are
+    hashed into ``num_parts`` coarse groups and each group's kernel finds
+    all bucket boundaries with one lexsort — Python-call count is O(parts),
+    not O(distinct buckets) (at web scale nearly every bucket is a
+    singleton, so per-bucket ``map_groups`` is pure overhead).
+
+    ``carry_col`` (optional, int64 values) is returned alongside as
+    ``carry_a`` / ``carry_b`` (the bucket-first row's and the member row's
+    value) for kernels that verify against the representative, e.g. simhash
+    hamming distance."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t[bucket_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in bucket_cols[1:]:
+            key = key * np.int64(1000003) + t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (key % num_parts + num_parts) % num_parts
+        return t.append_column("bpart", pa.array(part.astype(np.int32)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [g[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in bucket_cols]
+        order = np.lexsort((ids, *reversed(keys)))
+        ids = ids[order]
+        keys = [k[order] for k in keys]
+        first = np.empty(len(ids), dtype=bool)
+        first[:1] = True
+        if len(ids) > 1:
+            first[1:] = np.zeros(len(ids) - 1, dtype=bool)
+            for k in keys:
+                first[1:] |= k[1:] != k[:-1]
+        grp = np.cumsum(first) - 1
+        a_all = ids[np.flatnonzero(first)][grp]  # bucket-first id per row
+        member = ~first
+        cols = {"a": pa.array(a_all[member], type=pa.int64()), "b": pa.array(ids[member], type=pa.int64())}
+        if carry_col is not None:
+            cv = g[carry_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            cols["carry_a"] = pa.array(cv[np.flatnonzero(first)][grp][member], type=pa.int64())
+            cols["carry_b"] = pa.array(cv[member], type=pa.int64())
+        return pa.table(cols)
+
+    parted = banded.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("bpart").map_groups(kernel, batch_format="pyarrow")
+
+
 def _default_join_partitions() -> int:
     """Join/aggregator parallelism sized to the cluster: each hash-join
     partition is backed by an aggregator actor, so asking for more
@@ -199,15 +251,12 @@ def minhash_dedup(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        # emit the bucket as a star around the min id — enough for connected
-        # components; avoids quadratic blowup on giant buckets
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
-
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # star pairs around each bucket's min id — enough for connected
+    # components, avoids quadratic blowup on giant buckets; vectorized
+    # across buckets (no per-bucket Python)
+    cand = star_pairs_by_bucket(
+        banded, ["band_id", "band_hash"], id_col, num_parts=num_partitions * 4
+    )
     # distributed pair dedup (a star pair can surface from many bands)
     cand = (
         cand.groupby(["a", "b"]).count()

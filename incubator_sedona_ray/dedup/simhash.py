@@ -7,7 +7,6 @@ docs sharing any of 4 16-bit bands (catches all pairs with hamming distance
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .ngram import fnv_tokens
@@ -72,21 +71,30 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
 
     banded = fps.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64) if g["simhash"].dtype != object else g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "ham": pd.Series([], dtype="int64")})
-        d = hamming(np.full(len(ids) - 1, sh[0]), sh[1:])
-        return pd.DataFrame({"a": ids[0], "b": ids[1:], "ham": d})
-
     from ray.data.aggregate import Min
 
-    from .minhash import _default_join_partitions, connected_components_min_label
+    from .minhash import _default_join_partitions, connected_components_min_label, star_pairs_by_bucket
 
     num_partitions = _default_join_partitions()
-    cand = banded.groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+    # star pairs per bucket with each endpoint's simhash carried along —
+    # vectorized across buckets (no per-bucket Python), hamming computed
+    # per pair row in one batch pass
+    stars = star_pairs_by_bucket(
+        banded, ["band_id", "band_key"], id_col, num_parts=num_partitions * 4, carry_col="simhash"
+    )
+
+    def add_ham(t: pa.Table) -> pa.Table:
+        ca = t["carry_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cb = t["carry_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "ham": pa.array(hamming(ca, cb).astype(np.int64)),
+            }
+        )
+
+    cand = stars.map_batches(add_ham, batch_format="pyarrow")
 
     def verify(t: pa.Table) -> pa.Table:
         ham = t["ham"].to_numpy(zero_copy_only=False)

@@ -162,18 +162,11 @@ def rasterize_batch_fn(
 
 
 def _pixel_sum(ds):
-    """Partial per-batch pixel pre-aggregation + one tiny shuffle (same
-    idiom as heatmap_counts)."""
-    import pandas as pd
-
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "pixel_x": [int(g["pixel_x"].iloc[0])],
-                "pixel_y": [int(g["pixel_y"].iloc[0])],
-                "weight": [float(g["weight"].sum())],
-            }
-        )
+    """Partial per-batch pixel pre-aggregation + one tiny shuffle + a
+    vectorized native Sum (same idiom as heatmap_counts — a per-group
+    pandas ``map_groups`` here would pay one Python call per DISTINCT
+    pixel, thousands of calls for a sub-second kernel)."""
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         px = batch["pixel_x"].to_numpy(zero_copy_only=False)
@@ -182,17 +175,22 @@ def _pixel_sum(ds):
         key = px * np.int64(1 << 32) + py
         uniq, inv = np.unique(key, return_inverse=True)
         sums = np.bincount(inv, weights=w)
+        return pa.table({"pk": uniq, "weight": sums})
+
+    comb = ds.map_batches(partial, batch_format="pyarrow")
+    agg = comb.groupby("pk").aggregate(Sum("weight", alias_name="weight"))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "pixel_x": (uniq // (1 << 32)).astype(np.int64),
-                "pixel_y": (uniq % (1 << 32)).astype(np.int64),
-                "weight": sums,
-                "pk": uniq,
+                "pixel_x": (pk // (1 << 32)).astype(np.int64),
+                "pixel_y": (pk % (1 << 32)).astype(np.int64),
+                "weight": batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64),
             }
         )
 
-    comb = ds.map_batches(partial, batch_format="pyarrow")
-    return comb.groupby("pk").map_groups(agg, batch_format="pandas")
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def scatter_plot(ds, boundary, res_x, res_y, part_x, part_y, geom_col="geom", blur_radius=0):

@@ -41,6 +41,20 @@ def test_dedup_exact():
     assert len(out) == df.text.nunique()
 
 
+def test_dedup_exact_keep_cols_reattaches_rows():
+    df = _docs_with_dups()
+    df["extra"] = df["doc_id"].astype(str) + "-payload"
+    ds = ray.data.from_pandas(df)
+    out = dedup_exact(ds, keep_cols=["text", "extra"]).to_pandas()
+    base = dedup_exact(ds).to_pandas()
+    # same survivor set as the slim path, full row re-attached by id
+    assert set(out.doc_id) == set(base.doc_id)
+    assert {"doc_id", "text_hash", "text", "extra"} <= set(out.columns)
+    merged = out.merge(df, on="doc_id", suffixes=("", "_src"))
+    assert (merged["text"] == merged["text_src"]).all()
+    assert (merged["extra"] == merged["extra_src"]).all()
+
+
 def test_minhash_dedup_catches_near_dups():
     df = _docs_with_dups()
     ds = ray.data.from_pandas(df)
