@@ -453,13 +453,36 @@ def q_window_agg(sf_dir: str):
 def q_sessionize(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        us = g["ts"].astype("int64").to_numpy()
-        gaps = int((np.diff(us) > SESSION_GAP_US).sum()) if len(us) > 1 else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [gaps + 1]})
+    # shuffle by a coarse hash of user_id: one vectorized kernel per
+    # PARTITION handles every user inside it (lexsort + reduceat), so the
+    # Python-call count is O(partitions), not O(users)
+    n_parts = 64
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((uid * np.int64(0x9E3779B1)) % n_parts + n_parts) % n_parts
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((us, uid))
+        uid, us = uid[order], us[order]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (us[1:] - us[:-1]) > SESSION_GAP_US
+        firsts = np.flatnonzero(new_user)
+        return pd.DataFrame(
+            {
+                "user_id": uid[firsts],
+                "n_sessions": np.add.reduceat(new_sess.astype(np.int64), firsts),
+            }
+        )
+
+    parted = ev.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(sessions_part, batch_format="pandas")
 
 
 def q_top_users(sf_dir: str):
