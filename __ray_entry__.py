@@ -488,7 +488,17 @@ def q_sessionize(sf_dir: str):
 def q_top_users(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     counts = _rename(ev.groupby("user_id").count(), {"count()": "n"})
-    df = counts.to_pandas().sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort").head(10)
+
+    # mergeable top-k: each block keeps its local top 10, the driver merges
+    # only <= 10*n_blocks rows (never the full per-user count table)
+    def local_top(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((uid, -n))[:10]
+        return batch.take(sel)
+
+    small = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    df = small.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort").head(10)
     return df.reset_index(drop=True)
 
 

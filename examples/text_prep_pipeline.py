@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Training-data prep pipeline over Common-Crawl-style pages.
+
+The canonical LLM-corpus cleaning chain, every stage a streaming Ray Data
+transform (nothing materializes on the driver):
+
+    read parquet (pruned columns)
+      -> language ID           (actor pool — model state per actor)
+      -> quality score + filter (vectorized batch kernel)
+      -> exact dedup            (sha256 -> Min-aggregate survivors -> hash join)
+      -> MinHash near-dedup     (banded LSH -> star pairs -> distributed
+                                 verify + connected components)
+      -> token count            (batch kernel)
+      -> checkpointed partitioned parquet (per-partition _SUCCESS + manifest,
+                                 resumable mid-run)
+
+Usage (local smoke):
+
+    python examples/text_prep_pipeline.py \
+        --input /root/testdata/sf0.001/documents.parquet --out /tmp/text_prep
+
+At cluster scale, submit the same file via `ray job submit --working-dir .`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ray
+
+from incubator_sedona_ray.dedup import dedup_exact, minhash_dedup
+from incubator_sedona_ray.join.payload import attach_payload
+from incubator_sedona_ray.state.manifest import checkpointed_write
+from incubator_sedona_ray.text.analysis import LangId, quality_fn, token_count_fn
+
+
+def build(input_path: str, min_alpha_ratio: float = 0.5):
+    docs = ray.data.read_parquet(input_path, columns=["doc_id", "text"])
+
+    # 1. language ID — stateful stage, model built once per actor
+    lang = docs.map_batches(LangId, concurrency=2, batch_format="pyarrow")
+
+    # 2. quality scoring + filter (vectorized; drops low-alpha rows)
+    scored = lang.map_batches(quality_fn(), batch_format="pyarrow")
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.greater_equal(batch["alpha_ratio"], min_alpha_ratio))
+
+    good = scored.map_batches(keep_quality, batch_format="pyarrow")
+
+    # 3. exact dedup: survivors carry their text rows back via a hash join
+    uniq = dedup_exact(good, keep_cols=["text", "lang_pred", "alpha_ratio"])
+
+    # 4. near-dedup: minhash survivors (ids) filter the unique rows
+    survivors, _pairs = minhash_dedup(uniq, threshold=0.85)
+    kept = attach_payload(survivors.select_columns(["doc_id"]), uniq, key="doc_id", strategy="hash")
+
+    # 5. token counts for the final corpus accounting
+    counted = kept.map_batches(token_count_fn(), batch_format="pyarrow")
+    return counted.select_columns(["doc_id", "lang_pred", "alpha_ratio", "n_tokens", "text"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.001/documents.parquet")
+    ap.add_argument("--out", default="/tmp/text_prep")
+    ap.add_argument("--parts", type=int, default=8)
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    corpus = build(args.input)
+
+    # partition by doc_id hash for a resumable, skew-free write
+    def add_part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((ids * np.int64(0x9E3779B1)) % args.parts + args.parts) % args.parts
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    manifest = checkpointed_write(
+        corpus.map_batches(add_part, batch_format="pyarrow"),
+        args.out,
+        part_col="part",
+        expected_parts=list(range(args.parts)),
+        lineage={"stage": "text_prep", "input": args.input},
+    )
+    n = sum(m["rows"] for m in manifest["metrics"])
+    print(f"wrote {n} rows across {len(manifest['completed'])} partitions -> {args.out}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

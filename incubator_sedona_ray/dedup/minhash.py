@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..state.blocks import safe_hash_join, scrub_empty_blocks
 from .ngram import char_shingles, jaccard
 
 _P = np.uint64((1 << 61) - 1)  # Mersenne prime for universal hashing
@@ -188,29 +189,38 @@ def connected_components_min_label(pairs, *, a_col: str = "a", b_col: str = "b",
         y = pa.concat_arrays([t[b_col].combine_chunks(), t[a_col].combine_chunks()])
         return pa.table({"x": x, "y": y})
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    # pairs may itself be join-derived (minhash/simhash verify chains):
+    # scrub schema-less empty partition blocks before the join loop
+    edges = scrub_empty_blocks(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        schema=pa.schema([("x", pa.int64()), ("y", pa.int64())]),
+    )
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["x"], "cand": t["x"]})
 
-    labels = (
+    _label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    labels = scrub_empty_blocks(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node").aggregate(Min("cand"))
-        .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow")
-        .materialize()
+        .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"),
+        schema=_label_schema,
     )
     prev_sum = None
     for _ in range(max_rounds):
         msgs = (
-            edges.join(labels, "inner", num_partitions, on=("x",), right_on=("node",))
+            safe_hash_join(edges, labels, "inner", num_partitions, on=("x",), right_on=("node",))
             .map_batches(lambda t: pa.table({"node": t["y"], "cand": t["label"]}), batch_format="pyarrow")
         )
         own = labels.map_batches(lambda t: pa.table({"node": t["node"], "cand": t["label"]}), batch_format="pyarrow")
-        labels = (
+        # the join/aggregate emit SCHEMA-LESS empty blocks for empty hash
+        # partitions; they'd crash the NEXT round's join (state/blocks.py)
+        # — drop them by ref, zero copy
+        labels = scrub_empty_blocks(
             own.union(msgs)
             .groupby("node").aggregate(Min("cand"))
-            .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow")
-            .materialize()
+            .map_batches(lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"),
+            schema=_label_schema,
         )
         s = labels.aggregate(Sum("label"))["sum(label)"]
         if s == prev_sum:
@@ -263,7 +273,11 @@ def minhash_dedup(
         .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
         .materialize()
     )
-    all_ids = ds.select_columns([id_col])
+    # scrub: ``ds`` may be join-derived (e.g. dedup_exact keep_cols output)
+    # and carry schema-less empty blocks; if one races to be the FIRST
+    # block entering the survivors join's shuffle, the schema broadcast is
+    # empty and the join crashes (state/blocks.py)
+    all_ids = scrub_empty_blocks(ds.select_columns([id_col]), schema=pa.schema([(id_col, pa.int64())]))
     if cand.count() == 0:
         import ray
 
@@ -272,12 +286,12 @@ def minhash_dedup(
 
     # verify: hash-join texts onto both endpoints, then exact jaccard per row
     docs = ds.select_columns([id_col, text_col])
-    j1 = cand.join(docs, "inner", num_partitions, on=("a",), right_on=(id_col,), right_suffix="_ra")
+    j1 = safe_hash_join(cand, docs, "inner", num_partitions, on=("a",), right_on=(id_col,), right_suffix="_ra")
     j1 = j1.map_batches(
         lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t[text_col]}),
         batch_format="pyarrow",
     )
-    j2 = j1.join(docs, "inner", num_partitions, on=("b",), right_on=(id_col,), right_suffix="_rb")
+    j2 = safe_hash_join(j1, docs, "inner", num_partitions, on=("b",), right_on=(id_col,), right_suffix="_rb")
 
     def verify(t: pa.Table) -> pa.Table:
         from .ngram import char_shingles_arr, jaccard_arr
@@ -302,5 +316,9 @@ def minhash_dedup(
         lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
         batch_format="pyarrow",
     )
-    survivors = all_ids.join(dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    survivors = safe_hash_join(all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    # survivors is a JOIN output handed back to user pipelines that may
+    # join it again (e.g. re-attaching payload rows) — scrub the
+    # schema-less empty partition blocks it may carry (state/blocks.py)
+    survivors = scrub_empty_blocks(survivors, schema=pa.schema([(id_col, pa.int64())]))
     return survivors, pairs

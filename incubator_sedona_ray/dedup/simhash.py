@@ -106,7 +106,11 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         .map_batches(lambda t: t.rename_columns(["a", "b", "ham"]), batch_format="pyarrow")
         .materialize()
     )
-    all_ids = ds.select_columns([id_col])
+    # scrub join-derived inputs: an empty first block entering the
+    # survivors join's shuffle breaks its one-shot schema broadcast
+    from ..state.blocks import safe_hash_join, scrub_empty_blocks
+
+    all_ids = scrub_empty_blocks(ds.select_columns([id_col]), schema=pa.schema([(id_col, pa.int64())]))
     if pairs.count() == 0:
         return all_ids, pairs
     labels = connected_components_min_label(pairs, num_partitions=num_partitions)
@@ -114,5 +118,10 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
         batch_format="pyarrow",
     )
-    survivors = all_ids.join(dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    survivors = safe_hash_join(all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    # join output returned to user pipelines — scrub schema-less empty
+    # partition blocks so a downstream join can't crash (state/blocks.py)
+    from ..state.blocks import scrub_empty_blocks
+
+    survivors = scrub_empty_blocks(survivors, schema=pa.schema([(id_col, pa.int64())]))
     return survivors, pairs

@@ -222,9 +222,16 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
     def keep_a(batch: pa.Table) -> pa.Table:
         return pa.table({"a": batch["rid"], "b": batch["b"], "sig_a": batch["sig"]})
 
-    jb = attach_payload(
-        ja.map_batches(keep_a, batch_format="pyarrow"), sigs_ds, key="b", payload_key="rid", strategy="hash"
+    # ja is a join output feeding ANOTHER join: scrub the schema-less
+    # empty partition blocks Ray's hash join emits (state/blocks.py) or
+    # sparse candidate sets crash the second join
+    from ..state.blocks import scrub_empty_blocks
+
+    slim_a = scrub_empty_blocks(
+        ja.map_batches(keep_a, batch_format="pyarrow"),
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("sig_a", pa.binary())]),
     )
+    jb = attach_payload(slim_a, sigs_ds, key="b", payload_key="rid", strategy="hash")
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)

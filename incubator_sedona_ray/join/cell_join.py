@@ -119,10 +119,13 @@ def s2_cell_join(
     le = _explode_cells(left, left_geom, lprefix, level)
     re_ = _explode_cells(right, right_geom, rprefix, level)
 
-    joined = le.join(
+    from ..state.blocks import safe_hash_join
+
+    joined = safe_hash_join(
+        le,
         re_,
-        join_type="inner",
-        num_partitions=num_partitions,
+        "inner",
+        num_partitions,
         on=("__cell",),
         right_on=("__cell",),
         left_suffix="_l",

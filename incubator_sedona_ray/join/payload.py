@@ -44,10 +44,13 @@ def attach_payload(
         n = slim_result.count()
         strategy = "broadcast" if n <= broadcast_row_limit else "hash"
     if strategy == "hash":
-        return payload_ds.join(
+        from ..state.blocks import safe_hash_join
+
+        return safe_hash_join(
+            payload_ds,
             slim_result,
-            join_type="inner",
-            num_partitions=num_partitions,
+            "inner",
+            num_partitions,
             on=(payload_key,),
             right_on=(key,),
         )

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..conf import DEFAULT_CONF, SpatialConf
+from ..state.blocks import safe_hash_join as _safe_hash_join
 from ..geom import wkb as _wkb
 from ..geom.core import Geometry, GeometryType
 from ..geom import ops as _ops
@@ -1270,11 +1271,11 @@ def spatial_join_outer(
 
         return left.map_batches(pad_all, batch_format="pyarrow")
     if how == "left_semi":
-        return left.join(matched, "left_semi", np_join, on=(left_id,), right_on=(lid,))
+        return _safe_hash_join(left, matched, "left_semi", np_join, on=(left_id,), right_on=(lid,))
     if how == "left_anti":
-        return left.join(matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
+        return _safe_hash_join(left, matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
     # left_outer: inner rows + unmatched left rows padded with null rights
-    unmatched = left.join(matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
+    unmatched = _safe_hash_join(left, matched, "left_anti", np_join, on=(left_id,), right_on=(lid,))
     inner_mat = inner.materialize()
     l_cols = [lprefix + c for c in left.schema().names]
     inner_schema = inner_mat.schema()

@@ -1,0 +1,131 @@
+"""Block-level hygiene for cascaded hash joins.
+
+Ray 2.49's hash-shuffle join emits SCHEMA-LESS empty blocks for hash
+partitions that received no rows. Maps skip those blocks (so they survive
+`map_batches` untouched), and when one lands on exactly one side of a
+LATER join's partition, Acero raises ``ArrowInvalid: No match ... for key
+field reference`` — i.e. any join whose input derives from a previous
+join can crash whenever key cardinality is small relative to
+``num_partitions`` (3 keys x 16 partitions reproduces it every time).
+
+:func:`scrub_empty_blocks` removes those blocks by reference — no data
+moves; only block metadata is inspected. Apply it between a join output
+and any downstream join (connected-components label loops, ssjoin's
+two-stage verification join, survivors handed back to user pipelines).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def scrub_empty_blocks(ds, schema: pa.Schema | None = None):
+    """Materialize ``ds`` and rebuild it from only its NON-EMPTY blocks
+    (by object ref — zero copy). Empty no-schema blocks from upstream hash
+    joins are dropped; if every block is empty the result is a one-block
+    empty dataset with ``schema`` (or the dataset's schema when known).
+
+    The input is materialized (it usually already is at the call sites —
+    label-propagation rounds and survivor sets); do not call it
+    mid-stream on a dataset you want to keep lazy."""
+    import ray
+    from ray.data import from_arrow_refs
+
+    mat = ds if _is_materialized(ds) else ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if refs:
+        out = from_arrow_refs(refs)
+        # the materialized dataset OWNS the blocks; if it is GC'd Ray may
+        # eagerly free them and the refs above would dangle — pin it to
+        # the returned dataset's lifetime
+        out._scrub_block_owner = mat
+        return out
+    if schema is None:
+        s = mat.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            schema = base
+        else:
+            # derive from the first (empty) block — arrow or pandas
+            all_refs = [r for b in mat.iter_internal_ref_bundles() for r, _ in b.blocks]
+            if all_refs:
+                blk = ray.get(all_refs[0])
+                if isinstance(blk, pa.Table) and blk.num_columns:
+                    schema = blk.schema
+                elif hasattr(blk, "dtypes"):
+                    schema = pa.Schema.from_pandas(blk)
+            schema = schema if schema is not None else pa.schema([])
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def _is_materialized(ds) -> bool:
+    from ray.data.dataset import MaterializedDataset
+
+    return isinstance(ds, MaterializedDataset)
+
+
+def safe_hash_join(
+    left,
+    right,
+    join_type: str,
+    num_partitions: int,
+    *,
+    on: tuple,
+    right_on: tuple | None = None,
+    left_suffix: str | None = None,
+    right_suffix: str | None = None,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+):
+    """``Dataset.join`` hardened against two Ray 2.49 hash-shuffle faults:
+
+    1. An EMPTY first block on either side silently consumes the one-shot
+       schema broadcast (`hash_shuffle.py:224` returns before fan-out, yet
+       the operator marks schemas as broadcast), so aggregators build
+       0-column partition tables and Acero raises ``ArrowInvalid: No match
+       ... for key field reference`` — scrubbing all empty blocks off both
+       inputs makes the first block always carry the schema.
+    2. A FULLY EMPTY side cannot broadcast any schema at all — it is
+       replaced by ONE all-null row of the side's schema: Acero never
+       matches null keys (verified for inner/semi/anti and null-vs-null),
+       so results are identical and the schema still flows.
+
+    Supported join types: ``inner``, ``left_semi``, ``left_anti`` (a null
+    pad row would leak into ``left_outer`` output). ``left_schema`` /
+    ``right_schema`` are only needed when a side can be BOTH empty and of
+    unknown schema."""
+    import ray
+
+    if join_type not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(f"safe_hash_join supports inner/left_semi/left_anti, got {join_type!r}")
+    left = scrub_empty_blocks(left, schema=left_schema)
+    right = scrub_empty_blocks(right, schema=right_schema)
+    if left.count() == 0:
+        left = _null_pad_row(left)
+    if right.count() == 0:
+        right = _null_pad_row(right)
+    kwargs = {"on": on}
+    if right_on is not None:
+        kwargs["right_on"] = right_on
+    if left_suffix is not None:
+        kwargs["left_suffix"] = left_suffix
+    if right_suffix is not None:
+        kwargs["right_suffix"] = right_suffix
+    return left.join(right, join_type, num_partitions, **kwargs)
+
+
+def _null_pad_row(empty_ds):
+    """One all-null row with ``empty_ds``'s schema."""
+    import ray
+
+    s = empty_ds.schema()
+    base = getattr(s, "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        raise ValueError("cannot pad an empty dataset of unknown schema — pass a schema hint")
+    cols = {f.name: pa.array([None], type=f.type) for f in base}
+    return ray.data.from_arrow(pa.table(cols))
