@@ -46,7 +46,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .ngram import fnv_tokens
@@ -147,6 +146,32 @@ def _prefix_of(s: np.ndarray, threshold: float, lookup) -> np.ndarray:
     return np.sort(s[sel])
 
 
+def _token_parts() -> int:
+    from .minhash import _default_join_partitions
+
+    return _default_join_partitions() * 4
+
+
+def _add_tpart_fn(num_parts: int):
+    """Coarse partition of the token column: token groups are numerous (one
+    per distinct prefix token), so ``groupby(token).map_groups`` would pay
+    one Python call per token; hashing tokens into O(parts) groups and
+    finding bucket boundaries with one sort keeps the call count flat."""
+
+    def add_tpart(batch: pa.Table) -> pa.Table:
+        tok = batch["token"].to_numpy(zero_copy_only=False)
+        part = ((tok * np.int64(0x9E3779B1)) % num_parts + num_parts) % num_parts
+        return batch.append_column("tpart", pa.array(part.astype(np.int32)))
+
+    return add_tpart
+
+
+def _list_slices(col):
+    """(offsets, values) numpy views of a (large_)list column."""
+    arr = col.combine_chunks()
+    return arr.offsets.to_numpy(), arr.values.to_numpy(zero_copy_only=False)
+
+
 def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
     """carry="ids" plan: slim (token, rid, |sig|, prefix) rows through the
     token shuffle; candidate (a, b) pairs hash-join back to the (rid, sig)
@@ -190,32 +215,45 @@ def _jaccard_self_join_ids(ds, text_col, id_col, threshold, n, order):
 
     ex = sigs_ds.map_batches(explode, batch_format="pyarrow")
 
-    def cand(g: pd.DataFrame) -> pd.DataFrame:
-        tok = int(g["token"].iloc[0])
-        rids = g["rid"].to_numpy()
-        lens = g["slen"].to_numpy()
-        pres = [np.asarray(p, dtype=np.int64) for p in g["prefix"]]
-        order_ = np.argsort(rids, kind="mergesort")
+    def cand_part(g: pa.Table) -> pa.Table:
+        tok_col = g["token"].to_numpy(zero_copy_only=False)
+        rid_col = g["rid"].to_numpy(zero_copy_only=False)
+        len_col = g["slen"].to_numpy(zero_copy_only=False)
+        offs, vals = _list_slices(g["prefix"])
+        order_ = np.lexsort((rid_col, tok_col))
+        st = tok_col[order_]
+        bnd = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1]))) if len(st) else np.empty(0, dtype=np.int64)
+        bnd = np.append(bnd, len(st))
         a_out, b_out = [], []
-        for ii in range(len(order_)):
-            i = order_[ii]
-            for jj in range(ii + 1, len(order_)):
-                j = order_[jj]
-                if rids[i] == rids[j]:
-                    continue
-                if min(lens[i], lens[j]) < threshold * max(lens[i], lens[j]):
-                    continue
-                shared = np.intersect1d(pres[i], pres[j], assume_unique=True)
-                if len(shared) == 0 or int(shared[0]) != tok:
-                    continue
-                lo, hi = sorted((int(rids[i]), int(rids[j])))
-                a_out.append(lo)
-                b_out.append(hi)
-        return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+        for bi in range(len(bnd) - 1):
+            idxs = order_[bnd[bi] : bnd[bi + 1]]
+            tok = int(st[bnd[bi]])
+            m = len(idxs)
+            for ii in range(m):
+                i = idxs[ii]
+                pi = vals[offs[i] : offs[i + 1]]
+                for jj in range(ii + 1, m):
+                    j = idxs[jj]
+                    if rid_col[i] == rid_col[j]:
+                        continue
+                    if min(len_col[i], len_col[j]) < threshold * max(len_col[i], len_col[j]):
+                        continue
+                    shared = np.intersect1d(pi, vals[offs[j] : offs[j + 1]], assume_unique=True)
+                    if len(shared) == 0 or int(shared[0]) != tok:
+                        continue
+                    lo, hi = sorted((int(rid_col[i]), int(rid_col[j])))
+                    a_out.append(lo)
+                    b_out.append(hi)
+        return pa.table(
+            {"a": pa.array(a_out, type=pa.int64()), "b": pa.array(b_out, type=pa.int64())}
         )
 
-    pairs = ex.groupby("token").map_groups(cand, batch_format="pandas")
+    num_parts = _token_parts()
+    pairs = (
+        ex.map_batches(_add_tpart_fn(num_parts), batch_format="pyarrow")
+        .groupby("tpart")
+        .map_groups(cand_part, batch_format="pyarrow")
+    )
 
     ja = attach_payload(pairs, sigs_ds, key="a", payload_key="rid", strategy="hash")
 
@@ -346,44 +384,55 @@ def jaccard_self_join(
 
     ex = (sigs_ds if sigs_ds is not None else ds).map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        tok = int(g["token"].iloc[0])
-        rids = g["rid"].to_numpy()
-        sigs = [np.asarray(s, dtype=np.int64) for s in g["sig"]]
-        pres = [np.asarray(p, dtype=np.int64) for p in g["prefix"]]
-        order_ = np.argsort(rids, kind="mergesort")
+    def pairs_part(g: pa.Table) -> pa.Table:
+        tok_col = g["token"].to_numpy(zero_copy_only=False)
+        rid_col = g["rid"].to_numpy(zero_copy_only=False)
+        s_offs, s_vals = _list_slices(g["sig"])
+        p_offs, p_vals = _list_slices(g["prefix"])
+        order_ = np.lexsort((rid_col, tok_col))
+        st = tok_col[order_]
+        bnd = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1]))) if len(st) else np.empty(0, dtype=np.int64)
+        bnd = np.append(bnd, len(st))
         a_out, b_out, j_out = [], [], []
-        for ii in range(len(order_)):
-            i = order_[ii]
-            si, pi = sigs[i], pres[i]
-            li = len(si)
-            for jj in range(ii + 1, len(order_)):
-                j = order_[jj]
-                if rids[i] == rids[j]:
-                    continue
-                sj, pj = sigs[j], pres[j]
-                lj = len(sj)
-                # length filter: J >= t requires min/max >= t
-                if min(li, lj) < threshold * max(li, lj):
-                    continue
-                shared = np.intersect1d(pi, pj, assume_unique=True)
-                if len(shared) == 0 or int(shared[0]) != tok:
-                    continue  # the minimal shared prefix token's group owns this pair
-                inter = len(np.intersect1d(si, sj, assume_unique=True))
-                jac = inter / (li + lj - inter)
-                if jac >= threshold:
-                    lo, hi = sorted((int(rids[i]), int(rids[j])))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    j_out.append(jac)
-        # explicit dtypes: an empty python list defaults to float64 and a
-        # pair-less group would then emit a mismatched block schema
-        return pd.DataFrame(
+        for bi in range(len(bnd) - 1):
+            idxs = order_[bnd[bi] : bnd[bi + 1]]
+            tok = int(st[bnd[bi]])
+            m = len(idxs)
+            for ii in range(m):
+                i = idxs[ii]
+                si = s_vals[s_offs[i] : s_offs[i + 1]]
+                pi = p_vals[p_offs[i] : p_offs[i + 1]]
+                li = len(si)
+                for jj in range(ii + 1, m):
+                    j = idxs[jj]
+                    if rid_col[i] == rid_col[j]:
+                        continue
+                    sj = s_vals[s_offs[j] : s_offs[j + 1]]
+                    lj = len(sj)
+                    # length filter: J >= t requires min/max >= t
+                    if min(li, lj) < threshold * max(li, lj):
+                        continue
+                    shared = np.intersect1d(pi, p_vals[p_offs[j] : p_offs[j + 1]], assume_unique=True)
+                    if len(shared) == 0 or int(shared[0]) != tok:
+                        continue  # the minimal shared prefix token's group owns this pair
+                    inter = len(np.intersect1d(si, sj, assume_unique=True))
+                    jac = inter / (li + lj - inter)
+                    if jac >= threshold:
+                        lo, hi = sorted((int(rid_col[i]), int(rid_col[j])))
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        j_out.append(jac)
+        return pa.table(
             {
-                "a": pd.Series(a_out, dtype="int64"),
-                "b": pd.Series(b_out, dtype="int64"),
-                "jac": pd.Series(j_out, dtype="float64"),
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "jac": pa.array(j_out, type=pa.float64()),
             }
         )
 
-    return ex.groupby("token").map_groups(pairs, batch_format="pandas")
+    num_parts = _token_parts()
+    return (
+        ex.map_batches(_add_tpart_fn(num_parts), batch_format="pyarrow")
+        .groupby("tpart")
+        .map_groups(pairs_part, batch_format="pyarrow")
+    )
