@@ -672,12 +672,38 @@ def q_spatial_sort(sf_dir: str):
     n = counts["count()"].to_numpy()
     offs = dict(zip(counts["cell_id"], np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)))
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        g["pos"] = offs[g["cell_id"].iloc[0]] + np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # coarse-partition kernel: one lexsort per partition ranks every cell
+    # inside it (no per-cell Python); global offsets come from the tiny
+    # per-cell count table above
+    n_parts = 64
 
-    return cells.groupby("cell_id").map_groups(rank_group, batch_format="pandas")
+    def add_part(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((cid * np.int64(0x9E3779B1)) % n_parts + n_parts) % n_parts
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        cid = g["cell_id"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort((did, cid))
+        cid, did = cid[order], did[order]
+        new = np.empty(len(cid), dtype=bool)
+        new[:1] = True
+        new[1:] = cid[1:] != cid[:-1]
+        firsts = np.flatnonzero(new)
+        sizes = np.diff(np.append(firsts, len(cid)))
+        local = np.arange(len(cid), dtype=np.int64) - np.repeat(firsts, sizes)
+        base = np.array([offs[c] for c in cid[firsts]], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "cell_id": cid,
+                "pos": np.repeat(base, sizes) + local + 1,
+            }
+        )
+
+    parted = cells.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(rank_part, batch_format="pandas")
 
 
 def q_transform_mercator(sf_dir: str):
