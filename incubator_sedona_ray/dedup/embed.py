@@ -113,5 +113,14 @@ def embedding_dedup(
             return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")})
         return pd.concat(frames, ignore_index=True)
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    from ray.data.aggregate import Max
+
+    # distributed pair dedup (a pair can surface from several buckets with
+    # the same cosine) — only the deduped result lands on the driver
+    pairs = (
+        bucketed.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+        .to_pandas()
+    )
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
