@@ -607,6 +607,20 @@ def q_ann_topk_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (semantic
+    bucketing for diversity sampling): deterministic k-smallest-id init,
+    5 broadcast+partial-sum rounds, streaming assignment. Golden-fixture
+    oracle (float accumulation order is fixed by the block order, so the
+    result is bit-stable for a fixed input)."""
+    from incubator_sedona_ray.ann import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, 8, iters=5)
+    out = kmeans_assign(ds, cent)
+    return out.select_columns(["vec_id", "cluster_id"])
+
+
 def q_flagship(sf_dir: str):
     out = flagship_pipeline(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
     return out.select_columns(["url", "lang", "lon", "lat", "s2_cell", "zone_zone_cc", "tile_id"])
@@ -947,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "kmeans_clusters": q_kmeans_clusters,
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
     }
@@ -993,6 +1008,7 @@ _FIXTURE_ORACLES = [
     "fingerprint",
     "minhash_survivors",
     "ann_topk_lsh",
+    "kmeans_clusters",
     "transform_mercator",
     "union_aggr_zones",
     "tile_render",

@@ -330,3 +330,41 @@ class TestJaccardSelfJoin:
         ids = jaccard_self_join(ds, threshold=0.4, carry="ids").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         assert full.equals(ids[full.columns])
         assert len(full) == len(self._brute(texts, 0.4))
+
+
+def test_kmeans_matches_numpy_reference():
+    from incubator_sedona_ray.ann import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 300, 16, 5
+    vecs = rng.normal(size=(n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    cent = kmeans_fit(ds, k, iters=7)
+
+    # numpy reference: same init (k smallest ids), same Lloyd updates
+    m = vecs.astype(np.float32).astype(np.float64)
+    c = m[:k].copy()
+    for _ in range(7):
+        d2 = (m * m).sum(1)[:, None] - 2 * (m @ c.T) + (c * c).sum(1)[None, :]
+        a = np.argmin(d2, 1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                c[j] = m[sel].mean(0)
+    assert np.allclose(cent, c, atol=1e-8)
+
+    out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    d2 = (m * m).sum(1)[:, None] - 2 * (m @ c.T) + (c * c).sum(1)[None, :]
+    assert (out["cluster_id"].to_numpy() == np.argmin(d2, 1)).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    from incubator_sedona_ray.ann import kmeans_fit
+
+    # two tight blobs, k=3: the third centroid (seeded on a blob member)
+    # may lose all points; fit must not NaN out
+    pts = np.concatenate([np.zeros((10, 4)), np.ones((10, 4)) * 100])
+    df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64), "embedding": list(pts.astype(np.float32))})
+    cent = kmeans_fit(ray.data.from_pandas(df), 3, iters=4)
+    assert np.isfinite(cent).all()
