@@ -621,6 +621,19 @@ def q_kmeans_clusters(sf_dir: str):
     return out.select_columns(["vec_id", "cluster_id"])
 
 
+def q_diversity_sample(sf_dir: str):
+    """Cluster-balanced sampling: k-means bucket the embeddings, keep the
+    10 smallest ids per cluster. Hybrid oracle: cluster ids come from the
+    kmeans golden fixture; the per-cluster top-10 is a closed-form SQL
+    window (row_number over cluster, id order)."""
+    from incubator_sedona_ray.ann import kmeans_assign, kmeans_fit, sample_per_cluster
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, 8, iters=5)
+    assigned = kmeans_assign(ds, cent).select_columns(["vec_id", "cluster_id"])
+    return sample_per_cluster(assigned, 10)
+
+
 def q_flagship(sf_dir: str):
     out = flagship_pipeline(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
     return out.select_columns(["url", "lang", "lon", "lat", "s2_cell", "zone_zone_cc", "tile_id"])
@@ -962,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
         "kmeans_clusters": q_kmeans_clusters,
+        "diversity_sample": q_diversity_sample,
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
     }
@@ -1337,4 +1351,14 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT * FROM read_parquet('{path}') "
                 "-- golden fixture: generated once by scripts/gen_oracle_fixtures.py"
             )
+    km_path = os.path.join(_FIXTURE_DIR, "kmeans_clusters.parquet")
+    if os.path.exists(km_path):
+        # hybrid: cluster ids from the kmeans fixture, the per-cluster
+        # top-10 selection is closed-form SQL (window over cluster, id)
+        out["diversity_sample"] = (
+            "SELECT vec_id, cluster_id FROM ("
+            "SELECT vec_id, cluster_id, "
+            "row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn "
+            f"FROM read_parquet('{km_path}')) WHERE rn <= 10"
+        )
     return out

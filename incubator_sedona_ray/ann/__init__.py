@@ -1,5 +1,5 @@
 """Approximate-nearest-neighbour search over embedding columns."""
 
 from .brute import topk_cosine  # noqa: F401
-from .kmeans import kmeans_assign, kmeans_fit  # noqa: F401
+from .kmeans import kmeans_assign, kmeans_fit, sample_per_cluster  # noqa: F401
 from .lsh import topk_cosine_lsh  # noqa: F401

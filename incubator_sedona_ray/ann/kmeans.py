@@ -120,6 +120,40 @@ def kmeans_fit(
     return cent
 
 
+def sample_per_cluster(
+    assigned,
+    n: int,
+    *,
+    cluster_col: str = "cluster_id",
+    id_col: str = "vec_id",
+):
+    """Cluster-balanced (diversity) sampling: keep the ``n`` smallest-id
+    rows of every cluster — deterministic, so SQL-checkable with a window
+    function. Mergeable per-block top-n per cluster first (one lexsort per
+    batch), then a tiny per-cluster finalize: at most ``n x blocks`` rows
+    per cluster ever shuffle."""
+    import pandas as pd
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        cid = batch[cluster_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cid))
+        cid_s = cid[order]
+        new = np.empty(len(cid_s), dtype=bool)
+        new[:1] = True
+        new[1:] = cid_s[1:] != cid_s[:-1]
+        firsts = np.flatnonzero(new)
+        sizes = np.diff(np.append(firsts, len(cid_s)))
+        rank = np.arange(len(cid_s)) - np.repeat(firsts, sizes)
+        return batch.take(order[rank < n])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(n)
+
+    local = assigned.map_batches(local_topn, batch_format="pyarrow")
+    return local.groupby(cluster_col).map_groups(finalize, batch_format="pandas")
+
+
 def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding", out_col: str = "cluster_id"):
     """Streaming assignment: adds ``out_col`` (int64 argmin-L2 cluster)."""
     cent = np.asarray(centroids, dtype=np.float64)

@@ -368,3 +368,22 @@ def test_kmeans_empty_cluster_keeps_centroid():
     df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64), "embedding": list(pts.astype(np.float32))})
     cent = kmeans_fit(ray.data.from_pandas(df), 3, iters=4)
     assert np.isfinite(cent).all()
+
+
+def test_sample_per_cluster_deterministic_topn():
+    from incubator_sedona_ray.ann import sample_per_cluster
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "vec_id": rng.permutation(200).astype(np.int64),
+            "cluster_id": rng.integers(0, 4, 200).astype(np.int64),
+        }
+    )
+    out = sample_per_cluster(ray.data.from_pandas(df).repartition(6), 5).to_pandas()
+    want = (
+        df.sort_values("vec_id").groupby("cluster_id").head(5)
+        .sort_values(["cluster_id", "vec_id"]).reset_index(drop=True)
+    )
+    got = out.sort_values(["cluster_id", "vec_id"]).reset_index(drop=True)
+    assert got[["cluster_id", "vec_id"]].equals(want[["cluster_id", "vec_id"]])
