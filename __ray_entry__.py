@@ -607,6 +607,19 @@ def q_ann_topk_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Two-stage PQ search: distributed per-subspace codebook training
+    (kmeans), streaming uint8 encode, LUT shortlist, exact re-rank.
+    Deterministic end-to-end -> golden-fixture oracle."""
+    from incubator_sedona_ray.ann import pq_encode, pq_fit, pq_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = pq_fit(ds, m=8, n_codes=32, iters=4)
+    enc = pq_encode(ds, books)
+    out = pq_topk(enc, _ann_queries(ds), books, k=ANN_K, rerank_ds=ds, expand=5)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (semantic
     bucketing for diversity sampling): deterministic k-smallest-id init,
@@ -975,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
         "kmeans_clusters": q_kmeans_clusters,
+        "ann_topk_pq": q_ann_topk_pq,
         "diversity_sample": q_diversity_sample,
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
@@ -1023,6 +1037,7 @@ _FIXTURE_ORACLES = [
     "minhash_survivors",
     "ann_topk_lsh",
     "kmeans_clusters",
+    "ann_topk_pq",
     "transform_mercator",
     "union_aggr_zones",
     "tile_render",

@@ -3,3 +3,4 @@
 from .brute import topk_cosine  # noqa: F401
 from .kmeans import kmeans_assign, kmeans_fit, sample_per_cluster  # noqa: F401
 from .lsh import topk_cosine_lsh  # noqa: F401
+from .pq import pq_encode, pq_fit, pq_topk  # noqa: F401

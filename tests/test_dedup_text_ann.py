@@ -387,3 +387,58 @@ def test_sample_per_cluster_deterministic_topn():
     )
     got = out.sort_values(["cluster_id", "vec_id"]).reset_index(drop=True)
     assert got[["cluster_id", "vec_id"]].equals(want[["cluster_id", "vec_id"]])
+
+
+def test_pq_roundtrip_clustered_recall():
+    from incubator_sedona_ray.ann import pq_encode, pq_fit, pq_topk
+
+    rng = np.random.default_rng(5)
+    # 4 tight clusters in 32-dim — the structured case PQ is built for
+    centers = rng.normal(scale=10.0, size=(4, 32))
+    vecs = np.concatenate([c + rng.normal(scale=0.3, size=(50, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    books = pq_fit(ds, m=4, n_codes=16, iters=5)
+    assert books.shape == (4, 16, 8)
+    enc = pq_encode(ds, books)
+    assert "pq_code" in enc.schema().names and "embedding" not in enc.schema().names
+
+    queries = pd.DataFrame({"query_id": np.arange(4, dtype=np.int64), "qvec": list(centers)})
+    out = pq_topk(enc, queries, books, k=10).to_pandas()
+    assert len(out) == 40
+    m = vecs.astype(np.float32).astype(np.float64)
+    for qi in range(4):
+        got = set(out[out.query_id == qi].vec_id)
+        # code-only retrieval must stay within the right cluster
+        assert all(qi * 50 <= v < (qi + 1) * 50 for v in got)
+
+    # two-stage search: code shortlist + exact re-rank recovers the TRUE
+    # top-10 (the shortlist covers the whole 50-member cluster at expand=5)
+    rr = pq_topk(enc, queries, books, k=10, rerank_ds=ds, expand=5).to_pandas()
+    hits = 0
+    for qi in range(4):
+        d = ((m - centers[qi]) ** 2).sum(1)
+        true10 = set(np.argsort(d, kind="stable")[:10])
+        hits += len(true10 & set(rr[rr.query_id == qi].vec_id))
+    assert hits / 40 >= 0.95
+
+
+def test_pq_encode_deterministic():
+    from incubator_sedona_ray.ann import pq_encode, pq_fit
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(100, dtype=np.int64),
+            "embedding": list(rng.normal(size=(100, 16)).astype(np.float32)),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    b1 = pq_fit(ds, m=4, n_codes=8, iters=3)
+    b2 = pq_fit(ds, m=4, n_codes=8, iters=3)
+    assert np.array_equal(b1, b2)
+    e1 = pq_encode(ds, b1).to_pandas().sort_values("vec_id")
+    e2 = pq_encode(ds, b2).to_pandas().sort_values("vec_id")
+    assert (e1.pq_code.to_numpy() == e2.pq_code.to_numpy()).all()
