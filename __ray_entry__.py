@@ -399,6 +399,21 @@ def q_token_count(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens"])
 
 
+def q_bpe_token_count(sf_dir: str):
+    """GPT-2-style pre-tokenizer token counts (letter runs / <=3-digit runs
+    / punctuation) — the LLM-token-count proxy; closed-form regex oracle."""
+    from incubator_sedona_ray.text.analysis import _BPEISH
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = pa.array(
+            [len(_BPEISH.findall(t)) for t in batch["text"].to_pylist()], type=pa.int64()
+        )
+        return batch.append_column("n_bpe_tokens", counts)
+
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_quality(sf_dir: str):
     out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(quality_fn(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_chars_q", "n_alpha", "n_digits", "n_spaces", "alpha_ratio"])
@@ -957,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_accessors": q_st_accessors,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "lang_count": q_lang_count,
         "ann_topk": q_ann_topk,
@@ -1216,6 +1232,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens FROM documents"
+        ),
+        "bpe_token_count": (
+            r"SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe_tokens FROM documents"
         ),
         "quality": (
             "WITH q AS (SELECT doc_id, length(text) AS n_chars_q, "
