@@ -309,6 +309,25 @@ def run_bench() -> dict:
 
     timed("q9_wkb_poly_broadcast", q9, rows=n_pages)
 
+    # q10: vector-ops chain over the embeddings table — distributed k-means
+    # codebooks, PQ uint8 encode (32x compression), LUT shortlist + exact
+    # re-rank (the 100TB similarity-search memory path)
+    def q10():
+        import pandas as pd
+
+        from incubator_sedona_ray.ann import pq_encode, pq_fit, pq_topk
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        books = pq_fit(ds, m=8, n_codes=32, iters=3)
+        enc = pq_encode(ds, books)
+        head = ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], 8)), batch_format="pyarrow"
+        ).to_pandas()
+        queries = head.sort_values("vec_id").rename(columns={"vec_id": "query_id", "embedding": "qvec"})
+        return pq_topk(enc, queries, books, k=10, rerank_ds=ds, expand=5).count()
+
+    timed("q10_pq_ann", q10, rows=2000)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

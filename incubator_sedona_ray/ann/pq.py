@@ -10,9 +10,10 @@ gather+sum — no decompression.
 
 Ray composition:
 
-* ``pq_fit``: split dims into ``m`` subspaces; train one 256-centroid
-  codebook per subspace with the distributed :mod:`.kmeans` (broadcast
-  Lloyd rounds — the data never leaves the cluster). Deterministic.
+* ``pq_fit``: split dims into ``m`` subspaces; train all ``m``
+  256-centroid codebooks in ONE combined distributed Lloyd loop (one
+  broadcast + one streaming partial-sum pass per iteration covers every
+  subspace — the data never leaves the cluster). Deterministic.
 * ``pq_encode``: streaming ``map_batches`` — argmin against each
   subspace codebook, emit ``m`` uint8 codes packed as a binary column.
 * ``pq_topk``: broadcast the query LUTs, per-batch gather+sum partial
@@ -30,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..partition.assign import broadcast_map_batches
-from .kmeans import _batch_matrix, kmeans_fit
+from .kmeans import _batch_matrix
 
 
 def pq_fit(
@@ -44,33 +45,77 @@ def pq_fit(
 ) -> np.ndarray:
     """Train per-subspace codebooks; returns (m, n_codes, dim//m) float64.
 
-    Each subspace's codebook is a distributed k-means fit over a PROJECTED
-    view of the dataset (a slim map selecting that dim slice) — m fits,
-    each a handful of broadcast+partial-sum passes."""
-    probe = ds.take_batch(1, batch_format="pyarrow")
-    dim = _batch_matrix(probe[vec_col]).shape[1]
+    All ``m`` subspace k-means run SIMULTANEOUSLY: one streaming
+    partial-sum pass per Lloyd iteration covers every subspace (the
+    alternative — m independent fits — would scan the data m*iters times;
+    at corpus scale the scan dominates, so one pass per iteration is the
+    only sane plan). Init is deterministic: the n_codes smallest-id rows
+    seed every subspace (mergeable per-block top-n, same as kmeans_fit)."""
+    def local_min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.argsort(ids, kind="mergesort")[:n_codes]
+        return batch.select([id_col, vec_col]).take(sel)
+
+    seed_rows = (
+        ds.map_batches(local_min_ids, batch_format="pyarrow").to_pandas().sort_values(id_col).head(n_codes)
+    )
+    seed = np.stack([np.asarray(v, dtype=np.float64) for v in seed_rows[vec_col]])
+    if len(seed) < n_codes:
+        raise ValueError(f"n_codes={n_codes} but only {len(seed)} rows available")
+    dim = seed.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = np.empty((m, n_codes, sub))
-    for j in range(m):
-        lo = j * sub
+    books = seed.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()  # (m, n_codes, sub)
 
-        def project(batch: pa.Table, lo=lo) -> pa.Table:
-            mat = _batch_matrix(batch[vec_col])[:, lo : lo + sub]
-            offs = np.arange(0, (mat.shape[0] + 1) * sub, sub, dtype=np.int64)
+    for _ in range(iters):
+
+        def partial(batch: pa.Table, b: np.ndarray) -> pa.Table:
+            mat = _batch_matrix(batch[vec_col])
+            n = mat.shape[0]
+            if n == 0:
+                return pa.table(
+                    {
+                        "sub_j": pa.array([], type=pa.int64()),
+                        "cluster": pa.array([], type=pa.int64()),
+                        "count": pa.array([], type=pa.int64()),
+                        "vecsum": pa.array([], type=pa.binary()),
+                    }
+                )
+            out_j, out_c, out_n, out_s = [], [], [], []
+            for j in range(len(b)):
+                x = mat[:, j * sub : (j + 1) * sub]
+                c = b[j]
+                d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+                assign = np.argmin(d2, axis=1)
+                sums = np.zeros_like(c)
+                np.add.at(sums, assign, x)
+                counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+                live = np.flatnonzero(counts)
+                out_j.append(np.full(len(live), j, dtype=np.int64))
+                out_c.append(live.astype(np.int64))
+                out_n.append(counts[live])
+                out_s.extend(sums[i].tobytes() for i in live)
             return pa.table(
                 {
-                    id_col: batch[id_col],
-                    vec_col: pa.LargeListArray.from_arrays(
-                        pa.array(offs, type=pa.int64()),
-                        pa.array(mat.reshape(-1), type=pa.float64()),
-                    ),
+                    "sub_j": pa.array(np.concatenate(out_j)),
+                    "cluster": pa.array(np.concatenate(out_c)),
+                    "count": pa.array(np.concatenate(out_n)),
+                    "vecsum": pa.array(out_s, type=pa.binary()),
                 }
             )
 
-        view = ds.map_batches(project, batch_format="pyarrow")
-        books[j] = kmeans_fit(view, n_codes, vec_col=vec_col, id_col=id_col, iters=iters)
+        parts = broadcast_map_batches(ds, partial, {"b": books}).to_pandas()
+        new_books = books.copy()
+        if len(parts):
+            total = np.zeros_like(books)
+            n_tot = np.zeros((m, n_codes), dtype=np.int64)
+            for j, cl, cnt, blob in zip(parts["sub_j"], parts["cluster"], parts["count"], parts["vecsum"]):
+                total[int(j), int(cl)] += np.frombuffer(blob, dtype=np.float64)
+                n_tot[int(j), int(cl)] += int(cnt)
+            live = n_tot > 0
+            new_books[live] = total[live] / n_tot[live][:, None]
+        books = new_books
     return books
 
 
