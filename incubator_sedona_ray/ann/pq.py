@@ -136,7 +136,11 @@ def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding", out_col:
                 codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
         keep = [name for name in batch.column_names if name != vec_col]
         out = batch.select(keep)
-        return out.append_column(out_col, pa.array([codes[i].tobytes() for i in range(n)], type=pa.binary()))
+        # one buffer, no per-row Python: n contiguous m-byte code words
+        fixed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), n, [None, pa.py_buffer(codes.tobytes())]
+        )
+        return out.append_column(out_col, fixed.cast(pa.binary()))
 
     return broadcast_map_batches(ds, encode, {"books": codebooks})
 
