@@ -635,6 +635,17 @@ def q_ann_topk_pq(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-Flat search: coarse k-means lists, per-query probe of the 2
+    nearest lists, exact cosine inside. Deterministic -> fixture oracle."""
+    from incubator_sedona_ray.ann import ivf_build, ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    indexed, cent = ivf_build(ds, 8, iters=4)
+    out = ivf_topk(indexed, _ann_queries(ds), cent, k=ANN_K, n_probe=2)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (semantic
     bucketing for diversity sampling): deterministic k-smallest-id init,
@@ -1005,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "kmeans_clusters": q_kmeans_clusters,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "diversity_sample": q_diversity_sample,
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
@@ -1054,6 +1066,7 @@ _FIXTURE_ORACLES = [
     "ann_topk_lsh",
     "kmeans_clusters",
     "ann_topk_pq",
+    "ann_topk_ivf",
     "transform_mercator",
     "union_aggr_zones",
     "tile_render",

@@ -442,3 +442,31 @@ def test_pq_encode_deterministic():
     e1 = pq_encode(ds, b1).to_pandas().sort_values("vec_id")
     e2 = pq_encode(ds, b2).to_pandas().sort_values("vec_id")
     assert (e1.pq_code.to_numpy() == e2.pq_code.to_numpy()).all()
+
+
+def test_ivf_topk_clustered_exact_within_probe():
+    from incubator_sedona_ray.ann import ivf_build, ivf_topk, topk_cosine
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(scale=10.0, size=(4, 32))
+    vecs = np.concatenate([c + rng.normal(scale=0.3, size=(50, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    indexed, cent = ivf_build(ds, 4, iters=5)
+    queries = pd.DataFrame({"query_id": np.arange(4, dtype=np.int64), "qvec": list(centers)})
+    want = topk_cosine(ray.data.from_pandas(df), queries, k=10).to_pandas()
+    w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # probing ALL lists == brute force, exactly
+    full = ivf_topk(indexed, queries, cent, k=10, n_probe=4).to_pandas()
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (f["vec_id"].to_numpy() == w["vec_id"].to_numpy()).all()
+    assert np.allclose(f["cosine"].to_numpy(), w["cosine"].to_numpy())
+
+    # single-probe recall stays high on well-separated clusters (cosine
+    # top-k may legitimately cross L2-cluster boundaries, so not exact)
+    got = ivf_topk(indexed, queries, cent, k=10, n_probe=1).to_pandas()
+    rec = len(set(zip(got.query_id, got.vec_id)) & set(zip(want.query_id, want.vec_id))) / 40
+    assert rec >= 0.8
