@@ -646,6 +646,26 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (fake raw-stream decode, actor pool):
+    one output row per sampled 256-byte frame (every 2nd). Closed-form SQL
+    oracle slices the source text (chars == bytes on this ASCII corpus; a
+    real codec oracle is impossible without ffmpeg)."""
+    from incubator_sedona_ray.sources.multimodal import SampleFrames
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = pa.array([t.encode() for t in batch["text"].to_pylist()], type=pa.binary())
+        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
+
+    out = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        SampleFrames, fn_constructor_kwargs={"fake": True}, concurrency=2,
+        batch_size=64, batch_format="pyarrow",
+    )
+    return out
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (semantic
     bucketing for diversity sampling): deterministic k-smallest-id init,
@@ -992,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "top_users": q_top_users,
         "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
         "spatial_sort": q_spatial_sort,
         "zone_clip_area": q_zone_clip_area,
         "zone_diff_area": q_zone_diff_area,
@@ -1328,6 +1349,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
+        ),
+        "frame_sample": (
+            # every 2nd 256-char frame; chars == bytes (ASCII corpus)
+            "SELECT d.doc_id, f.fi AS frame_idx, "
+            "substr(sha256(substring(d.text, f.fi * 256 + 1, 256)), 1, 16) AS frame_sha, "
+            "CAST(256 AS BIGINT) AS frame_bytes "
+            "FROM documents d, LATERAL ("
+            "SELECT UNNEST(range(0, length(d.text) // 256, 2)) AS fi) f"
         ),
         "geohash": _geohash_sql(6),
         "choropleth": (

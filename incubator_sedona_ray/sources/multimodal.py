@@ -33,6 +33,58 @@ def payload_meta_fn(bin_col: str = "payload", prefix: str = ""):
     return fn
 
 
+class SampleFrames:
+    """Actor-pool video frame-sampling stage — FLAT output: one row per
+    sampled frame (doc id, frame index, frame digest, frame bytes length).
+
+    Real containers need ffmpeg (absent in this env): construct with
+    ``fake=True`` to treat the payload as a raw stream of consecutive
+    ``frame_bytes``-byte frames and sample every ``stride``-th one — the
+    exact explode plumbing (small batches, one output row per frame, actor
+    holds the "decoder") a real codec stage would use. The trailing
+    partial frame is dropped (a real sampler drops partial GOPs too)."""
+
+    def __init__(
+        self,
+        bin_col: str = "payload",
+        id_col: str = "doc_id",
+        fake: bool = False,
+        frame_bytes: int = 256,
+        stride: int = 2,
+    ):
+        if not fake:
+            raise NotImplementedError(
+                "video decode requires ffmpeg, not available in this container; "
+                "pass fake=True for the raw-stream stand-in"
+            )
+        self.bin_col = bin_col
+        self.id_col = id_col
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_sha, out_len = [], [], [], []
+        fb, st = self.frame_bytes, self.stride
+        for i, blob in zip(ids, batch[self.bin_col].to_pylist()):
+            blob = blob or b""
+            n_frames = len(blob) // fb
+            for fi in range(0, n_frames, st):
+                frame = blob[fi * fb : (fi + 1) * fb]
+                out_id.append(int(i))
+                out_idx.append(fi)
+                out_sha.append(hashlib.sha256(frame).hexdigest()[:16])
+                out_len.append(len(frame))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_sha": pa.array(out_sha, type=pa.string()),
+                "frame_bytes": pa.array(out_len, type=pa.int64()),
+            }
+        )
+
+
 class DecodeImage:
     """Actor-pool image decode stage.
 

@@ -271,3 +271,21 @@ class TestUTMTransforms:
         assert y[0] > 6_000_000  # false northing applied
         with _pt.raises(NotImplementedError):
             transform_xy("EPSG:4326", "EPSG:27700", np.array([0.0]), np.array([51.0]))
+
+
+def test_sample_frames_explode_and_guard():
+    import hashlib as _hl
+
+    import pyarrow as _pa
+
+    from incubator_sedona_ray.sources.multimodal import SampleFrames
+
+    with pytest.raises(NotImplementedError):
+        SampleFrames()
+    blob = bytes(range(256)) * 5 + b"tail"  # 5 full frames + partial
+    batch = _pa.table({"doc_id": _pa.array([7], type=_pa.int64()), "payload": _pa.array([blob], type=_pa.binary())})
+    out = SampleFrames(fake=True, frame_bytes=256, stride=2)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 2, 4]  # partial frame dropped
+    assert out["doc_id"].to_pylist() == [7, 7, 7]
+    want = _hl.sha256(bytes(range(256))).hexdigest()[:16]
+    assert out["frame_sha"].to_pylist() == [want] * 3
