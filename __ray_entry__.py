@@ -666,6 +666,24 @@ def q_frame_sample(sf_dir: str):
     return out
 
 
+def q_audio_features(sf_dir: str):
+    """Windowed audio feature extraction (fake raw-PCM decode, actor pool):
+    one row per 512-byte window with its mean byte level. Closed-form SQL
+    oracle sums codepoints per window (== bytes on this ASCII corpus)."""
+    from incubator_sedona_ray.sources.multimodal import AudioFeatures
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = pa.array([t.encode() for t in batch["text"].to_pylist()], type=pa.binary())
+        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
+
+    return docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        AudioFeatures, fn_constructor_kwargs={"fake": True}, concurrency=2,
+        batch_size=64, batch_format="pyarrow",
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (semantic
     bucketing for diversity sampling): deterministic k-smallest-id init,
@@ -1013,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "spatial_sort": q_spatial_sort,
         "zone_clip_area": q_zone_clip_area,
         "zone_diff_area": q_zone_diff_area,
@@ -1349,6 +1368,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
+        ),
+        "audio_features": (
+            # mean codepoint per full 512-char window (chars == bytes, ASCII)
+            "SELECT doc_id, w.wi AS win_idx, AVG(ascii(substring(t.text, CAST(w.wi * 512 + c.ci + 1 AS BIGINT), 1))) AS mean_level "
+            "FROM documents t, "
+            "LATERAL (SELECT UNNEST(range(0, length(t.text) // 512)) AS wi) w, "
+            "LATERAL (SELECT UNNEST(range(0, 512)) AS ci) c "
+            "GROUP BY doc_id, w.wi"
         ),
         "frame_sample": (
             # every 2nd 256-char frame; chars == bytes (ASCII corpus)

@@ -85,6 +85,61 @@ class SampleFrames:
         )
 
 
+class AudioFeatures:
+    """Actor-pool audio feature-extraction stage: per-window mean level.
+
+    Real decode needs an audio codec (absent): ``fake=True`` treats the
+    payload as raw unsigned 8-bit PCM and emits one row per fixed-size
+    window with its mean byte level — the windowed-feature plumbing
+    (explode + vectorized per-window reduce) a real MFCC stage would use.
+    The trailing partial window is dropped."""
+
+    def __init__(
+        self,
+        bin_col: str = "payload",
+        id_col: str = "doc_id",
+        fake: bool = False,
+        window: int = 512,
+    ):
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires a codec library, not available in this "
+                "container; pass fake=True for the raw-PCM stand-in"
+            )
+        self.bin_col = bin_col
+        self.id_col = id_col
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        w = self.window
+        out_id, out_w, out_mean = [], [], []
+        for i, blob in zip(ids, batch[self.bin_col].to_pylist()):
+            blob = blob or b""
+            n_win = len(blob) // w
+            if n_win:
+                arr = np.frombuffer(blob[: n_win * w], dtype=np.uint8).reshape(n_win, w)
+                means = arr.mean(axis=1)
+                out_id.append(np.full(n_win, int(i), dtype=np.int64))
+                out_w.append(np.arange(n_win, dtype=np.int64))
+                out_mean.append(means)
+        if not out_id:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "win_idx": pa.array([], type=pa.int64()),
+                    "mean_level": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "win_idx": pa.array(np.concatenate(out_w)),
+                "mean_level": pa.array(np.concatenate(out_mean), type=pa.float64()),
+            }
+        )
+
+
 class DecodeImage:
     """Actor-pool image decode stage.
 

@@ -289,3 +289,18 @@ def test_sample_frames_explode_and_guard():
     assert out["doc_id"].to_pylist() == [7, 7, 7]
     want = _hl.sha256(bytes(range(256))).hexdigest()[:16]
     assert out["frame_sha"].to_pylist() == [want] * 3
+
+
+def test_audio_features_windows():
+    import numpy as _np
+    import pyarrow as _pa
+
+    from incubator_sedona_ray.sources.multimodal import AudioFeatures
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatures()
+    blob = bytes([10] * 512 + [20] * 512 + [30] * 100)  # 2 full windows + tail
+    batch = _pa.table({"doc_id": _pa.array([3], type=_pa.int64()), "payload": _pa.array([blob], type=_pa.binary())})
+    out = AudioFeatures(fake=True, window=512)(batch)
+    assert out["win_idx"].to_pylist() == [0, 1]
+    assert _np.allclose(out["mean_level"].to_pylist(), [10.0, 20.0])
