@@ -104,12 +104,19 @@ def _unpack_sigs(batch: pa.Table):
     return ids, [np.frombuffer(b, dtype=np.int64) for b in batch["sig"].to_pylist()]
 
 
-def _df_rank_table(sigs_ds):
+def _df_rank_table(sigs_ds, max_entries: int = 5_000_000):
     """(tok_by_val, rank_by_val) for tokens with document frequency >= 2,
     computed over the materialized signature table: tokens value-sorted,
     each with its position under the global (df asc, value asc) order.
     Tokens absent from the table are singletons and rank after every table
-    entry (they cannot join a pair)."""
+    entry (they cannot join a pair).
+
+    Scale cap: a web corpus's repeated-shingle vocabulary is unbounded, so
+    at most ``max_entries`` tokens (the HIGHEST-df ones — the heavy
+    hitters whose groups the df order exists to shrink) are pulled to the
+    driver and broadcast; tokens below the cut rank BEFORE every table
+    entry, ordered by value. Any fixed total order keeps prefix filtering
+    exact, so capping changes group sizes only, never results."""
 
     def toks(batch: pa.Table) -> pa.Table:
         _, sigs = _unpack_sigs(batch)
@@ -121,7 +128,19 @@ def _df_rank_table(sigs_ds):
     def keep_repeated(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
 
-    rep = counts.map_batches(keep_repeated, batch_format="pyarrow").to_pandas()
+    rep_ds = counts.map_batches(keep_repeated, batch_format="pyarrow")
+    n_rep = rep_ds.count()
+    if n_rep > max_entries:
+        # keep only the heavy hitters: mergeable per-block top-M by df
+        def local_top(batch: pa.Table) -> pa.Table:
+            dfs = batch["count()"].to_numpy(zero_copy_only=False)
+            sel = np.argsort(-dfs, kind="mergesort")[:max_entries]
+            return batch.take(np.sort(sel))
+
+        rep = rep_ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+        rep = rep.sort_values("count()", ascending=False, kind="mergesort").head(max_entries)
+    else:
+        rep = rep_ds.to_pandas()
     toks_arr = rep["token"].to_numpy().astype(np.int64)
     dfs = rep["count()"].to_numpy().astype(np.int64)
     order = np.lexsort((toks_arr, dfs))  # global rank order: (df, value)
@@ -133,7 +152,14 @@ def _df_rank_table(sigs_ds):
 
 def _prefix_of(s: np.ndarray, threshold: float, lookup) -> np.ndarray:
     """Value-sorted prefix tokens of one doc under the chosen global order
-    (hash order when ``lookup`` is None, else df-ascending ranks)."""
+    (hash order when ``lookup`` is None, else df-ascending ranks).
+
+    Tokens ABSENT from the rank table (singletons, and everything below a
+    capped table's heavy-hitter cut) rank BEFORE every table entry,
+    ordered by value: prefixes prefer the rarest tokens and hot shingles
+    drop out of prefixes entirely. Fixed total order = (absent-by-value,
+    then table entries df-asc), identical for every document, so prefix
+    filtering stays exact."""
     p = _prefix_len(len(s), threshold)
     if lookup is None:
         return s[:p]
@@ -141,7 +167,7 @@ def _prefix_of(s: np.ndarray, threshold: float, lookup) -> np.ndarray:
     idx = np.searchsorted(tok_by_val, s)
     idx_c = np.minimum(idx, max(len(tok_by_val) - 1, 0))
     found = (len(tok_by_val) > 0) & (tok_by_val[idx_c] == s)
-    key = np.where(found, rank_by_val[idx_c], len(tok_by_val))
+    key = np.where(found, rank_by_val[idx_c] + 1, 0)
     sel = np.lexsort((s, key))[:p]
     return np.sort(s[sel])
 

@@ -470,3 +470,21 @@ def test_ivf_topk_clustered_exact_within_probe():
     got = ivf_topk(indexed, queries, cent, k=10, n_probe=1).to_pandas()
     rec = len(set(zip(got.query_id, got.vec_id)) & set(zip(want.query_id, want.vec_id))) / 40
     assert rec >= 0.8
+
+
+def test_jaccard_df_rank_table_cap_keeps_results_exact():
+    from incubator_sedona_ray.dedup import jaccard_self_join
+    from incubator_sedona_ray.dedup import ssjoin as _ss
+
+    df = _docs_with_dups().head(140)
+    ds = ray.data.from_pandas(df)
+    want = jaccard_self_join(ds, threshold=0.4, order="hash").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # force the heavy-hitter cap: only 50 table entries allowed
+    orig = _ss._df_rank_table
+    _ss._df_rank_table = lambda sigs_ds, max_entries=5_000_000: orig(sigs_ds, max_entries=50)
+    try:
+        got = jaccard_self_join(ds, threshold=0.4, order="df").to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    finally:
+        _ss._df_rank_table = orig
+    assert got[["a", "b"]].equals(want[["a", "b"]])
+    assert np.allclose(got["jac"], want["jac"])
