@@ -85,6 +85,27 @@ class SampleFrames:
         )
 
 
+class ResizeImage:
+    """Actor-pool image resize stage (operates on the DECODED columns that
+    :class:`DecodeImage` emits — real pixel resampling needs PIL, absent):
+    clamps (img_width, img_height) into a ``max_side`` bounding box
+    preserving aspect ratio (ceil-free integer floor, min 1px), the exact
+    bookkeeping a real thumbnailer does before resampling."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["img_width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["img_height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
+        rw = np.maximum((w * scale).astype(np.int32), 1)
+        rh = np.maximum((h * scale).astype(np.int32), 1)
+        return batch.append_column("resized_width", pa.array(rw)).append_column(
+            "resized_height", pa.array(rh)
+        )
+
+
 class AudioFeatures:
     """Actor-pool audio feature-extraction stage: per-window mean level.
 

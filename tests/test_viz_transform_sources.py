@@ -304,3 +304,19 @@ def test_audio_features_windows():
     out = AudioFeatures(fake=True, window=512)(batch)
     assert out["win_idx"].to_pylist() == [0, 1]
     assert _np.allclose(out["mean_level"].to_pylist(), [10.0, 20.0])
+
+
+def test_resize_image_aspect_preserved():
+    import pyarrow as _pa
+
+    from incubator_sedona_ray.sources.multimodal import ResizeImage
+
+    batch = _pa.table(
+        {
+            "img_width": _pa.array([64, 16, 80], type=_pa.int32()),
+            "img_height": _pa.array([32, 16, 20], type=_pa.int32()),
+        }
+    )
+    out = ResizeImage(max_side=32)(batch)
+    assert out["resized_width"].to_pylist() == [32, 16, 32]
+    assert out["resized_height"].to_pylist() == [16, 16, 8]
