@@ -44,6 +44,11 @@ def _batch_matrix(col: "pa.ChunkedArray") -> np.ndarray:
         offs = arr.offsets.to_numpy()
         vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
         dim = int(offs[1] - offs[0])
+        if arr.null_count or int(offs[-1] - offs[0]) != n * dim:
+            raise ValueError(
+                f"embedding column is ragged or has nulls: expected {n} rows x {dim} dims "
+                f"= {n * dim} values, got {int(offs[-1] - offs[0])} (nulls={arr.null_count})"
+            )
         return vals[offs[0] : offs[0] + n * dim].reshape(n, dim)
     if isinstance(arr, pa.FixedSizeListArray):
         dim = arr.type.list_size
@@ -73,9 +78,9 @@ def kmeans_fit(
     seed_rows = (
         ds.map_batches(local_min_ids, batch_format="pyarrow").to_pandas().sort_values(id_col).head(k)
     )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} but only {len(seed_rows)} rows available")
     cent = np.stack([np.asarray(v, dtype=np.float64) for v in seed_rows[vec_col]])
-    if len(cent) < k:
-        raise ValueError(f"k={k} but only {len(cent)} rows available")
 
     for _ in range(iters):
 

@@ -59,9 +59,9 @@ def pq_fit(
     seed_rows = (
         ds.map_batches(local_min_ids, batch_format="pyarrow").to_pandas().sort_values(id_col).head(n_codes)
     )
+    if len(seed_rows) < n_codes:
+        raise ValueError(f"n_codes={n_codes} but only {len(seed_rows)} rows available")
     seed = np.stack([np.asarray(v, dtype=np.float64) for v in seed_rows[vec_col]])
-    if len(seed) < n_codes:
-        raise ValueError(f"n_codes={n_codes} but only {len(seed)} rows available")
     dim = seed.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -28,10 +28,17 @@ def attach_payload(
     strategy: str = "auto",
     broadcast_row_limit: int = 2_000_000,
     num_partitions: int | None = None,
+    scrub_payload: bool = False,
 ):
     """Inner-join ``slim_result`` (rows to keep, e.g. spatial-join output)
     with ``payload_ds`` (wide rows) on ``key``. Output = payload columns +
-    slim columns (slim's key column wins on name clashes)."""
+    slim columns (slim's key column wins on name clashes).
+
+    ``scrub_payload``: the payload side is normally a fresh parquet read
+    (non-empty schema-bearing blocks), so it streams straight into the
+    hash join WITHOUT the empty-block scrub — scrubbing would materialize
+    the full 100 TB payload into the object store before the join even
+    starts. Pass ``True`` only when the payload is itself join-derived."""
     payload_key = payload_key or key
     if num_partitions is None:
         # one hash-aggregator actor per partition — cap by cluster CPUs or
@@ -53,6 +60,7 @@ def attach_payload(
             num_partitions,
             on=(payload_key,),
             right_on=(key,),
+            scrub_left=scrub_payload,
         )
     # broadcast: ship the slim rows once, stream the payload table
     slim_tbl = pa.concat_tables([ray.get(r) for r in slim_result.to_arrow_refs()])

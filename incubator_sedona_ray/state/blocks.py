@@ -81,6 +81,8 @@ def safe_hash_join(
     right_suffix: str | None = None,
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    scrub_left: bool = True,
+    scrub_right: bool = True,
 ):
     """``Dataset.join`` hardened against two Ray 2.49 hash-shuffle faults:
 
@@ -90,25 +92,43 @@ def safe_hash_join(
        0-column partition tables and Acero raises ``ArrowInvalid: No match
        ... for key field reference`` — scrubbing all empty blocks off both
        inputs makes the first block always carry the schema.
-    2. A FULLY EMPTY side cannot broadcast any schema at all — it is
-       replaced by ONE all-null row of the side's schema: Acero never
-       matches null keys (verified for inner/semi/anti and null-vs-null),
-       so results are identical and the schema still flows.
+    2. A FULLY EMPTY side cannot broadcast any schema at all — the join is
+       short-circuited instead of executed: empty LEFT ⇒ the (schema-
+       correct) empty left is the answer for all three join types; empty
+       RIGHT ⇒ ``left`` itself for ``left_anti`` (nothing matches) and the
+       empty left for ``left_semi``. For ``inner`` with an empty right the
+       right side is padded with ONE all-null row (null keys never match
+       in Acero — verified incl. null-vs-null) so the output keeps the
+       full joined schema. A null pad row is never placed on the LEFT: it
+       would be emitted by ``left_anti`` as a spurious all-null row.
 
     Supported join types: ``inner``, ``left_semi``, ``left_anti`` (a null
     pad row would leak into ``left_outer`` output). ``left_schema`` /
     ``right_schema`` are only needed when a side can be BOTH empty and of
-    unknown schema."""
+    unknown schema.
+
+    ``scrub_left`` / ``scrub_right``: pass ``False`` for a side that is
+    known to stream non-empty schema-bearing blocks (e.g. a fresh
+    ``read_parquet`` projection) — skipping the scrub keeps that side
+    fully streaming instead of materializing it into the object store.
+    The caller asserts the side is non-empty; an all-empty unscrubbed
+    side falls back to Ray's raw join behavior."""
     import ray
 
     if join_type not in ("inner", "left_semi", "left_anti"):
         raise ValueError(f"safe_hash_join supports inner/left_semi/left_anti, got {join_type!r}")
-    left = scrub_empty_blocks(left, schema=left_schema)
-    right = scrub_empty_blocks(right, schema=right_schema)
-    if left.count() == 0:
-        left = _null_pad_row(left)
-    if right.count() == 0:
-        right = _null_pad_row(right)
+    if scrub_left:
+        left = scrub_empty_blocks(left, schema=left_schema)
+        if left.count() == 0:
+            return left  # empty left ⇒ empty output (left schema) for all 3 types
+    if scrub_right:
+        right = scrub_empty_blocks(right, schema=right_schema)
+        if right.count() == 0:
+            if join_type == "left_anti":
+                return left  # nothing on the right ⇒ every left row is unmatched
+            if join_type == "left_semi":
+                return left.limit(0)
+            right = _null_pad_row(right)  # inner: keep the joined output schema
     kwargs = {"on": on}
     if right_on is not None:
         kwargs["right_on"] = right_on

@@ -59,6 +59,40 @@ def test_safe_join_empty_side_inner_is_empty():
     assert len(out) == 0
 
 
+def test_safe_join_empty_left_anti_no_phantom_row():
+    """ADVICE r02: a null-padded empty LEFT used to leak ONE all-null row
+    through left_anti; empty left now short-circuits to the empty left."""
+    l_df = pd.DataFrame({"k": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")})
+    r_df = pd.DataFrame({"node": [1, 2], "w": [7, 8]})
+    for jt in ("left_anti", "left_semi", "inner"):
+        out = safe_hash_join(
+            ray.data.from_pandas(l_df), ray.data.from_pandas(r_df), jt, 16,
+            on=("k",), right_on=("node",),
+        ).to_pandas()
+        assert len(out) == 0, jt
+
+
+def test_safe_join_empty_right_semi_is_empty():
+    l_df = pd.DataFrame({"k": [1, 2, 3]})
+    r_df = pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    out = safe_hash_join(
+        ray.data.from_pandas(l_df), ray.data.from_pandas(r_df), "left_semi", 8,
+        on=("k",), right_on=("node",),
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_safe_join_unscrubbed_clean_sides():
+    """scrub_left/right=False: non-empty schema-bearing block streams work."""
+    l_df = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    r_df = pd.DataFrame({"node": [2, 3], "w": [7, 8]})
+    out = safe_hash_join(
+        ray.data.from_pandas(l_df), ray.data.from_pandas(r_df), "inner", 4,
+        on=("k",), right_on=("node",), scrub_left=False, scrub_right=False,
+    ).to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+
+
 def test_safe_join_rejects_outer():
     ds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
     with pytest.raises(ValueError):
