@@ -445,7 +445,7 @@ def q_embed_dup_pairs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     pairs = embedding_dedup(ds, threshold=EMB_DUP_THRESHOLD, brute=True)
-    return pairs[["a", "b"]].astype(np.int64)
+    return pairs.select_columns(["a", "b"])
 
 
 def q_window_agg(sf_dir: str):

@@ -32,7 +32,14 @@ def embedding_dedup(
     seed: int = 7,
     brute: bool = False,
 ):
-    """Returns pairs_df (a < b, cosine >= threshold)."""
+    """Returns the verified duplicate pairs as a DATASET (a < b ids,
+    ``cosine >= threshold``) — never a driver DataFrame: on a
+    duplicate-heavy corpus the pair set itself is unbounded, so it stays
+    in the object store end-to-end (VERDICT r02 #3). Callers that need a
+    local frame on a known-small result call ``.to_pandas()`` themselves.
+
+    ``brute=True`` (small tables / oracle parity) compares all pairs with
+    one dense matmul on the driver — O(n^2), test-scale only."""
     if brute:
         df = ds.select_columns([id_col, vec_col]).to_pandas()
         ids = df[id_col].to_numpy()
@@ -40,13 +47,13 @@ def embedding_dedup(
         sim = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         mask = sim[iu] >= threshold
-        order = np.argsort(ids, kind="stable")
         # ids may be unsorted; emit canonical a<b by value
         a = ids[iu[0][mask]]
         b = ids[iu[1][mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         out = pd.DataFrame({"a": lo, "b": hi, "cosine": sim[iu][mask]})
-        return out.sort_values(["a", "b"]).reset_index(drop=True)
+        out = out.sort_values(["a", "b"]).reset_index(drop=True)
+        return ray.data.from_pandas(out)
 
     rng = np.random.default_rng(seed)
     first = ds.take(1)[0]
@@ -116,11 +123,57 @@ def embedding_dedup(
     from ray.data.aggregate import Max
 
     # distributed pair dedup (a pair can surface from several buckets with
-    # the same cosine) — only the deduped result lands on the driver
+    # the same cosine) — the deduped pairs STAY a Dataset; scrub the
+    # schema-less empty blocks the groupby can emit so downstream joins
+    # (components / survivors) never see them
+    from ..state.blocks import scrub_empty_blocks
+
     pairs = (
         bucketed.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
-        .to_pandas()
     )
-    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+    return scrub_empty_blocks(
+        pairs,
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]),
+    )
+
+
+def embedding_dedup_survivors(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+    brute: bool = False,
+    num_partitions: int | None = None,
+):
+    """(survivors, pairs) DATASETS — the minhash-style tail for embedding
+    near-dups: connected components over the verified pairs via
+    distributed min-label propagation, keep each component's min id,
+    survivors = left-anti join of all ids against dropped ids. Mirrors
+    :func:`..minhash.minhash_dedup`; nothing lands on the driver."""
+    from ..state.blocks import safe_hash_join, scrub_empty_blocks
+    from .minhash import _default_join_partitions, connected_components_min_label
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    pairs = embedding_dedup(
+        ds, id_col, vec_col, threshold=threshold, n_planes=n_planes, seed=seed, brute=brute
+    )
+    all_ids = scrub_empty_blocks(
+        ds.select_columns([id_col]), schema=pa.schema([(id_col, pa.int64())])
+    )
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return all_ids, pairs
+    labels = connected_components_min_label(pairs, num_partitions=num_partitions)
+    dropped = labels.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    survivors = safe_hash_join(all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    survivors = scrub_empty_blocks(survivors, schema=pa.schema([(id_col, pa.int64())]))
+    return survivors, pairs

@@ -43,7 +43,7 @@ class BroadcastIndex:
             ispt = pc.binary_length(table[geom]).fill_null(0).to_numpy(zero_copy_only=False) == 21
             self.x = np.where(ispt, self.envs[:, 0], np.nan)
             self.y = np.where(ispt, self.envs[:, 1], np.nan)
-            self.wkb = table[geom].to_pylist()
+            self.wkb = _wkb.LazyBlobs(table[geom])  # list built only on exotic fallback
             self.ispt = ispt
         self.tree = STRtree(self.envs)
         if isinstance(geom, (tuple, list)):
@@ -117,7 +117,7 @@ def broadcast_spatial_join(
             bispt = np.ones(n, dtype=bool)
         else:
             benvs = _wkb.envelopes_from_wkb(batch[big_geom])  # zero-copy batch scan
-            bwkb = batch[big_geom].to_pylist()
+            bwkb = _wkb.LazyBlobs(batch[big_geom])  # list built only on exotic fallback
             bispt = pc.binary_length(batch[big_geom]).fill_null(0).to_numpy(zero_copy_only=False) == 21
             bx = np.where(bispt, benvs[:, 0], np.nan)
             by = np.where(bispt, benvs[:, 1], np.nan)

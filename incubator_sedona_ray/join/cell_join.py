@@ -141,7 +141,7 @@ def s2_cell_join(
         def arrays(suffix):
             wkb_name = "__wkb" + suffix if "__wkb" + suffix in batch.column_names else "__wkb"
             wkb_col = batch[wkb_name]
-            wkb = None if wkb_col.null_count == n else wkb_col.to_pylist()
+            wkb = None if wkb_col.null_count == n else _wkb.LazyBlobs(wkb_col)
             xn = "__x" + suffix if "__x" + suffix in batch.column_names else "__x"
             yn = "__y" + suffix if "__y" + suffix in batch.column_names else "__y"
             x = batch[xn].to_numpy(zero_copy_only=False)
@@ -157,7 +157,9 @@ def s2_cell_join(
                 "wkb": wkb,
                 "ispt": np.ones(n, dtype=bool)
                 if wkb is None
-                else np.array([w is not None and len(w) == 21 for w in wkb]),
+                else (
+                    pa.compute.binary_length(wkb_col).fill_null(0).to_numpy(zero_copy_only=False) == 21
+                ),
                 "kind": _wkb_kinds(wkb, n),
             }
 

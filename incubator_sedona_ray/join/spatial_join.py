@@ -68,7 +68,7 @@ def _side_fields(tbl, geom, radius: float = 0.0, circle: bool = False):
         wkb = None
     else:
         env = _wkb.envelopes_from_wkb(tbl[geom])  # zero-copy batch scan
-        wkb = tbl[geom].to_pylist()
+        wkb = _wkb.LazyBlobs(tbl[geom])  # python list built only on exotic fallback
         is_pt = (
             pc.binary_length(tbl[geom]).fill_null(0).to_numpy(zero_copy_only=False) == 21
         ) & (radius == 0.0)
@@ -270,8 +270,14 @@ def _dist_point_xy(side):
         nones = _wkb_none(side)
         x = np.where(nones, side["x"], np.nan)
         y = np.where(nones, side["y"], np.nan)
-        vals = [b if isinstance(b, (bytes, bytearray)) else b"" for b in side["wkb"]]
-        flat = _wkb._flat_wkb_buffer(vals)
+        col = getattr(side["wkb"], "arrow_col", None)
+        if col is not None:  # stay arrow: nulls -> b"" without a python list
+            if col.null_count:
+                col = pc.fill_null(col, b"")
+            flat = _wkb._flat_wkb_buffer(col)
+        else:
+            vals = [b if isinstance(b, (bytes, bytearray)) else b"" for b in side["wkb"]]
+            flat = _wkb._flat_wkb_buffer(vals)
         if flat is not None:
             u8, starts, lens = flat
             m = lens == 21
@@ -510,10 +516,15 @@ def _pair_mask_circle(lt, rt, li, ri, predicate):
 def _wkb_none(side) -> np.ndarray:
     cached = side.get("wkbnone")
     if cached is None:
-        if side["wkb"] is None:  # pure point side, wkb column skipped entirely
+        blobs = side["wkb"]
+        if blobs is None:  # pure point side, wkb column skipped entirely
             cached = np.ones(len(side["x"]), dtype=bool)
         else:
-            cached = np.fromiter((w is None for w in side["wkb"]), dtype=bool, count=len(side["wkb"]))
+            col = getattr(blobs, "arrow_col", None)
+            if col is not None:  # arrow null mask, no list materialization
+                cached = pc.is_null(col).to_numpy(zero_copy_only=False)
+            else:
+                cached = np.fromiter((w is None for w in blobs), dtype=bool, count=len(blobs))
         side["wkbnone"] = cached
     return cached
 

