@@ -646,6 +646,28 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ann_topk_ivf_pruned(sf_dir: str):
+    """IVF with STORAGE pruning (the 100 TB layout): the indexed corpus is
+    written partitioned by list id (ivf_write), and the probe reads ONLY
+    the probed ``list=<id>`` partitions — scanned rows ~ n_probe/n_lists
+    of the corpus (tests/test_dedup_text_ann.py asserts the ratio).
+    Results are identical to ann_topk_ivf, so it shares that fixture."""
+    import shutil
+    import tempfile
+
+    from incubator_sedona_ray.ann import ivf_build, ivf_topk_pruned, ivf_write
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    indexed, cent = ivf_build(ds, 8, iters=4)
+    path = tempfile.mkdtemp(prefix="ivf_lists_", dir="/tmp")
+    try:
+        ivf_write(indexed, path)
+        out, _scanned = ivf_topk_pruned(path, _ann_queries(ds), cent, k=ANN_K, n_probe=2)
+        return out.select_columns(["query_id", "vec_id", "rank"]).materialize()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling plumbing (fake raw-stream decode, actor pool):
     one output row per sampled 256-byte frame (every 2nd). Closed-form SQL
@@ -1057,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_pruned": q_ann_topk_ivf_pruned,
         "diversity_sample": q_diversity_sample,
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
@@ -1455,6 +1478,10 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT * FROM read_parquet('{path}') "
                 "-- golden fixture: generated once by scripts/gen_oracle_fixtures.py"
             )
+    if "ann_topk_ivf" in out:
+        # the IO-pruned probe returns bit-identical results to the masked
+        # full scan (same lists, same exact cosine) — share the fixture
+        out["ann_topk_ivf_pruned"] = out["ann_topk_ivf"]
     km_path = os.path.join(_FIXTURE_DIR, "kmeans_clusters.parquet")
     if os.path.exists(km_path):
         # hybrid: cluster ids from the kmeans fixture, the per-cluster
