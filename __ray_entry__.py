@@ -843,6 +843,33 @@ def q_transform_mercator(sf_dir: str):
     return out.select_columns(["doc_id", "x", "y"])
 
 
+def q_transform_national_grids(sf_dir: str):
+    """Arbitrary-EPSG ST_Transform (golden-fixture oracle — Krueger/LCC/LAEA
+    series and the Helmert ECEF round-trip have no DuckDB closed form).
+    Geocoded doc points are squeezed into a Europe window, then projected
+    to three national grids in one vectorized pass each: EPSG:27700
+    (British National Grid — Airy ellipsoid + OSGB36 Helmert datum shift),
+    EPSG:2154 (Lambert-93, LCC 2SP on GRS80) and EPSG:3035 (ETRS89-LAEA).
+    Reference parity: ST_Transform accepts any EPSG via GeoTools
+    (common/.../Functions.java:184-212)."""
+    from incubator_sedona_ray.functions.transform import transform_xy
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        # deterministic squeeze into a window valid for all three grids
+        elon = -6.0 + (lon + 180.0) / 360.0 * 14.0  # [-6, 8]
+        elat = 42.0 + (lat + 90.0) / 180.0 * 16.0  # [42, 58]
+        cols = {"doc_id": batch["doc_id"]}
+        for name, code in (("osgb", "EPSG:27700"), ("l93", "EPSG:2154"), ("laea", "EPSG:3035")):
+            x, y = transform_xy("EPSG:4326", code, elon, elat)
+            cols[f"{name}_x"] = pa.array(np.round(x, 6))
+            cols[f"{name}_y"] = pa.array(np.round(y, 6))
+        return pa.table(cols)
+
+    return _geo_docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
 def q_union_aggr_zones(sf_dir: str):
     """ST_Union_Aggr of the (disjoint) zone squares per lon column
     (canonical part order -> deterministic WKB, golden-fixture oracle)."""
@@ -1062,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         # rows-only checks (non-SQL-expressible)
         "transform_mercator": q_transform_mercator,
+        "transform_national_grids": q_transform_national_grids,
         "union_aggr_zones": q_union_aggr_zones,
         "tile_render": q_tile_render,
         "s2_cells": q_s2_cells,
@@ -1131,6 +1159,7 @@ _FIXTURE_ORACLES = [
     "ann_topk_pq",
     "ann_topk_ivf",
     "transform_mercator",
+    "transform_national_grids",
     "union_aggr_zones",
     "tile_render",
 ]

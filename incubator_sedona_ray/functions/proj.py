@@ -1,0 +1,594 @@
+"""General map-projection engine: parameterized Transverse Mercator,
+Lambert Conformal Conic (1SP/2SP), Albers Equal Area, Lambert Azimuthal
+Equal Area, plus 7-parameter Helmert datum shifts and an EPSG registry.
+
+The reference delegates ST_Transform to GeoTools for arbitrary CRSs
+(``common/src/main/java/org/apache/sedona/common/Functions.java:184-212``).
+Without GeoTools we implement the same projection families directly from
+the public EPSG Guidance Note 7-2 formulas (methods 9807 TM, 9801/9802
+LCC, 9822 Albers, 9820 LAEA) and the standard position-vector Helmert,
+all vectorized over numpy arrays.
+
+Every registered CRS transforms through the WGS84 geographic hub:
+
+    src grid --inverse proj--> src-datum lon/lat --Helmert--> WGS84 lon/lat
+             --Helmert--> dst-datum lon/lat --forward proj--> dst grid
+
+Datums that are null-shifted relative to WGS84 at the meter level
+(ETRS89, RGF93, NAD83, GDA94, CGCS2000) carry ``helmert=None`` and skip
+the ECEF round-trip entirely.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["get_crs", "register_crs", "CRS", "Ellipsoid", "SUPPORTED_HINT"]
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoids (public EPSG parameter values)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Ellipsoid:
+    a: float
+    inv_f: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def b(self) -> float:
+        return self.a * (1.0 - self.f)
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2.0 - self.f)
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.e2)
+
+    @property
+    def n3(self) -> float:
+        """Third flattening n = f / (2 - f)."""
+        return self.f / (2.0 - self.f)
+
+
+WGS84 = Ellipsoid(6378137.0, 298.257223563)
+GRS80 = Ellipsoid(6378137.0, 298.257222101)
+AIRY1830 = Ellipsoid(6377563.396, 299.3249646)
+CLARKE1866 = Ellipsoid(6378206.4, 294.9786982138982)
+INTL1924 = Ellipsoid(6378388.0, 297.0)
+BESSEL1841 = Ellipsoid(6377397.155, 299.1528128)
+KRASSOVSKY1940 = Ellipsoid(6378245.0, 298.3)
+
+
+# ---------------------------------------------------------------------------
+# Helmert 7-parameter datum shift (position-vector convention)
+# ---------------------------------------------------------------------------
+
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+@dataclass(frozen=True)
+class Helmert:
+    """src-datum -> WGS84, position-vector sign convention:
+    X_wgs = T + (1 + s*1e-6) * R(rx, ry, rz) @ X_src  (rotations arcsec)."""
+
+    tx: float
+    ty: float
+    tz: float
+    rx: float = 0.0  # arcsec
+    ry: float = 0.0
+    rz: float = 0.0
+    s_ppm: float = 0.0
+
+
+def _geodetic_to_ecef(ell: Ellipsoid, lon, lat):
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * sphi * sphi)
+    x = nu * cphi * np.cos(lam)
+    y = nu * cphi * np.sin(lam)
+    z = nu * (1.0 - ell.e2) * sphi
+    return x, y, z
+
+
+def _ecef_to_geodetic(ell: Ellipsoid, x, y, z):
+    lam = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1.0 - ell.e2))
+    for _ in range(6):
+        sphi = np.sin(phi)
+        nu = ell.a / np.sqrt(1.0 - ell.e2 * sphi * sphi)
+        phi = np.arctan2(z + ell.e2 * nu * sphi, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert_apply(h: Helmert, x, y, z, inverse: bool = False):
+    rx, ry, rz = h.rx * _ARCSEC, h.ry * _ARCSEC, h.rz * _ARCSEC
+    m = 1.0 + h.s_ppm * 1e-6
+    if not inverse:
+        xo = h.tx + m * (x - rz * y + ry * z)
+        yo = h.ty + m * (rz * x + y - rx * z)
+        zo = h.tz + m * (-ry * x + rx * y + z)
+        return xo, yo, zo
+    # exact inverse of the small-angle forward: subtract T, divide by m,
+    # apply transposed rotation (orthonormal to first order)
+    xs, ys, zs = (x - h.tx) / m, (y - h.ty) / m, (z - h.tz) / m
+    xo = xs + rz * ys - ry * zs
+    yo = -rz * xs + ys + rx * zs
+    zo = ry * xs - rx * ys + zs
+    return xo, yo, zo
+
+
+# ---------------------------------------------------------------------------
+# Projection implementations. Each takes/returns numpy float64 arrays;
+# angles in degrees at the API boundary, radians internally.
+# ---------------------------------------------------------------------------
+
+
+def _krueger_coeffs(n: float):
+    """6th-order Krueger series alpha/beta coefficients (Karney 2011,
+    public formulas) for third flattening n."""
+    alpha = [
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180 - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880 + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ]
+    beta = [
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360 - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105 - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480 + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ]
+    return alpha, beta
+
+
+@dataclass(frozen=True)
+class TransverseMercator:
+    """EPSG method 9807 via the Krueger series (sub-mm within ~3900 km of
+    the central meridian — covers every national TM/UTM grid)."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    k0: float
+    fe: float
+    fn: float
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            n = self.ell.n3
+            a_tm = self.ell.a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+            alpha, beta = _krueger_coeffs(n)
+            e1 = self.ell.e
+            # meridian offset: xi at (lat0, lam=0) so northing is relative
+            # to the latitude of natural origin (OSGB lat0=49N etc.)
+            if self.lat0 != 0.0:
+                s0 = math.sin(math.radians(self.lat0))
+                t0 = math.sinh(math.atanh(s0) - e1 * math.atanh(e1 * s0))
+                xi0_p = math.atan(t0)  # xi' at (lat0, lam=0); eta' there is 0
+                xi0 = xi0_p + sum(a * math.sin(2 * j * xi0_p) for j, a in enumerate(alpha, start=1))
+                m0 = a_tm * xi0
+            else:
+                m0 = 0.0
+            c = (a_tm, alpha, beta, e1, m0)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        a_tm, alpha, _beta, e1, m0 = self._consts()
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(self.lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - e1 * np.arctanh(e1 * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        E = self.fe + self.k0 * a_tm * eta
+        N = self.fn + self.k0 * (a_tm * xi - m0)
+        return E, N
+
+    def inverse(self, E, N):
+        a_tm, _alpha, beta, e1, m0 = self._consts()
+        E = np.asarray(E, dtype=np.float64)
+        N = np.asarray(N, dtype=np.float64)
+        xi = (N - self.fn + self.k0 * m0) / (self.k0 * a_tm)
+        eta = (E - self.fe) / (self.k0 * a_tm)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+        tau = tau_p.copy()
+        for _ in range(5):  # Newton on the ellipsoid tangent (Karney eq 19-21)
+            sig = np.sinh(e1 * np.arctanh(e1 * tau / np.sqrt(1.0 + tau * tau)))
+            f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau) - tau_p
+            d_tau = (np.sqrt((1.0 + sig * sig) * (1.0 + tau * tau)) - sig * tau) * (
+                1.0 - e1 * e1
+            ) * np.sqrt(1.0 + tau * tau) / (1.0 + (1.0 - e1 * e1) * tau * tau)
+            tau -= f_tau / d_tau
+        lat = np.degrees(np.arctan(tau))
+        lon = np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p))) + self.lon0
+        return lon, lat
+
+
+def _t_conformal(e: float, phi):
+    """EPSG isometric-latitude helper t(phi) used by LCC."""
+    esin = e * np.sin(phi)
+    return np.tan(math.pi / 4.0 - phi / 2.0) / ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0)
+
+
+def _m_parallel(e2: float, phi):
+    return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+
+def _phi_from_t(e: float, t):
+    """Invert t(phi) by fixed-point iteration (EPSG method)."""
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        esin = e * np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0))
+    return phi
+
+
+@dataclass(frozen=True)
+class LambertConformal:
+    """EPSG 9802 (2SP) / 9801 (1SP when sp1 == sp2 and k0 != 1)."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    sp1: float
+    sp2: float
+    fe: float
+    fn: float
+    k0: float = 1.0
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            p1, p2, p0 = (math.radians(v) for v in (self.sp1, self.sp2, self.lat0))
+            t1, t2, t0 = (float(_t_conformal(e, np.float64(p))) for p in (p1, p2, p0))
+            m1 = float(_m_parallel(e2, np.float64(p1)))
+            if abs(self.sp1 - self.sp2) < 1e-12:
+                n = math.sin(p1)
+            else:
+                m2 = float(_m_parallel(e2, np.float64(p2)))
+                n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+            F = m1 / (n * t1**n)
+            r0 = a * F * self.k0 * t0**n
+            c = (n, a * F * self.k0, r0, e)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        n, aF, r0, e = self._consts()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        theta = n * (np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(self.lon0))
+        r = aF * _t_conformal(e, phi) ** n
+        E = self.fe + r * np.sin(theta)
+        N = self.fn + r0 - r * np.cos(theta)
+        return E, N
+
+    def inverse(self, E, N):
+        n, aF, r0, e = self._consts()
+        dE = np.asarray(E, dtype=np.float64) - self.fe
+        dN = r0 - (np.asarray(N, dtype=np.float64) - self.fn)
+        r = np.hypot(dE, dN) * np.sign(n)
+        t = (r / aF) ** (1.0 / n)
+        theta = np.arctan2(np.sign(n) * dE, np.sign(n) * dN)
+        lon = np.degrees(theta / n) + self.lon0
+        lat = np.degrees(_phi_from_t(e, t))
+        return lon, lat
+
+
+def _q_authalic(e: float, e2: float, phi):
+    """Authalic-latitude helper q(phi) (EPSG 9822/9820)."""
+    sphi = np.sin(phi)
+    esin = e * sphi
+    return (1.0 - e2) * (sphi / (1.0 - e2 * sphi * sphi) - (1.0 / (2.0 * e)) * np.log((1.0 - esin) / (1.0 + esin)))
+
+
+def _phi_from_q(e: float, e2: float, q):
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sphi = np.sin(phi)
+        esin = e * sphi
+        one = 1.0 - e2 * sphi * sphi
+        corr = (one**2 / (2.0 * np.cos(phi))) * (
+            q / (1.0 - e2) - sphi / one + (1.0 / (2.0 * e)) * np.log((1.0 - esin) / (1.0 + esin))
+        )
+        phi = phi + corr
+    return phi
+
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    """EPSG method 9822."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    sp1: float
+    sp2: float
+    fe: float
+    fn: float
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            p1, p2, p0 = (math.radians(v) for v in (self.sp1, self.sp2, self.lat0))
+            m1 = float(_m_parallel(e2, np.float64(p1)))
+            m2 = float(_m_parallel(e2, np.float64(p2)))
+            q1 = float(_q_authalic(e, e2, np.float64(p1)))
+            q2 = float(_q_authalic(e, e2, np.float64(p2)))
+            q0 = float(_q_authalic(e, e2, np.float64(p0)))
+            n = (m1 * m1 - m2 * m2) / (q2 - q1)
+            C = m1 * m1 + n * q1
+            rho0 = a * math.sqrt(C - n * q0) / n
+            c = (n, C, rho0, e, e2, a)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        n, C, rho0, e, e2, a = self._consts()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        theta = n * (np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(self.lon0))
+        rho = a * np.sqrt(C - n * _q_authalic(e, e2, phi)) / n
+        return self.fe + rho * np.sin(theta), self.fn + rho0 - rho * np.cos(theta)
+
+    def inverse(self, E, N):
+        n, C, rho0, e, e2, a = self._consts()
+        dE = np.asarray(E, dtype=np.float64) - self.fe
+        dN = rho0 - (np.asarray(N, dtype=np.float64) - self.fn)
+        rho = np.hypot(dE, dN) * np.sign(n)
+        q = (C - (rho * n / a) ** 2) / n
+        theta = np.arctan2(np.sign(n) * dE, np.sign(n) * dN)
+        return np.degrees(theta / n) + self.lon0, np.degrees(_phi_from_q(e, e2, q))
+
+
+@dataclass(frozen=True)
+class LambertAzimuthalEqualArea:
+    """EPSG method 9820 (oblique aspect — the ETRS89-LAEA Europe grid)."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    fe: float
+    fn: float
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            p0 = math.radians(self.lat0)
+            qp = float(_q_authalic(e, e2, np.float64(math.pi / 2.0)))
+            q0 = float(_q_authalic(e, e2, np.float64(p0)))
+            rq = a * math.sqrt(qp / 2.0)
+            beta0 = math.asin(q0 / qp)
+            d = a * (math.cos(p0) / math.sqrt(1.0 - e2 * math.sin(p0) ** 2)) / (rq * math.cos(beta0))
+            c = (e, e2, qp, rq, beta0, d)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        e, e2, qp, rq, beta0, d = self._consts()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(self.lon0)
+        beta = np.arcsin(np.clip(_q_authalic(e, e2, phi) / qp, -1.0, 1.0))
+        b = rq * np.sqrt(2.0 / (1.0 + math.sin(beta0) * np.sin(beta) + math.cos(beta0) * np.cos(beta) * np.cos(dlam)))
+        E = self.fe + b * d * np.cos(beta) * np.sin(dlam)
+        N = self.fn + (b / d) * (math.cos(beta0) * np.sin(beta) - math.sin(beta0) * np.cos(beta) * np.cos(dlam))
+        return E, N
+
+    def inverse(self, E, N):
+        e, e2, qp, rq, beta0, d = self._consts()
+        dE = (np.asarray(E, dtype=np.float64) - self.fe) / d
+        dN = (np.asarray(N, dtype=np.float64) - self.fn) * d
+        rho = np.hypot(dE, dN)
+        C = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = qp * (np.cos(C) * math.sin(beta0) + dN * np.sin(C) * math.cos(beta0) / rho)
+            lam = np.arctan2(dE * np.sin(C), rho * math.cos(beta0) * np.cos(C) - dN * math.sin(beta0) * np.sin(C))
+        # at the exact origin rho == 0: q -> q0, lam -> 0
+        at0 = rho == 0.0
+        if np.any(at0):
+            q = np.where(at0, qp * math.sin(beta0), q)
+            lam = np.where(at0, 0.0, lam)
+        return np.degrees(lam) + self.lon0, np.degrees(_phi_from_q(e, e2, q))
+
+
+@dataclass(frozen=True)
+class Geographic:
+    """Identity projection: grid coords ARE lon/lat degrees on the datum."""
+
+    ell: Ellipsoid
+
+    def forward(self, lon, lat):
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+    def inverse(self, x, y):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# CRS = projection + datum shift to WGS84
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CRS:
+    code: int
+    proj: object  # one of the projection dataclasses above
+    helmert: Helmert | None = None  # datum -> WGS84; None == identical to WGS84
+    name: str = ""
+
+    def to_wgs84(self, x, y):
+        lon, lat = self.proj.inverse(x, y)
+        if self.helmert is None:
+            return lon, lat
+        ex, ey, ez = _geodetic_to_ecef(self.proj.ell, lon, lat)
+        ex, ey, ez = _helmert_apply(self.helmert, ex, ey, ez)
+        return _ecef_to_geodetic(WGS84, ex, ey, ez)
+
+    def from_wgs84(self, lon, lat):
+        if self.helmert is not None:
+            ex, ey, ez = _geodetic_to_ecef(WGS84, np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+            ex, ey, ez = _helmert_apply(self.helmert, ex, ey, ez, inverse=True)
+            lon, lat = _ecef_to_geodetic(self.proj.ell, ex, ey, ez)
+        return self.proj.forward(lon, lat)
+
+
+# published OSGB36 -> WGS84 Helmert (inverse of the OS National Grid
+# ETRS89->OSGB36 set; position-vector convention, ~3.5 m accuracy)
+_OSGB36_TO_WGS84 = Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+# NAD27 -> WGS84 CONUS 3-parameter (EPSG 1173-style geocentric translation)
+_NAD27_TO_WGS84 = Helmert(-8.0, 160.0, 176.0)
+# ED50 -> WGS84 mean-European 3-parameter (EPSG 1133-style)
+_ED50_TO_WGS84 = Helmert(-87.0, -98.0, -121.0)
+# Pulkovo 1942 -> WGS84 (EPSG 1254-style mean)
+_PULKOVO42_TO_WGS84 = Helmert(28.0, -130.0, -95.0)
+# DHDN (Bessel, Germany) -> WGS84 (EPSG 1777 position-vector)
+_DHDN_TO_WGS84 = Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+
+
+_REGISTRY: dict[int, CRS] = {}
+
+
+def register_crs(crs: CRS) -> None:
+    _REGISTRY[crs.code] = crs
+
+
+def _utm(ell: Ellipsoid, zone: int, south: bool) -> TransverseMercator:
+    return TransverseMercator(
+        ell, lon0=zone * 6.0 - 183.0, lat0=0.0, k0=0.9996, fe=500000.0, fn=10000000.0 if south else 0.0
+    )
+
+
+def _populate() -> None:
+    reg = register_crs
+    # geographic CRSs (lon/lat degrees on their datum)
+    reg(CRS(4326, Geographic(WGS84), None, "WGS 84"))
+    reg(CRS(4258, Geographic(GRS80), None, "ETRS89"))
+    reg(CRS(4269, Geographic(GRS80), None, "NAD83"))
+    reg(CRS(4171, Geographic(GRS80), None, "RGF93"))
+    reg(CRS(4283, Geographic(GRS80), None, "GDA94"))
+    reg(CRS(4490, Geographic(GRS80), None, "CGCS2000"))
+    reg(CRS(4277, Geographic(AIRY1830), _OSGB36_TO_WGS84, "OSGB36"))
+    reg(CRS(4267, Geographic(CLARKE1866), _NAD27_TO_WGS84, "NAD27"))
+    reg(CRS(4230, Geographic(INTL1924), _ED50_TO_WGS84, "ED50"))
+    reg(CRS(4314, Geographic(BESSEL1841), _DHDN_TO_WGS84, "DHDN"))
+    reg(CRS(4284, Geographic(KRASSOVSKY1940), _PULKOVO42_TO_WGS84, "Pulkovo 1942"))
+
+    # national grids
+    reg(
+        CRS(
+            27700,
+            TransverseMercator(AIRY1830, lon0=-2.0, lat0=49.0, k0=0.9996012717, fe=400000.0, fn=-100000.0),
+            _OSGB36_TO_WGS84,
+            "OSGB36 / British National Grid",
+        )
+    )
+    reg(
+        CRS(
+            2154,
+            LambertConformal(GRS80, lon0=3.0, lat0=46.5, sp1=49.0, sp2=44.0, fe=700000.0, fn=6600000.0),
+            None,
+            "RGF93 / Lambert-93",
+        )
+    )
+    reg(
+        CRS(
+            3035,
+            LambertAzimuthalEqualArea(GRS80, lon0=10.0, lat0=52.0, fe=4321000.0, fn=3210000.0),
+            None,
+            "ETRS89-extended / LAEA Europe",
+        )
+    )
+    reg(
+        CRS(
+            5070,
+            AlbersEqualArea(GRS80, lon0=-96.0, lat0=23.0, sp1=29.5, sp2=45.5, fe=0.0, fn=0.0),
+            None,
+            "NAD83 / Conus Albers",
+        )
+    )
+    reg(
+        CRS(
+            31370,
+            # Belgian Lambert 72 projection parameters (EPSG); BD72 datum
+            # shift (position-vector) per the NGI-published values
+            LambertConformal(
+                INTL1924,
+                lon0=4.367486666666666,
+                lat0=90.0,
+                sp1=51.16666723333333,
+                sp2=49.8333339,
+                fe=150000.013,
+                fn=5400088.438,
+            ),
+            Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747),
+            "BD72 / Belgian Lambert 72",
+        )
+    )
+    # France legacy Lambert zone II (NTF datum, Clarke 1880 IGN) omitted:
+    # Clarke 1880 IGN + NTF grid shift is gridded, not Helmert-clean.
+
+    # UTM families
+    for z in range(1, 61):
+        reg(CRS(32600 + z, _utm(WGS84, z, False), None, f"WGS 84 / UTM {z}N"))
+        reg(CRS(32700 + z, _utm(WGS84, z, True), None, f"WGS 84 / UTM {z}S"))
+    for z in range(28, 39):
+        reg(CRS(25800 + z, _utm(GRS80, z, False), None, f"ETRS89 / UTM {z}N"))
+    for z in range(1, 24):
+        reg(CRS(26900 + z, _utm(GRS80, z, False), None, f"NAD83 / UTM {z}N"))
+    for z in range(3, 24):
+        reg(CRS(26700 + z, _utm(CLARKE1866, z, False), _NAD27_TO_WGS84, f"NAD27 / UTM {z}N"))
+    for z in range(48, 59):
+        reg(CRS(28300 + z, _utm(GRS80, z, True), None, f"GDA94 / MGA zone {z}"))
+    for z in range(28, 39):
+        reg(CRS(23000 + z, _utm(INTL1924, z, False), _ED50_TO_WGS84, f"ED50 / UTM {z}N"))
+
+
+_populate()
+
+SUPPORTED_HINT = (
+    "EPSG:4326/3857, WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, "
+    "NAD27 UTM 267xx, ED50 UTM 230xx, GDA94 MGA 283xx, 27700 (OSGB), 2154 "
+    "(Lambert-93), 3035 (LAEA Europe), 5070 (Conus Albers), 31370 (Belgian "
+    "Lambert 72), geographic 4258/4269/4267/4277/4171/4283/4490/4230/4314/4284"
+)
+
+
+def get_crs(code: int) -> CRS:
+    crs = _REGISTRY.get(code)
+    if crs is None:
+        raise NotImplementedError(f"EPSG:{code} not in the projection registry (supported: {SUPPORTED_HINT})")
+    return crs

@@ -189,11 +189,15 @@ def utm_to_lonlat(E, N, zone: int, south: bool = False):
 
 
 def _parse_crs(name: str):
-    """EPSG name -> ('lonlat' | 'mercator' | ('utm', zone, south))."""
+    """EPSG name -> ('lonlat' | 'mercator' | ('utm', zone, south) | ('crs', CRS)).
+
+    4326 / 3857 / WGS84-UTM keep their dedicated fast paths; every other
+    code resolves through the general projection registry (``proj.py``:
+    parameterized TM / LCC / Albers / LAEA + Helmert datum shifts)."""
     code = name.upper().replace("EPSG:", "")
     if code == "4326":
         return "lonlat"
-    if code == "3857":
+    if code in ("3857", "900913", "102100"):
         return "mercator"
     if code.isdigit():
         c = int(code)
@@ -201,7 +205,10 @@ def _parse_crs(name: str):
             return ("utm", c - 32600, False)
         if 32701 <= c <= 32760:
             return ("utm", c - 32700, True)
-    raise NotImplementedError(f"CRS {name} (supported: EPSG:4326, EPSG:3857, EPSG:32601-60, EPSG:32701-60)")
+        from . import proj as _proj
+
+        return ("crs", _proj.get_crs(c))
+    raise NotImplementedError(f"CRS {name!r}: expected an EPSG:<code> name")
 
 
 def _to_lonlat(crs, x, y):
@@ -209,6 +216,8 @@ def _to_lonlat(crs, x, y):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if crs == "mercator":
         return mercator_to_lonlat(x, y)
+    if crs[0] == "crs":
+        return crs[1].to_wgs84(x, y)
     return utm_to_lonlat(x, y, crs[1], crs[2])
 
 
@@ -217,6 +226,8 @@ def _from_lonlat(crs, lon, lat):
         return lon, lat
     if crs == "mercator":
         return lonlat_to_mercator(lon, lat)
+    if crs[0] == "crs":
+        return crs[1].from_wgs84(lon, lat)
     return lonlat_to_utm(lon, lat, crs[1], crs[2])
 
 
