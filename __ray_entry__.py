@@ -915,6 +915,28 @@ def q_tile_render(sf_dir: str):
     return tiles.map_batches(add_sha, batch_format="pyarrow")
 
 
+def q_heatmap_stitched(sf_dir: str):
+    """Per-tile heatmap renders stitched into ONE global PNG
+    (viz/.../utils/ImageStitcher.java parity; golden-fixture oracle pins
+    the sha256 of the stitched image). Distributed tile decode, single
+    assemble task whose output is exactly one image row."""
+    import hashlib
+
+    from incubator_sedona_ray.raster.viz import render_tiles, stitch_tiles
+
+    hm = heatmap_counts(_geo_docs(sf_dir), WORLD, 128, 64, 4, 4)
+    tiles = render_tiles(hm, 128, 64, 4, 4, blur_radius=1)
+    img = stitch_tiles(tiles, 128, 64, 4, 4)
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(p).hexdigest() for p in batch["png"].to_pylist()]
+        return pa.table(
+            {"width": batch["width"], "height": batch["height"], "png_sha": pa.array(shas, type=pa.string())}
+        )
+
+    return img.map_batches(add_sha, batch_format="pyarrow")
+
+
 def q_zone_clip_area(sf_dir: str):
     """ST_Intersection (convex clip) of each zone square with a fixed box;
     exact closed-form areas give a bit-exact SQL oracle."""
@@ -1092,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_national_grids": q_transform_national_grids,
         "union_aggr_zones": q_union_aggr_zones,
         "tile_render": q_tile_render,
+        "heatmap_stitched": q_heatmap_stitched,
         "s2_cells": q_s2_cells,
         "geohash": q_geohash,
         "h3_cells": q_h3_cells,
@@ -1162,6 +1185,7 @@ _FIXTURE_ORACLES = [
     "transform_national_grids",
     "union_aggr_zones",
     "tile_render",
+    "heatmap_stitched",
 ]
 
 

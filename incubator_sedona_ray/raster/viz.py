@@ -174,3 +174,53 @@ def render_tiles(
         )
 
     return exploded.groupby("tile_id").map_groups(render, batch_format="pandas")
+
+
+def stitch_tiles(tile_ds, res_x: int, res_y: int, part_x: int, part_y: int):
+    """(tile_id, png, width, height) Dataset -> single-row Dataset
+    (png, width, height) of the full stitched image.
+
+    Reference parity: ``viz/.../utils/ImageStitcher.java`` reassembles
+    per-tile renders into one global image. Ray-Data shape: the per-tile
+    PNG decode runs distributed in ``map_batches``; only the final paste
+    (one task, output = exactly one image) sees all tiles — grouped under
+    a constant key so the assembly itself is a ``map_groups`` stage, not
+    a driver-side loop. Tiles rendered with a blur halo are cropped back
+    to their core (pad inferred from width vs res_x/part_x).
+    """
+    from .png import png_decode
+
+    ix, iy = res_x // part_x, res_y // part_y
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rgb = [png_decode(b).tobytes() for b in batch["png"].to_pylist()]
+        return pa.table(
+            {
+                "img_id": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "tile_id": batch["tile_id"],
+                "rgb": pa.array(rgb, type=pa.binary()),
+                "width": batch["width"],
+                "height": batch["height"],
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((res_y, res_x, 3), dtype=np.uint8)
+        for _, row in g.iterrows():
+            tid = int(row["tile_id"])
+            w, h = int(row["width"]), int(row["height"])
+            pad = (w - ix) // 2
+            tile = np.frombuffer(row["rgb"], dtype=np.uint8).reshape(h, w, 3)
+            if pad:
+                tile = tile[pad:-pad, pad:-pad]
+            tx = tid % part_x
+            ty_img = tid // part_x  # tile_id rows are already top-down (y flip)
+            canvas[ty_img * iy : (ty_img + 1) * iy, tx * ix : (tx + 1) * ix] = tile
+        png = png_encode_rgb(canvas)
+        return pd.DataFrame({"png": [png], "width": [res_x], "height": [res_y]})
+
+    return (
+        tile_ds.map_batches(decode, batch_format="pyarrow")
+        .groupby("img_id")
+        .map_groups(assemble, batch_format="pandas")
+    )
