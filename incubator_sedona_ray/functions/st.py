@@ -559,13 +559,18 @@ def st_intersection(col_a, col_b) -> pa.Array:
     (geom/dissolve.py) to match the reference's JTS overlayOp output
     (``Functions.java:466``)."""
     from ..geom import triangulate as _tri
+    from ..geom.overlay import _is_pure_polygonal, overlay
 
     out = []
     for a, b in zip(_geoms(col_a), _geoms(col_b)):
         if a is None or b is None:
             out.append(None)
             continue
-        if _is_convex(b):
+        if not (_is_pure_polygonal(a) and _is_pure_polygonal(b)):
+            # mixed-dimension / collection operands: dimension-dispatch
+            # overlay (geom/overlay.py)
+            out.append(overlay(a, b, "intersection"))
+        elif _is_convex(b):
             out.append(_lin.clip_convex(a, b))
         elif _is_convex(a):
             out.append(_lin.clip_convex(b, a))
@@ -612,37 +617,39 @@ def _dissolved(g: Geometry) -> Geometry:
     return dissolve(g)
 
 
+def _binary_overlay(col_a, col_b, op: str, tri_fn) -> pa.Array:
+    """Pure-polygon pairs keep the triangulate+dissolve kernel; any
+    mixed-dimension / collection operand routes through geom/overlay.py
+    (Functions.java:466,641 — JTS overlay accepts any geometry pair)."""
+    from ..geom.overlay import _is_pure_polygonal, overlay
+
+    out = []
+    for a, b in zip(_geoms(col_a), _geoms(col_b)):
+        if a is None or b is None:
+            out.append(None)
+        elif _is_pure_polygonal(a) and _is_pure_polygonal(b):
+            out.append(_dissolved(tri_fn(a, b)))
+        else:
+            out.append(overlay(a, b, op))
+    return _wkb_arr(out)
+
+
 def st_difference(col_a, col_b) -> pa.Array:
     from ..geom import triangulate as _tri
 
-    return _wkb_arr(
-        [
-            None if a is None or b is None else _dissolved(_tri.difference(a, b))
-            for a, b in zip(_geoms(col_a), _geoms(col_b))
-        ]
-    )
+    return _binary_overlay(col_a, col_b, "difference", _tri.difference)
 
 
 def st_union(col_a, col_b) -> pa.Array:
     from ..geom import triangulate as _tri
 
-    return _wkb_arr(
-        [
-            None if a is None or b is None else _dissolved(_tri.union(a, b))
-            for a, b in zip(_geoms(col_a), _geoms(col_b))
-        ]
-    )
+    return _binary_overlay(col_a, col_b, "union", _tri.union)
 
 
 def st_symdifference(col_a, col_b) -> pa.Array:
     from ..geom import triangulate as _tri
 
-    return _wkb_arr(
-        [
-            None if a is None or b is None else _dissolved(_tri.sym_difference(a, b))
-            for a, b in zip(_geoms(col_a), _geoms(col_b))
-        ]
-    )
+    return _binary_overlay(col_a, col_b, "sym_difference", _tri.sym_difference)
 
 
 FUNCTIONS.update(
