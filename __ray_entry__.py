@@ -755,6 +755,63 @@ def q_image_decode_fake(sf_dir: str):
     return out.select_columns(["doc_id", "img_width", "img_height", "img_channels"])
 
 
+def q_image_decode_png(sf_dir: str):
+    """REAL image decode over PNG payloads (raster/png.py pure-numpy codec,
+    no PIL): payloads are tiny deterministic PNGs synthesized from each
+    doc's id, decoded in an actor-pool stage that emits true dimensions,
+    channel count and per-channel-mean + luma-histogram features. A ~3%
+    slice of payloads is corrupted to exercise the on_error='null'
+    skip-invalid path (FormatMapper allowTopologyInvalidGeometries idiom).
+    Golden-fixture oracle (PNG bit streams have no SQL closed form)."""
+    from incubator_sedona_ray.raster.viz import png_encode_rgb
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w = 4 + int(i) % 13
+            h = 3 + int(i) % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 37 + int(i)) % 256,
+                    (yy * 59 + int(i) * 3) % 256,
+                    (xx * yy + int(i) * 7) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            blob = png_encode_rgb(img)
+            if int(i) % 31 == 0:  # corrupt ~3% to exercise skip-invalid
+                blob = blob[: len(blob) // 2]
+            payloads.append(blob)
+        return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(payloads, type=pa.binary())})
+
+    out = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"bin_col": "payload", "codec": "png", "feat_dim": 6},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        feats = batch["img_features"].to_pylist()
+        mean_r = pa.array(
+            [None if f is None else round(f[0], 9) for f in feats], type=pa.float64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "img_width": batch["img_width"],
+                "img_height": batch["img_height"],
+                "img_channels": batch["img_channels"],
+                "mean_r": mean_r,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_pip_join_salted(sf_dir: str):
@@ -1134,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_sample": q_diversity_sample,
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
+        "image_decode_png": q_image_decode_png,
     }
 
 
@@ -1186,6 +1244,7 @@ _FIXTURE_ORACLES = [
     "union_aggr_zones",
     "tile_render",
     "heatmap_stitched",
+    "image_decode_png",
 ]
 
 

@@ -72,11 +72,17 @@ def png_decode(data: bytes) -> np.ndarray:
     bpp = None
     idat = []
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("PNG truncated mid-chunk")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("PNG truncated chunk body")
         pos += 12 + length
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("PNG IHDR length invalid")
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
             if depth != 8:
                 raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")

@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels (JPEG/PNG/audio) require libs absent from this container
-(PIL/ffmpeg) — they are STUBBED per the driver brief: ``DecodeImage`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decode derives (width, height, n_channels, features) from the payload
-bytes. The Ray-side plumbing — actor-pool stage, schema, small batch sizes
-for large binary payloads — is real and tested.
+PNG decodes FOR REAL via the repo's pure-numpy codec (``raster/png.py``,
+stdlib zlib only): ``DecodeImage(codec="png")``. JPEG/video/audio codecs
+require libs absent from this container (PIL/libjpeg/ffmpeg) — those modes
+are STUBBED per the driver brief: they raise ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decode derives (width,
+height, n_channels, features) from the payload bytes. The Ray-side
+plumbing — actor-pool stage, schema, small batch sizes for large binary
+payloads — is real and tested in every mode.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -164,21 +167,43 @@ class AudioFeatures:
 class DecodeImage:
     """Actor-pool image decode stage.
 
-    Real decode is unavailable in this environment (no PIL/libjpeg):
-    construct with ``fake=True`` for a deterministic stand-in that exercises
-    the exact same batch plumbing (binary in -> fixed-shape feature columns
-    out). Use small ``batch_size`` (e.g. 64) in ``map_batches`` — payloads
-    are large and batches must fit the worker heap.
+    Three modes:
+
+    * ``codec="png"`` — REAL decode via the repo's pure-numpy PNG codec
+      (``raster/png.py``, stdlib zlib only): emits the true width /
+      height / channel count plus ``feat_dim`` features (per-channel
+      means then a luma histogram). ``on_error="null"`` (default) emits
+      null feature columns for undecodable payloads — the FormatMapper
+      skip-invalid idiom; ``on_error="raise"`` propagates.
+    * ``fake=True`` — deterministic stand-in deriving shape/features
+      from the payload digest (for synthetic benches / JPEG-shaped
+      pipelines where no real codec exists in this container).
+    * neither — raises ``NotImplementedError`` (JPEG needs libjpeg/PIL,
+      absent in this env).
+
+    Use small ``batch_size`` (e.g. 64) in ``map_batches`` — payloads are
+    large and batches must fit the worker heap.
     """
 
-    def __init__(self, bin_col: str = "payload", fake: bool = False, feat_dim: int = 8):
-        if not fake:
+    def __init__(
+        self,
+        bin_col: str = "payload",
+        fake: bool = False,
+        feat_dim: int = 8,
+        codec: str | None = None,
+        on_error: str = "null",
+    ):
+        if codec not in (None, "png"):
+            raise NotImplementedError(f"codec {codec!r}: only 'png' decodes natively (JPEG needs libjpeg/PIL)")
+        if codec is None and not fake:
             raise NotImplementedError(
                 "image decode requires PIL/libjpeg, not available in this container; "
-                "pass fake=True for the deterministic stand-in"
+                "pass codec='png' for real PNG decode or fake=True for the stand-in"
             )
         self.bin_col = bin_col
         self.feat_dim = feat_dim
+        self.codec = codec
+        self.on_error = on_error
 
     def _fake_decode(self, blob: bytes):
         h = hashlib.sha256(blob).digest()
@@ -187,14 +212,40 @@ class DecodeImage:
         feats = np.frombuffer(h[2 : 2 + self.feat_dim], dtype=np.uint8).astype(np.float64) / 255.0
         return w, hgt, 3, feats
 
+    def _png_decode(self, blob: bytes):
+        from ..raster.png import png_decode
+
+        img = png_decode(blob)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, c = img.shape
+        px = img.astype(np.float64) / 255.0
+        means = px.mean(axis=(0, 1))  # (c,)
+        luma = px.mean(axis=2).ravel()
+        n_bins = max(self.feat_dim - len(means), 0)
+        if n_bins:
+            hist, _ = np.histogram(luma, bins=n_bins, range=(0.0, 1.0))
+            hist = hist / max(luma.size, 1)
+            feats = np.concatenate([means, hist])[: self.feat_dim]
+        else:
+            feats = means[: self.feat_dim]
+        return w, h, c, feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, cs, feats = [], [], [], []
+        decode = self._png_decode if self.codec == "png" else self._fake_decode
         for blob in batch[self.bin_col].to_pylist():
-            w, h, c, f = self._fake_decode(blob or b"")
+            try:
+                w, h, c, f = decode(blob or b"")
+            except (ValueError, KeyError, IndexError, OSError, zlib.error):
+                if self.on_error == "raise" or self.codec is None:
+                    raise
+                w = h = c = None
+                f = None
             ws.append(w)
             hs.append(h)
             cs.append(c)
-            feats.append(f)
+            feats.append(None if f is None else list(f))
         return (
             batch.append_column("img_width", pa.array(ws, type=pa.int32()))
             .append_column("img_height", pa.array(hs, type=pa.int32()))

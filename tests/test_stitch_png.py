@@ -67,6 +67,40 @@ class TestPngDecode:
             png_decode(b"JFIF not a png")
 
 
+class TestDecodeImagePng:
+    def test_real_png_decode_exact_features(self):
+        from incubator_sedona_ray.sources.multimodal import DecodeImage
+
+        img = np.zeros((4, 5, 3), dtype=np.uint8)
+        img[:, :, 0] = 255  # pure red
+        stage = DecodeImage(codec="png", feat_dim=6)
+        out = stage(pa.table({"payload": pa.array([png_encode_rgb(img)], type=pa.binary())}))
+        assert out["img_width"].to_pylist() == [5]
+        assert out["img_height"].to_pylist() == [4]
+        assert out["img_channels"].to_pylist() == [3]
+        feats = out["img_features"].to_pylist()[0]
+        assert abs(feats[0] - 1.0) < 1e-12 and abs(feats[1]) < 1e-12 and abs(feats[2]) < 1e-12
+
+    def test_corrupt_payload_null_vs_raise(self):
+        from incubator_sedona_ray.sources.multimodal import DecodeImage
+
+        good = png_encode_rgb(np.full((2, 2, 3), 7, dtype=np.uint8))
+        batch = pa.table({"payload": pa.array([good, good[:20], b"junk"], type=pa.binary())})
+        out = DecodeImage(codec="png", on_error="null")(batch)
+        assert out["img_width"].to_pylist() == [2, None, None]
+        assert out["img_features"].to_pylist()[1] is None
+        with pytest.raises(ValueError):
+            DecodeImage(codec="png", on_error="raise")(batch)
+
+    def test_jpeg_still_stubbed(self):
+        from incubator_sedona_ray.sources.multimodal import DecodeImage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImage(codec="jpeg")
+        with pytest.raises(NotImplementedError):
+            DecodeImage()
+
+
 class TestStitch:
     @pytest.mark.parametrize("blur", [0, 1])
     def test_stitched_equals_full_render(self, ray_session, blur):
