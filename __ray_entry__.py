@@ -576,7 +576,11 @@ def q_langid(sf_dir: str):
 
 
 def q_minhash_survivors(sf_dir: str):
-    survivors, _ = minhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
+    # fresh read_parquet corpus -> scrub_input=False keeps the id and text
+    # sides of the verification joins fully streaming (100 TB path)
+    survivors, _ = minhash_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, scrub_input=False
+    )
     return survivors
 
 

@@ -149,12 +149,16 @@ def embedding_dedup_survivors(
     seed: int = 7,
     brute: bool = False,
     num_partitions: int | None = None,
+    scrub_input: bool = True,
 ):
     """(survivors, pairs) DATASETS — the minhash-style tail for embedding
     near-dups: connected components over the verified pairs via
     distributed min-label propagation, keep each component's min id,
     survivors = left-anti join of all ids against dropped ids. Mirrors
-    :func:`..minhash.minhash_dedup`; nothing lands on the driver."""
+    :func:`..minhash.minhash_dedup`; nothing lands on the driver.
+
+    ``scrub_input=False``: keep the ``ds``-derived id side streaming
+    (fresh-source corpora; see minhash_dedup)."""
     from ..state.blocks import safe_hash_join, scrub_empty_blocks
     from .minhash import _default_join_partitions, connected_components_min_label
 
@@ -163,9 +167,9 @@ def embedding_dedup_survivors(
     pairs = embedding_dedup(
         ds, id_col, vec_col, threshold=threshold, n_planes=n_planes, seed=seed, brute=brute
     )
-    all_ids = scrub_empty_blocks(
-        ds.select_columns([id_col]), schema=pa.schema([(id_col, pa.int64())])
-    )
+    all_ids = ds.select_columns([id_col])
+    if scrub_input:
+        all_ids = scrub_empty_blocks(all_ids, schema=pa.schema([(id_col, pa.int64())]))
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return all_ids, pairs
@@ -174,6 +178,9 @@ def embedding_dedup_survivors(
         lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
         batch_format="pyarrow",
     )
-    survivors = safe_hash_join(all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    survivors = safe_hash_join(
+        all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",),
+        scrub_left=scrub_input,
+    )
     survivors = scrub_empty_blocks(survivors, schema=pa.schema([(id_col, pa.int64())]))
     return survivors, pairs

@@ -240,9 +240,18 @@ def minhash_dedup(
     threshold: float = 0.8,
     seed: int = 1,
     num_partitions: int | None = None,
+    scrub_input: bool = True,
 ):
     """Returns (survivors, dup_pairs) as DATASETS: surviving doc ids after
     near-dup removal, and the verified duplicate pairs (a < b, jaccard).
+
+    ``scrub_input=False`` skips the defensive empty-block scrub /
+    materialization of ``ds``-derived join sides: pass it when ``ds``
+    streams from a fresh source (``read_parquet`` / ``map_batches``) —
+    the verification joins then consume the corpus fully streaming, which
+    is the 100 TB-scale path. Leave True for join-derived inputs, which
+    can carry the schema-less empty blocks that crash Ray 2.49's
+    hash-shuffle joins (state/blocks.py).
 
     Every stage is distributed — no candidate list, text dict, or
     union-find ever lands on the driver:
@@ -276,8 +285,11 @@ def minhash_dedup(
     # scrub: ``ds`` may be join-derived (e.g. dedup_exact keep_cols output)
     # and carry schema-less empty blocks; if one races to be the FIRST
     # block entering the survivors join's shuffle, the schema broadcast is
-    # empty and the join crashes (state/blocks.py)
-    all_ids = scrub_empty_blocks(ds.select_columns([id_col]), schema=pa.schema([(id_col, pa.int64())]))
+    # empty and the join crashes (state/blocks.py). With scrub_input=False
+    # (fresh-source corpus) the ids stay a lazy streaming projection.
+    all_ids = ds.select_columns([id_col])
+    if scrub_input:
+        all_ids = scrub_empty_blocks(all_ids, schema=pa.schema([(id_col, pa.int64())]))
     if cand.count() == 0:
         import ray
 
@@ -286,12 +298,18 @@ def minhash_dedup(
 
     # verify: hash-join texts onto both endpoints, then exact jaccard per row
     docs = ds.select_columns([id_col, text_col])
-    j1 = safe_hash_join(cand, docs, "inner", num_partitions, on=("a",), right_on=(id_col,), right_suffix="_ra")
+    j1 = safe_hash_join(
+        cand, docs, "inner", num_partitions, on=("a",), right_on=(id_col,), right_suffix="_ra",
+        scrub_right=scrub_input,
+    )
     j1 = j1.map_batches(
         lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t[text_col]}),
         batch_format="pyarrow",
     )
-    j2 = safe_hash_join(j1, docs, "inner", num_partitions, on=("b",), right_on=(id_col,), right_suffix="_rb")
+    j2 = safe_hash_join(
+        j1, docs, "inner", num_partitions, on=("b",), right_on=(id_col,), right_suffix="_rb",
+        scrub_right=scrub_input,
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         from .ngram import char_shingles_arr, jaccard_arr
@@ -316,7 +334,10 @@ def minhash_dedup(
         lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
         batch_format="pyarrow",
     )
-    survivors = safe_hash_join(all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    survivors = safe_hash_join(
+        all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",),
+        scrub_left=scrub_input,
+    )
     # survivors is a JOIN output handed back to user pipelines that may
     # join it again (e.g. re-attaching payload rows) — scrub the
     # schema-less empty partition blocks it may carry (state/blocks.py)

@@ -43,12 +43,16 @@ def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
 
 
-def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3, scrub_input: bool = True):
     """Returns (survivors, pairs) as DATASETS. Band-bucket candidates,
     verify by hamming distance <= max_hamming, drop non-min ids per
     component — components via distributed min-label propagation and
     survivors via a left-anti hash join (same scale design as
-    :func:`..minhash.minhash_dedup`; nothing materializes on the driver)."""
+    :func:`..minhash.minhash_dedup`; nothing materializes on the driver).
+
+    ``scrub_input=False``: skip the defensive empty-block scrub of the
+    ``ds``-derived id side — keeps it streaming; pass when ``ds`` comes
+    from a fresh source (see minhash_dedup)."""
     fps = ds.map_batches(simhash_batch_fn(id_col, text_col), batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -110,7 +114,9 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     # survivors join's shuffle breaks its one-shot schema broadcast
     from ..state.blocks import safe_hash_join, scrub_empty_blocks
 
-    all_ids = scrub_empty_blocks(ds.select_columns([id_col]), schema=pa.schema([(id_col, pa.int64())]))
+    all_ids = ds.select_columns([id_col])
+    if scrub_input:
+        all_ids = scrub_empty_blocks(all_ids, schema=pa.schema([(id_col, pa.int64())]))
     if pairs.count() == 0:
         return all_ids, pairs
     labels = connected_components_min_label(pairs, num_partitions=num_partitions)
@@ -118,7 +124,10 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         lambda t: t.filter(pa.compute.not_equal(t["node"], t["label"])).select(["node"]),
         batch_format="pyarrow",
     )
-    survivors = safe_hash_join(all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",))
+    survivors = safe_hash_join(
+        all_ids, dropped, "left_anti", num_partitions, on=(id_col,), right_on=("node",),
+        scrub_left=scrub_input,
+    )
     # join output returned to user pipelines — scrub schema-less empty
     # partition blocks so a downstream join can't crash (state/blocks.py)
     from ..state.blocks import scrub_empty_blocks

@@ -73,6 +73,19 @@ def test_minhash_dedup_catches_near_dups():
     assert (pairs.jaccard >= 0.8).all()
 
 
+def test_minhash_dedup_streaming_input_identical(ray_session):
+    """scrub_input=False (fresh-source corpora: no defensive materialize
+    of the ds-derived join sides) must produce exactly the same survivors
+    and pairs as the hardened default."""
+    df = _docs_with_dups()
+    a_s, a_p = minhash_dedup(ray.data.from_pandas(df), threshold=0.8)
+    b_s, b_p = minhash_dedup(ray.data.from_pandas(df), threshold=0.8, scrub_input=False)
+    assert set(a_s.to_pandas().doc_id) == set(b_s.to_pandas().doc_id)
+    pa_df = a_p.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pb_df = b_p.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert pa_df.equals(pb_df)
+
+
 def test_simhash_dedup():
     df = _docs_with_dups()
     ds = ray.data.from_pandas(df)
