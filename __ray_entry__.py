@@ -818,6 +818,60 @@ def q_image_decode_png(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_image_decode_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode (raster/jpeg.py pure-numpy codec, written
+    from the public ITU-T T.81 spec — no libjpeg/PIL): deterministic JPEG
+    payloads synthesized per doc (4:2:0 subsampled), decoded in an
+    actor-pool stage; ~3% corrupted payloads exercise on_error='null'.
+    Golden-fixture oracle."""
+    from incubator_sedona_ray.raster.jpeg import jpeg_encode
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w = 12 + int(i) % 21
+            h = 10 + int(i) % 13
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 11 + int(i)) % 256,
+                    (yy * 17 + int(i) * 5) % 256,
+                    ((xx + yy) * 23 + int(i) * 2) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            blob = jpeg_encode(img, quality=85)
+            if int(i) % 37 == 0:
+                blob = blob[: len(blob) // 3]
+            payloads.append(blob)
+        return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(payloads, type=pa.binary())})
+
+    out = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"bin_col": "payload", "codec": "auto", "feat_dim": 6},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        feats = batch["img_features"].to_pylist()
+        mean_r = pa.array([None if f is None else round(f[0], 9) for f in feats], type=pa.float64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "img_width": batch["img_width"],
+                "img_height": batch["img_height"],
+                "mean_r": mean_r,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_pip_join_salted(sf_dir: str):
     """Same join as pip_join but with aggressive salting forced on — the
     driver-level proof that salted repartition preserves the pair set."""
@@ -1196,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_pages": q_flagship,
         "image_decode_fake": q_image_decode_fake,
         "image_decode_png": q_image_decode_png,
+        "image_decode_jpeg": q_image_decode_jpeg,
     }
 
 
@@ -1249,6 +1304,7 @@ _FIXTURE_ORACLES = [
     "tile_render",
     "heatmap_stitched",
     "image_decode_png",
+    "image_decode_jpeg",
 ]
 
 

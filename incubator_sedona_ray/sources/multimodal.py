@@ -169,17 +169,18 @@ class DecodeImage:
 
     Three modes:
 
-    * ``codec="png"`` — REAL decode via the repo's pure-numpy PNG codec
-      (``raster/png.py``, stdlib zlib only): emits the true width /
-      height / channel count plus ``feat_dim`` features (per-channel
-      means then a luma histogram). ``on_error="null"`` (default) emits
-      null feature columns for undecodable payloads — the FormatMapper
-      skip-invalid idiom; ``on_error="raise"`` propagates.
+    * ``codec="png"`` / ``codec="jpeg"`` — REAL decode via the repo's
+      pure-numpy codecs (``raster/png.py``, ``raster/jpeg.py`` — stdlib
+      zlib only, no PIL/libjpeg): emits the true width / height / channel
+      count plus ``feat_dim`` features (per-channel means then a luma
+      histogram). ``codec="auto"`` sniffs the payload magic (PNG / JFIF
+      SOI). ``on_error="null"`` (default) emits null feature columns for
+      undecodable payloads — the FormatMapper skip-invalid idiom;
+      ``on_error="raise"`` propagates.
     * ``fake=True`` — deterministic stand-in deriving shape/features
-      from the payload digest (for synthetic benches / JPEG-shaped
-      pipelines where no real codec exists in this container).
-    * neither — raises ``NotImplementedError`` (JPEG needs libjpeg/PIL,
-      absent in this env).
+      from the payload digest (for synthetic benches / formats with no
+      codec in this container).
+    * neither — raises ``NotImplementedError``.
 
     Use small ``batch_size`` (e.g. 64) in ``map_batches`` — payloads are
     large and batches must fit the worker heap.
@@ -193,12 +194,15 @@ class DecodeImage:
         codec: str | None = None,
         on_error: str = "null",
     ):
-        if codec not in (None, "png"):
-            raise NotImplementedError(f"codec {codec!r}: only 'png' decodes natively (JPEG needs libjpeg/PIL)")
+        if codec not in (None, "png", "jpeg", "auto"):
+            raise NotImplementedError(
+                f"codec {codec!r}: 'png', 'jpeg' and 'auto' decode natively (pure-numpy codecs); "
+                "other formats need external libs absent from this container"
+            )
         if codec is None and not fake:
             raise NotImplementedError(
-                "image decode requires PIL/libjpeg, not available in this container; "
-                "pass codec='png' for real PNG decode or fake=True for the stand-in"
+                "pass codec='png'/'jpeg'/'auto' for real decode (pure-numpy codecs) "
+                "or fake=True for the deterministic stand-in"
             )
         self.bin_col = bin_col
         self.feat_dim = feat_dim
@@ -212,10 +216,20 @@ class DecodeImage:
         feats = np.frombuffer(h[2 : 2 + self.feat_dim], dtype=np.uint8).astype(np.float64) / 255.0
         return w, hgt, 3, feats
 
-    def _png_decode(self, blob: bytes):
-        from ..raster.png import png_decode
+    def _codec_decode(self, blob: bytes):
+        if self.codec == "jpeg":
+            from ..raster.jpeg import jpeg_decode as _dec
+        elif self.codec == "auto":
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                from ..raster.png import png_decode as _dec
+            elif blob[:2] == b"\xff\xd8":
+                from ..raster.jpeg import jpeg_decode as _dec
+            else:
+                raise ValueError("unknown image magic")
+        else:
+            from ..raster.png import png_decode as _dec
 
-        img = png_decode(blob)
+        img = _dec(blob)
         if img.ndim == 2:
             img = img[:, :, None]
         h, w, c = img.shape
@@ -233,7 +247,7 @@ class DecodeImage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, cs, feats = [], [], [], []
-        decode = self._png_decode if self.codec == "png" else self._fake_decode
+        decode = self._codec_decode if self.codec is not None else self._fake_decode
         for blob in batch[self.bin_col].to_pylist():
             try:
                 w, h, c, f = decode(blob or b"")

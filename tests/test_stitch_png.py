@@ -92,11 +92,11 @@ class TestDecodeImagePng:
         with pytest.raises(ValueError):
             DecodeImage(codec="png", on_error="raise")(batch)
 
-    def test_jpeg_still_stubbed(self):
+    def test_unknown_codec_and_default_stubbed(self):
         from incubator_sedona_ray.sources.multimodal import DecodeImage
 
         with pytest.raises(NotImplementedError):
-            DecodeImage(codec="jpeg")
+            DecodeImage(codec="webp")
         with pytest.raises(NotImplementedError):
             DecodeImage()
 
