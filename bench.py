@@ -328,6 +328,52 @@ def run_bench() -> dict:
 
     timed("q10_pq_ann", q10, rows=2000)
 
+    # q11: REAL baseline-JPEG decode throughput (pure-numpy T.81 codec) —
+    # payloads synthesized+materialized up front so the timed section is
+    # the actor-pool decode alone (the multimodal ingest path)
+    n_imgs = 4000
+
+    def _q11_payloads():
+        from incubator_sedona_ray.raster.jpeg import jpeg_encode
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            blobs = []
+            for i in ids:
+                w, h = 24 + int(i) % 17, 16 + int(i) % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(xx * 7 + int(i)) % 256, (yy * 13 + int(i)) % 256, ((xx + yy) + int(i)) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                blobs.append(jpeg_encode(img, quality=80))
+            return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(blobs, type=pa.binary())})
+
+        return (
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+            .map_batches(lambda t: t.filter(pa.compute.less(t["doc_id"], n_imgs)), batch_format="pyarrow")
+            .map_batches(to_payload, batch_format="pyarrow")
+            .materialize()
+        )
+
+    payloads = None
+    if not ONLY or "q11_jpeg_decode" in ONLY:
+        payloads = _q11_payloads()
+
+    def q11():
+        from incubator_sedona_ray.sources.multimodal import DecodeImage
+
+        return payloads.map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"bin_col": "payload", "codec": "jpeg", "feat_dim": 6},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=NCPU // 2,
+            num_cpus=2,
+        ).count()
+
+    timed("q11_jpeg_decode", q11, rows=n_imgs)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

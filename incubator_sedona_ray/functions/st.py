@@ -1401,9 +1401,24 @@ def st_transform(col, src: str, dst: str) -> pa.Array:
 
 def st_distancespheroid(col_a, col_b) -> pa.Array:
     """WGS84 spheroid distance between point pairs (Vincenty inverse;
-    sphere/Spheroid.java semantics)."""
-    from .transform import vincenty_distance
+    sphere/Spheroid.java semantics). All-point batches take the
+    vectorized path (batch WKB extract + one array Vincenty pass); mixed
+    or null rows fall back to the per-row kernel."""
+    from .transform import vincenty_distance, vincenty_distance_arr
 
+    def _blob(v):
+        return v if isinstance(v, (bytes, bytearray)) or v is None else v.as_py()
+
+    a_vals = [_blob(v) for v in col_a]
+    b_vals = [_blob(v) for v in col_b]
+    if a_vals and all(
+        v is not None and len(v) == 21 and v[0] == 1 for v in a_vals
+    ) and all(v is not None and len(v) == 21 and v[0] == 1 for v in b_vals):
+        from ..geom.wkb import points_from_wkb
+
+        x1, y1 = points_from_wkb(a_vals)
+        x2, y2 = points_from_wkb(b_vals)
+        return pa.array(vincenty_distance_arr(x1, y1, x2, y2), type=pa.float64())
     out = []
     for a, b in zip(_geoms(col_a), _geoms(col_b)):
         if a is None or b is None:

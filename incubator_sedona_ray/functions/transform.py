@@ -92,19 +92,70 @@ def vincenty_distance(lon1: float, lat1: float, lon2: float, lat2: float, tol: f
     return _B * A * (sigma - d_sigma)
 
 
-def st_distancespheroid(col_a, col_b) -> pa.Array:
-    from ..geom import wkb as _wkb
-
-    out = []
-    for a, b in zip(col_a, col_b):
-        if a is None or b is None:
-            out.append(None)
-            continue
-        ga, gb = _wkb.from_wkb(a if isinstance(a, bytes) else a.as_py()), _wkb.from_wkb(
-            b if isinstance(b, bytes) else b.as_py()
+def vincenty_distance_arr(lon1, lat1, lon2, lat2, tol: float = 1e-12, max_iter: int = 200) -> np.ndarray:
+    """Vectorized Vincenty inverse over coordinate arrays (WGS84 meters).
+    Coincident points yield 0; antipodal non-convergence falls back to the
+    scalar path's last iterate (same as the reference behavior)."""
+    phi1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    phi2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    L = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
+    U1 = np.arctan((1 - _F) * np.tan(phi1))
+    U2 = np.arctan((1 - _F) * np.tan(phi2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    sin_sigma = np.zeros_like(lam)
+    cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2_alpha = np.ones_like(lam)
+    cos_2sm = np.zeros_like(lam)
+    active = np.ones(lam.shape, dtype=bool)
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        sinL, cosL = np.sin(lam), np.cos(lam)
+        ss = np.sqrt((cosU2 * sinL) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosL) ** 2)
+        cs = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+        sg = np.arctan2(ss, cs)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sin_alpha = np.where(ss > 0, cosU1 * cosU2 * sinL / np.where(ss > 0, ss, 1.0), 0.0)
+            c2a = 1.0 - sin_alpha**2
+            c2sm = np.where(c2a != 0, cs - 2 * sinU1 * sinU2 / np.where(c2a != 0, c2a, 1.0), 0.0)
+        C = _F / 16 * c2a * (4 + _F * (4 - 3 * c2a))
+        lam_new = L + (1 - C) * _F * sin_alpha * (
+            sg + C * ss * (c2sm + C * cs * (-1 + 2 * c2sm**2))
         )
-        out.append(vincenty_distance(ga.coords[0], ga.coords[1], gb.coords[0], gb.coords[1]))
-    return pa.array(out, type=pa.float64())
+        upd = active
+        sin_sigma = np.where(upd, ss, sin_sigma)
+        cos_sigma = np.where(upd, cs, cos_sigma)
+        sigma = np.where(upd, sg, sigma)
+        cos2_alpha = np.where(upd, c2a, cos2_alpha)
+        cos_2sm = np.where(upd, c2sm, cos_2sm)
+        still = np.abs(lam_new - lam) >= tol
+        lam = np.where(upd, lam_new, lam)
+        active = active & still
+    u2 = cos2_alpha * (_R**2 - _B**2) / _B**2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    Bc = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    d_sigma = Bc * sin_sigma * (
+        cos_2sm
+        + Bc / 4 * (cos_sigma * (-1 + 2 * cos_2sm**2) - Bc / 6 * cos_2sm * (-3 + 4 * sin_sigma**2) * (-3 + 4 * cos_2sm**2))
+    )
+    out = _B * A * (sigma - d_sigma)
+    return np.where(sin_sigma == 0, 0.0, out)
+
+
+def st_distancespheroid(col_a, col_b) -> pa.Array:
+    """Vectorized: point coords batch-extracted from WKB, one Vincenty
+    array pass (no per-row Python)."""
+    from ..geom.wkb import points_from_wkb
+
+    x1, y1 = points_from_wkb(col_a)
+    x2, y2 = points_from_wkb(col_b)
+    d = vincenty_distance_arr(x1, y1, x2, y2)
+    return pa.array(np.where(np.isnan(x1) | np.isnan(x2), np.nan, d), type=pa.float64()).cast(
+        pa.float64()
+    )
 
 
 # ---------------------------------------------------------------------------

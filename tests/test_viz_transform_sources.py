@@ -55,8 +55,12 @@ def test_transform_stage():
     # unsupported CRS still raises at execution
     utm = st_transform_batch("EPSG:4326", "EPSG:32633", "lon", "lat")(batch)
     assert 0 < utm["x"][0].as_py() < 1_000_000
+    # 27700 (OSGB) is supported by the general projection engine now;
+    # a code absent from the registry still raises at execution
+    osgb = st_transform_batch("EPSG:4326", "EPSG:27700", "lon", "lat")(batch)
+    assert osgb["x"][0].as_py() is not None
     with pytest.raises(NotImplementedError):
-        st_transform_batch("EPSG:4326", "EPSG:27700", "lon", "lat")(batch)
+        st_transform_batch("EPSG:4326", "EPSG:99999", "lon", "lat")(batch)
 
 
 def test_vincenty_known():
@@ -308,8 +312,12 @@ class TestUTMTransforms:
 
         x, y = transform_xy("EPSG:4326", "EPSG:32733", np.array([15.0]), np.array([-25.0]))
         assert y[0] > 6_000_000  # false northing applied
+        # OSGB is now in the registry (general TM + Helmert); London checks
+        # against the published OSTN-free Airy/National-Grid coordinates
+        x, y = transform_xy("EPSG:4326", "EPSG:27700", np.array([-0.1276]), np.array([51.5072]))
+        assert abs(x[0] - 530040) < 50 and abs(y[0] - 180380) < 50
         with _pt.raises(NotImplementedError):
-            transform_xy("EPSG:4326", "EPSG:27700", np.array([0.0]), np.array([51.0]))
+            transform_xy("EPSG:4326", "EPSG:99999", np.array([0.0]), np.array([51.0]))
 
 
 def test_sample_frames_explode_and_guard():
