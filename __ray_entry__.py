@@ -692,6 +692,48 @@ def q_frame_sample(sf_dir: str):
     return out
 
 
+def q_frame_sample_mjpeg(sf_dir: str):
+    """REAL video frame sampling: deterministic per-doc JPEG frames ->
+    MJPG AVI container (``sources/avi.py``) -> RIFF walk + every-2nd-chunk
+    sample with digest, byte length and SOF-header dims (no full pixel
+    decode on the sampling path). Golden-fixture oracle (JPEG bit streams
+    have no SQL closed form); the committed fixture also pins the
+    avi_encode->avi_decode_frames round trip."""
+    from incubator_sedona_ray.raster.jpeg import jpeg_encode
+    from incubator_sedona_ray.sources.avi import avi_encode
+    from incubator_sedona_ray.sources.multimodal import SampleFrames
+
+    n_docs = 400
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for d in ids:
+            d = int(d)
+            w, h = 16 + d % 13, 12 + d % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = []
+            for k in range(3 + d % 4):
+                img = np.stack(
+                    [(xx * 3 + d + k) % 256, (yy * 5 + k) % 256, ((xx + yy) * 2 + d) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                frames.append(jpeg_encode(img, quality=80))
+            blobs.append(avi_encode(frames, width=w, height=h, fps=10))
+        return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(blobs, type=pa.binary())})
+
+    docs = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], n_docs)), batch_format="pyarrow"
+    )
+    return docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"codec": "mjpeg-avi", "stride": 2, "decode_dims": True},
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Windowed audio feature extraction (fake raw-PCM decode, actor pool):
     one row per 512-byte window with its mean byte level. Closed-form SQL
@@ -707,6 +749,39 @@ def q_audio_features(sf_dir: str):
     return docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
         AudioFeatures, fn_constructor_kwargs={"fake": True}, concurrency=2,
         batch_size=64, batch_format="pyarrow",
+    )
+
+
+def q_audio_features_wav(sf_dir: str):
+    """REAL windowed audio analysis: deterministic PCM16 synthesis ->
+    RIFF/WAVE encode -> pure-numpy WAV decode (``sources/wav.py``) ->
+    per-512-sample window mean amplitude, RMS and zero-crossing count
+    (actor pool, decoder state in ``__init__``). The SQL oracle recomputes
+    the closed-form sample generator directly, so the encode -> decode
+    round trip is verified end-to-end; all three features are exact in
+    float64 (integer sums below 2**53, power-of-two divisors)."""
+    from incubator_sedona_ray.sources.multimodal import AudioFeatures
+    from incubator_sedona_ray.sources.wav import wav_encode
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for d in ids:
+            d = int(d)
+            n = 1024 + (d % 3) * 512
+            i = np.arange(n, dtype=np.int64)
+            s = ((d * 131 + i * 7919) % 65536 - 32768).astype(np.int16)
+            blobs.append(wav_encode(s, sample_rate=8000))
+        return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(blobs, type=pa.binary())})
+
+    return docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"codec": "wav", "window": 512},
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
     )
 
 
@@ -1217,7 +1292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
+        "frame_sample_mjpeg": q_frame_sample_mjpeg,
         "audio_features": q_audio_features,
+        "audio_features_wav": q_audio_features_wav,
         "spatial_sort": q_spatial_sort,
         "zone_clip_area": q_zone_clip_area,
         "zone_diff_area": q_zone_diff_area,
@@ -1305,6 +1382,7 @@ _FIXTURE_ORACLES = [
     "heatmap_stitched",
     "image_decode_png",
     "image_decode_jpeg",
+    "frame_sample_mjpeg",
 ]
 
 
@@ -1571,6 +1649,25 @@ def oracle_sql() -> dict[str, str]:
             "LATERAL (SELECT UNNEST(range(0, length(t.text) // 512)) AS wi) w, "
             "LATERAL (SELECT UNNEST(range(0, 512)) AS ci) c "
             "GROUP BY doc_id, w.wi"
+        ),
+        "audio_features_wav": (
+            # the Ray side synthesizes s[i] = ((doc_id*131 + i*7919) % 65536)
+            # - 32768 as PCM16, WAV-encodes, then REALLY decodes; the oracle
+            # recomputes the generator in closed form per 512-sample window
+            "WITH s AS ("
+            "SELECT d.doc_id, w.wi, c.ci, "
+            "CAST(((d.doc_id * 131 + (w.wi * 512 + c.ci) * 7919) % 65536) - 32768 AS DOUBLE) AS v, "
+            "CASE WHEN c.ci > 0 THEN "
+            "CAST(((d.doc_id * 131 + (w.wi * 512 + c.ci - 1) * 7919) % 65536) - 32768 AS DOUBLE) "
+            "ELSE NULL END AS vp "
+            "FROM documents d, "
+            "LATERAL (SELECT UNNEST(range(0, 2 + d.doc_id % 3)) AS wi) w, "
+            "LATERAL (SELECT UNNEST(range(0, 512)) AS ci) c) "
+            "SELECT doc_id, wi AS win_idx, AVG(v) AS mean_amp, "
+            "SQRT(AVG(v * v)) AS rms, "
+            "CAST(SUM(CASE WHEN vp IS NOT NULL AND vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr, "
+            "CAST(8000 AS BIGINT) AS sr "
+            "FROM s GROUP BY doc_id, wi"
         ),
         "frame_sample": (
             # every 2nd 256-char frame; chars == bytes (ASCII corpus)

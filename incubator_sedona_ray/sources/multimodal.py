@@ -1,19 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-PNG decodes FOR REAL via the repo's pure-numpy codec (``raster/png.py``,
-stdlib zlib only): ``DecodeImage(codec="png")``. JPEG/video/audio codecs
-require libs absent from this container (PIL/libjpeg/ffmpeg) — those modes
-are STUBBED per the driver brief: they raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decode derives (width,
-height, n_channels, features) from the payload bytes. The Ray-side
-plumbing — actor-pool stage, schema, small batch sizes for large binary
-payloads — is real and tested in every mode.
+PNG, baseline JPEG and RIFF/WAVE audio decode FOR REAL via the repo's
+pure-numpy codecs (``raster/png.py``, ``raster/jpeg.py``,
+``sources/wav.py`` — stdlib zlib/struct only): ``DecodeImage(codec="png"
+| "jpeg" | "auto")``, ``AudioFeatures(codec="wav")``. Compressed video /
+audio containers need libs absent from this container (ffmpeg) — those
+modes are STUBBED per the driver brief: they raise ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic fake decode stands in.
+The Ray-side plumbing — actor-pool stage, schema, small batch sizes for
+large binary payloads — is real and tested in every mode.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -36,16 +38,46 @@ def payload_meta_fn(bin_col: str = "payload", prefix: str = ""):
     return fn
 
 
+def _jpeg_dims(blob: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF marker — a cheap header scan, no
+    entropy decode. Raises ``ValueError`` if no frame header is found."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            pos += 2
+            continue
+        (size,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+            return w, h
+        pos += 2 + size
+    raise ValueError("no SOF marker found")
+
+
 class SampleFrames:
     """Actor-pool video frame-sampling stage — FLAT output: one row per
     sampled frame (doc id, frame index, frame digest, frame bytes length).
 
-    Real containers need ffmpeg (absent in this env): construct with
-    ``fake=True`` to treat the payload as a raw stream of consecutive
-    ``frame_bytes``-byte frames and sample every ``stride``-th one — the
-    exact explode plumbing (small batches, one output row per frame, actor
-    holds the "decoder") a real codec stage would use. The trailing
-    partial frame is dropped (a real sampler drops partial GOPs too)."""
+    * ``codec="mjpeg-avi"`` — REAL container parse via the pure-stdlib
+      RIFF/AVI walker (``sources/avi.py``): the payload is an AVI whose
+      video chunks are complete JPEGs; every ``stride``-th chunk is
+      sampled and emitted with its digest, byte length and (when
+      ``decode_dims=True``) the width/height from a cheap JPEG SOF header
+      scan — no full pixel decode on the sampling path.
+      ``on_error="skip"`` (default) drops undecodable payloads;
+      ``on_error="raise"`` propagates.
+    * ``fake=True`` — treats the payload as a raw stream of consecutive
+      ``frame_bytes``-byte frames (for synthetic benches). The trailing
+      partial frame is dropped (a real sampler drops partial GOPs too).
+    * neither — raises ``NotImplementedError`` (general containers need
+      ffmpeg, absent from this environment)."""
 
     def __init__(
         self,
@@ -54,18 +86,69 @@ class SampleFrames:
         fake: bool = False,
         frame_bytes: int = 256,
         stride: int = 2,
+        codec: str | None = None,
+        on_error: str = "skip",
+        decode_dims: bool = False,
     ):
-        if not fake:
+        if codec not in (None, "mjpeg-avi"):
             raise NotImplementedError(
-                "video decode requires ffmpeg, not available in this container; "
-                "pass fake=True for the raw-stream stand-in"
+                f"codec {codec!r}: 'mjpeg-avi' parses natively (pure-stdlib "
+                "RIFF/AVI walker); other containers need ffmpeg, absent here"
+            )
+        if codec is None and not fake:
+            raise NotImplementedError(
+                "pass codec='mjpeg-avi' for real container parsing or "
+                "fake=True for the raw-stream stand-in"
             )
         self.bin_col = bin_col
         self.id_col = id_col
         self.frame_bytes = frame_bytes
         self.stride = stride
+        self.codec = codec
+        self.on_error = on_error
+        self.decode_dims = decode_dims
+
+    def _avi_call(self, batch: pa.Table) -> pa.Table:
+        from .avi import avi_decode_frames
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_sha, out_len, out_w, out_h = [], [], [], [], [], []
+        for i, blob in zip(ids, batch[self.bin_col].to_pylist()):
+            try:
+                frames = avi_decode_frames(blob or b"")
+            except (ValueError, struct.error):
+                if self.on_error == "raise":
+                    raise
+                continue
+            for fi in range(0, len(frames), self.stride):
+                frame = frames[fi]
+                out_id.append(int(i))
+                out_idx.append(fi)
+                out_sha.append(hashlib.sha256(frame).hexdigest()[:16])
+                out_len.append(len(frame))
+                if self.decode_dims:
+                    try:
+                        w, h = _jpeg_dims(frame)
+                    except (ValueError, struct.error):
+                        if self.on_error == "raise":
+                            raise
+                        w = h = None
+                    out_w.append(w)
+                    out_h.append(h)
+        cols = {
+            self.id_col: pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_idx, type=pa.int64()),
+            "frame_sha": pa.array(out_sha, type=pa.string()),
+            "frame_bytes": pa.array(out_len, type=pa.int64()),
+        }
+        if self.decode_dims:
+            cols["frame_w"] = pa.array(out_w, type=pa.int32())
+            cols["frame_h"] = pa.array(out_h, type=pa.int32())
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "mjpeg-avi":
+            return self._avi_call(batch)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         out_id, out_idx, out_sha, out_len = [], [], [], []
         fb, st = self.frame_bytes, self.stride
@@ -110,13 +193,23 @@ class ResizeImage:
 
 
 class AudioFeatures:
-    """Actor-pool audio feature-extraction stage: per-window mean level.
+    """Actor-pool audio feature-extraction stage: per-window features, one
+    output row per full window (trailing partial windows dropped).
 
-    Real decode needs an audio codec (absent): ``fake=True`` treats the
-    payload as raw unsigned 8-bit PCM and emits one row per fixed-size
-    window with its mean byte level — the windowed-feature plumbing
-    (explode + vectorized per-window reduce) a real MFCC stage would use.
-    The trailing partial window is dropped."""
+    Two real modes plus the stand-in:
+
+    * ``codec="wav"`` — REAL decode via the pure-numpy RIFF/WAVE codec
+      (``sources/wav.py``; PCM 8/16/24/32 + IEEE float, any channel count).
+      Multi-channel input is downmixed by the per-frame channel mean, then
+      per ``window``-sample window emits ``mean_amp`` (mean raw amplitude),
+      ``rms`` (sqrt of mean squared amplitude) and ``zcr`` (count of strict
+      sign changes inside the window) plus the container ``sr``.
+      ``on_error="skip"`` (default) drops undecodable payloads — the
+      FormatMapper skip-invalid idiom; ``on_error="raise"`` propagates.
+    * ``fake=True`` — treats the payload as raw unsigned 8-bit PCM and
+      emits one row per window with its mean byte level (``mean_level``).
+    * neither — raises ``NotImplementedError`` (real compressed-audio
+      containers need codec libs absent from this environment)."""
 
     def __init__(
         self,
@@ -124,17 +217,77 @@ class AudioFeatures:
         id_col: str = "doc_id",
         fake: bool = False,
         window: int = 512,
+        codec: str | None = None,
+        on_error: str = "skip",
     ):
-        if not fake:
+        if codec not in (None, "wav"):
             raise NotImplementedError(
-                "audio decode requires a codec library, not available in this "
-                "container; pass fake=True for the raw-PCM stand-in"
+                f"codec {codec!r}: 'wav' decodes natively (pure-numpy RIFF/WAVE "
+                "codec); compressed formats need libs absent from this container"
+            )
+        if codec is None and not fake:
+            raise NotImplementedError(
+                "pass codec='wav' for real decode or fake=True for the "
+                "raw-PCM stand-in"
             )
         self.bin_col = bin_col
         self.id_col = id_col
         self.window = window
+        self.codec = codec
+        self.on_error = on_error
+
+    def _wav_call(self, batch: pa.Table) -> pa.Table:
+        from .wav import wav_decode
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        w = self.window
+        out_id, out_w, out_mean, out_rms, out_zcr, out_sr = [], [], [], [], [], []
+        for i, blob in zip(ids, batch[self.bin_col].to_pylist()):
+            try:
+                samples, sr = wav_decode(blob or b"")
+            except (ValueError, struct.error):
+                if self.on_error == "raise":
+                    raise
+                continue
+            n_win = samples.shape[0] // w
+            if not n_win:
+                continue
+            # channel-mean downmix; int64 up-cast keeps integer sums exact
+            if np.issubdtype(samples.dtype, np.integer):
+                mono = samples.astype(np.int64).sum(axis=1) / samples.shape[1]
+            else:
+                mono = samples.astype(np.float64).mean(axis=1)
+            win = mono[: n_win * w].reshape(n_win, w)
+            out_id.append(np.full(n_win, int(i), dtype=np.int64))
+            out_w.append(np.arange(n_win, dtype=np.int64))
+            out_mean.append(win.sum(axis=1) / w)
+            out_rms.append(np.sqrt((win * win).sum(axis=1) / w))
+            out_zcr.append((win[:, :-1] * win[:, 1:] < 0).sum(axis=1).astype(np.int64))
+            out_sr.append(np.full(n_win, sr, dtype=np.int64))
+        if not out_id:
+            empty = {
+                self.id_col: pa.array([], type=pa.int64()),
+                "win_idx": pa.array([], type=pa.int64()),
+                "mean_amp": pa.array([], type=pa.float64()),
+                "rms": pa.array([], type=pa.float64()),
+                "zcr": pa.array([], type=pa.int64()),
+                "sr": pa.array([], type=pa.int64()),
+            }
+            return pa.table(empty)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "win_idx": pa.array(np.concatenate(out_w)),
+                "mean_amp": pa.array(np.concatenate(out_mean), type=pa.float64()),
+                "rms": pa.array(np.concatenate(out_rms), type=pa.float64()),
+                "zcr": pa.array(np.concatenate(out_zcr)),
+                "sr": pa.array(np.concatenate(out_sr)),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "wav":
+            return self._wav_call(batch)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         w = self.window
         out_id, out_w, out_mean = [], [], []

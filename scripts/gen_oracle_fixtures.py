@@ -46,7 +46,12 @@ def _flagship_s2() -> pa.Table:
 
 EXTRA = {"flagship_s2": _flagship_s2}
 
+# optional argv filter: regenerate only the named fixtures
+only = set(sys.argv[1:])
+
 for name in entry._FIXTURE_ORACLES + list(EXTRA):
+    if only and name not in only:
+        continue
     if name in EXTRA:
         res = EXTRA[name]()
     else:
