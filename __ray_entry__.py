@@ -692,6 +692,63 @@ def q_frame_sample(sf_dir: str):
     return out
 
 
+def q_image_resize(sf_dir: str):
+    """REAL thumbnailing: synthesized PNG payloads -> pure-numpy decode ->
+    bilinear resample into an 8px box (half-pixel-center convention,
+    ``raster/resize.py``) -> PNG re-encode, in one actor-pool stage.
+    ~3% of payloads are corrupted to exercise the skip-invalid nulls.
+    Golden-fixture oracle pins the resized dims AND the sha256 of the
+    re-encoded thumbnail bytes (bit-exact resample + encode)."""
+    import hashlib as _hl
+
+    from incubator_sedona_ray.raster.viz import png_encode_rgb
+    from incubator_sedona_ray.sources.multimodal import ResizeImage
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w = 6 + int(i) % 17
+            h = 5 + int(i) % 11
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 41 + int(i)) % 256, (yy * 23 + int(i) * 5) % 256, (xx + yy * 3 + int(i)) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            blob = png_encode_rgb(img)
+            if int(i) % 37 == 0:
+                blob = blob[: len(blob) // 3]
+            payloads.append(blob)
+        return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(payloads, type=pa.binary())})
+
+    out = docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"codec": "png", "max_side": 8},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        blobs = batch["resized_payload"].to_pylist()
+        sha = pa.array(
+            [None if b is None else _hl.sha256(b).hexdigest()[:16] for b in blobs],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "resized_width": batch["resized_width"],
+                "resized_height": batch["resized_height"],
+                "thumb_sha": sha,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_frame_sample_mjpeg(sf_dir: str):
     """REAL video frame sampling: deterministic per-doc JPEG frames ->
     MJPG AVI container (``sources/avi.py``) -> RIFF walk + every-2nd-chunk
@@ -1293,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "frame_sample_mjpeg": q_frame_sample_mjpeg,
+        "image_resize": q_image_resize,
         "audio_features": q_audio_features,
         "audio_features_wav": q_audio_features_wav,
         "spatial_sort": q_spatial_sort,
@@ -1383,6 +1441,7 @@ _FIXTURE_ORACLES = [
     "image_decode_png",
     "image_decode_jpeg",
     "frame_sample_mjpeg",
+    "image_resize",
 ]
 
 

@@ -172,16 +172,79 @@ class SampleFrames:
 
 
 class ResizeImage:
-    """Actor-pool image resize stage (operates on the DECODED columns that
-    :class:`DecodeImage` emits — real pixel resampling needs PIL, absent):
-    clamps (img_width, img_height) into a ``max_side`` bounding box
-    preserving aspect ratio (ceil-free integer floor, min 1px), the exact
-    bookkeeping a real thumbnailer does before resampling."""
+    """Actor-pool image resize / thumbnailing stage.
 
-    def __init__(self, max_side: int = 32):
+    * ``codec="png" | "jpeg" | "auto"`` — REAL thumbnailing: decode the
+      binary payload via the pure-numpy codecs, bilinear-resample
+      (``raster/resize.py``, half-pixel-center convention) into a
+      ``max_side`` bounding box (aspect preserved, never upscaled), and
+      re-encode as PNG into a ``resized_payload`` column with
+      ``resized_width`` / ``resized_height``. ``on_error="null"``
+      (default) emits null output columns for undecodable payloads.
+    * no codec — metadata-only: clamps existing (img_width, img_height)
+      columns (from :class:`DecodeImage`) into the box, emitting only the
+      resized dims — the bookkeeping mode for formats with no native codec.
+    """
+
+    def __init__(
+        self,
+        max_side: int = 32,
+        codec: str | None = None,
+        bin_col: str = "payload",
+        on_error: str = "null",
+    ):
+        if codec not in (None, "png", "jpeg", "auto"):
+            raise NotImplementedError(
+                f"codec {codec!r}: 'png', 'jpeg' and 'auto' decode natively; "
+                "other formats need external libs absent from this container"
+            )
         self.max_side = max_side
+        self.codec = codec
+        self.bin_col = bin_col
+        self.on_error = on_error
+
+    def _decode(self, blob: bytes) -> np.ndarray:
+        if self.codec == "jpeg" or (self.codec == "auto" and blob[:2] == b"\xff\xd8"):
+            from ..raster.jpeg import jpeg_decode
+
+            return jpeg_decode(blob)
+        from ..raster.png import png_decode
+
+        if self.codec == "auto" and blob[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("unknown image magic")
+        return png_decode(blob)
+
+    def _pixel_call(self, batch: pa.Table) -> pa.Table:
+        from ..raster.resize import fit_box, resize_bilinear
+        from ..raster.viz import png_encode_rgb
+
+        ws, hs, blobs = [], [], []
+        for blob in batch[self.bin_col].to_pylist():
+            try:
+                img = self._decode(blob or b"")
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                h, w = img.shape[:2]
+                rw, rh = fit_box(w, h, self.max_side)
+                thumb = resize_bilinear(img, rh, rw)
+                out_blob = png_encode_rgb(np.ascontiguousarray(thumb[:, :, :3]))
+            except (ValueError, KeyError, IndexError, OSError, zlib.error):
+                if self.on_error == "raise":
+                    raise
+                rw = rh = None
+                out_blob = None
+            ws.append(rw)
+            hs.append(rh)
+            blobs.append(out_blob)
+        return (
+            batch.append_column("resized_width", pa.array(ws, type=pa.int32()))
+            .append_column("resized_height", pa.array(hs, type=pa.int32()))
+            .append_column("resized_payload", pa.array(blobs, type=pa.binary()))
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec is not None:
+            return self._pixel_call(batch)
         w = batch["img_width"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch["img_height"].to_numpy(zero_copy_only=False).astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(np.maximum(w, h), 1.0))
