@@ -23,10 +23,11 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
-__all__ = ["get_crs", "register_crs", "CRS", "Ellipsoid", "SUPPORTED_HINT"]
+__all__ = ["get_crs", "register_crs", "crs_from_proj4", "CRS", "Ellipsoid", "SUPPORTED_HINT"]
 
 
 # ---------------------------------------------------------------------------
@@ -592,3 +593,113 @@ def get_crs(code: int) -> CRS:
     if crs is None:
         raise NotImplementedError(f"EPSG:{code} not in the projection registry (supported: {SUPPORTED_HINT})")
     return crs
+
+
+# ---------------------------------------------------------------------------
+# Minimal proj-string evaluator (public PROJ.4 keyword semantics) — covers
+# CRSs absent from the registry without needing an EPSG entry.
+# ---------------------------------------------------------------------------
+
+_ELLPS_BY_NAME = {
+    "WGS84": WGS84,
+    "GRS80": GRS80,
+    "airy": AIRY1830,
+    "bessel": BESSEL1841,
+    "clrk66": CLARKE1866,
+    "intl": INTL1924,
+    "krass": KRASSOVSKY1940,
+}
+
+
+@_lru_cache(maxsize=256)
+def crs_from_proj4(s: str) -> CRS:
+    """Evaluate a proj string like ``+proj=tmerc +lat_0=49 +lon_0=-2
+    +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy
+    +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489``.
+
+    Supported ``+proj``: ``tmerc``, ``utm`` (+zone, +south), ``lcc``
+    (2SP, or 1SP when ``lat_2`` is absent and ``k_0`` == 1), ``aea``,
+    ``laea``, ``longlat``/``latlong``. Ellipsoid from ``+ellps`` or
+    ``+a``/``+b``/``+rf``/``+f`` (default WGS84); datum from ``+towgs84``
+    with 3 or 7 parameters (position-vector, mapping 1:1 onto
+    :class:`Helmert`). Anything else raises ``NotImplementedError``."""
+    kv: dict[str, str] = {}
+    flags: set[str] = set()
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            kv[k] = v
+        else:
+            flags.add(body)
+
+    def num(key: str, default: float = 0.0) -> float:
+        return float(kv.get(key, default))
+
+    # ellipsoid
+    if "ellps" in kv:
+        ell = _ELLPS_BY_NAME.get(kv["ellps"])
+        if ell is None:
+            raise NotImplementedError(f"+ellps={kv['ellps']}: known names {sorted(_ELLPS_BY_NAME)}")
+    elif "a" in kv:
+        a = num("a")
+        if "rf" in kv:
+            ell = Ellipsoid(a, num("rf"))
+        elif "f" in kv and num("f") != 0.0:
+            ell = Ellipsoid(a, 1.0 / num("f"))
+        elif "b" in kv:
+            b = num("b")
+            ell = Ellipsoid(a, a / (a - b)) if b != a else Ellipsoid(a, 1e12)  # sphere ~ inf inv_f
+        else:
+            ell = Ellipsoid(a, 1e12)
+    else:
+        ell = WGS84
+
+    # datum shift
+    helmert = None
+    if "towgs84" in kv:
+        parts = [float(p) for p in kv["towgs84"].split(",")]
+        if len(parts) == 3:
+            helmert = Helmert(*parts)
+        elif len(parts) == 7:
+            helmert = Helmert(*parts)
+        else:
+            raise NotImplementedError("+towgs84 needs 3 or 7 comma-separated values")
+        if all(p == 0.0 for p in parts):
+            helmert = None
+
+    name = kv.get("proj")
+    if name in ("longlat", "latlong", "lonlat"):
+        proj = Geographic(ell)
+    elif name == "utm":
+        if "zone" not in kv:
+            raise NotImplementedError("+proj=utm needs +zone")
+        proj = _utm(ell, int(kv["zone"]), "south" in flags)
+    elif name == "tmerc":
+        proj = TransverseMercator(
+            ell, lon0=num("lon_0"), lat0=num("lat_0"),
+            k0=num("k", num("k_0", 1.0)), fe=num("x_0"), fn=num("y_0"),
+        )
+    elif name == "lcc":
+        sp1 = num("lat_1", num("lat_0"))
+        sp2 = num("lat_2", sp1)
+        k0 = num("k", num("k_0", 1.0))
+        if "lat_2" not in kv and "lat_1" not in kv:
+            raise NotImplementedError("+proj=lcc needs +lat_1 (and optionally +lat_2)")
+        if k0 != 1.0:
+            raise NotImplementedError("+proj=lcc with k_0 != 1 (scaled 1SP) is not supported")
+        proj = LambertConformal(ell, lon0=num("lon_0"), lat0=num("lat_0"), sp1=sp1, sp2=sp2, fe=num("x_0"), fn=num("y_0"))
+    elif name == "aea":
+        proj = AlbersEqualArea(
+            ell, lon0=num("lon_0"), lat0=num("lat_0"),
+            sp1=num("lat_1"), sp2=num("lat_2", num("lat_1")), fe=num("x_0"), fn=num("y_0"),
+        )
+    elif name == "laea":
+        proj = LambertAzimuthalEqualArea(ell, lon0=num("lon_0"), lat0=num("lat_0"), fe=num("x_0"), fn=num("y_0"))
+    else:
+        raise NotImplementedError(
+            f"+proj={name}: supported values are tmerc, utm, lcc, aea, laea, longlat"
+        )
+    return CRS(0, proj, helmert, f"proj4:{name}")

@@ -245,6 +245,12 @@ def _parse_crs(name: str):
     4326 / 3857 / WGS84-UTM keep their dedicated fast paths; every other
     code resolves through the general projection registry (``proj.py``:
     parameterized TM / LCC / Albers / LAEA + Helmert datum shifts)."""
+    if name.lstrip().startswith("+"):
+        # proj string ("+proj=tmerc +lat_0=... +towgs84=...") — evaluated
+        # by the minimal proj-string parser over the same projection engine
+        from . import proj as _proj
+
+        return ("crs", _proj.crs_from_proj4(name))
     code = name.upper().replace("EPSG:", "")
     if code == "4326":
         return "lonlat"

@@ -181,3 +181,65 @@ class TestStTransformGeometry:
         # London-ish centroid near grid (530k, 180k); point near (400k, 345k)
         assert 510000 < cx[0] < 550000 and 160000 < cy[0] < 200000
         assert 395000 < cx[1] < 405000 and 330000 < cy[1] < 360000
+
+
+class TestProjString:
+    """Minimal proj-string evaluator over the same projection engine."""
+
+    def test_osgb_string_matches_registry(self):
+        import numpy as np
+
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        lon, lat = np.array([-0.1276]), np.array([51.5072])
+        s = (
+            "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+            "+y_0=-100000 +ellps=airy "
+            "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"
+        )
+        x1, y1 = transform_xy("EPSG:4326", s, lon, lat)
+        x2, y2 = transform_xy("EPSG:4326", "EPSG:27700", lon, lat)
+        # the proj-string towgs84 values are the published 3-decimal ones;
+        # the registry stores full precision -> mm-level agreement
+        assert abs(x1[0] - x2[0]) < 0.01 and abs(y1[0] - y2[0]) < 0.01
+
+    def test_utm_and_lcc_strings_bit_match_registry(self):
+        import numpy as np
+
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        p = (np.array([15.0]), np.array([52.0]))
+        a = transform_xy("EPSG:4326", "+proj=utm +zone=33 +ellps=WGS84", *p)
+        b = transform_xy("EPSG:4326", "EPSG:32633", *p)
+        assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
+        q = (np.array([2.3522]), np.array([48.8566]))
+        c = transform_xy(
+            "EPSG:4326",
+            "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+            "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+            *q,
+        )
+        d = transform_xy("EPSG:4326", "EPSG:2154", *q)
+        assert c[0][0] == d[0][0] and c[1][0] == d[1][0]
+
+    def test_roundtrip_and_custom_ellipsoid(self):
+        import numpy as np
+
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        s = "+proj=laea +lat_0=45 +lon_0=10 +x_0=1000 +y_0=2000 +a=6378137 +rf=298.25"
+        lon, lat = np.array([11.5]), np.array([46.2])
+        x, y = transform_xy("EPSG:4326", s, lon, lat)
+        lo, la = transform_xy(s, "EPSG:4326", x, y)
+        assert abs(lo[0] - lon[0]) < 1e-7 and abs(la[0] - lat[0]) < 1e-7
+
+    def test_unsupported_proj_raises(self):
+        import numpy as np
+        import pytest
+
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        with pytest.raises(NotImplementedError):
+            transform_xy("EPSG:4326", "+proj=sinu", np.array([0.0]), np.array([0.0]))
+        with pytest.raises(NotImplementedError):
+            transform_xy("EPSG:4326", "+proj=lcc +k_0=0.9 +lat_1=10", np.array([0.0]), np.array([0.0]))
