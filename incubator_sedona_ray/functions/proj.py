@@ -427,6 +427,33 @@ class LambertAzimuthalEqualArea:
 
 
 @dataclass(frozen=True)
+class MercatorEllipsoidal:
+    """EPSG 9804 (Mercator variant A, 1SP): ellipsoidal Mercator — the
+    basis of EPSG:3395 World Mercator. ``k0`` scales at the equator."""
+
+    ell: Ellipsoid
+    lon0: float = 0.0
+    k0: float = 1.0
+    fe: float = 0.0
+    fn: float = 0.0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        a, e = self.ell.a, self.ell.e
+        E = self.fe + a * self.k0 * lam
+        N = self.fn - a * self.k0 * np.log(_t_conformal(e, phi))
+        return E, N
+
+    def inverse(self, E, N):
+        a, e = self.ell.a, self.ell.e
+        t = np.exp((self.fn - np.asarray(N, dtype=np.float64)) / (a * self.k0))
+        phi = _phi_from_t(e, t)
+        lam = (np.asarray(E, dtype=np.float64) - self.fe) / (a * self.k0)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+@dataclass(frozen=True)
 class Geographic:
     """Identity projection: grid coords ARE lon/lat degrees on the datum."""
 
@@ -559,6 +586,7 @@ def _populate() -> None:
             "BD72 / Belgian Lambert 72",
         )
     )
+    reg(CRS(3395, MercatorEllipsoidal(WGS84), None, "WGS 84 / World Mercator"))
     # France legacy Lambert zone II (NTF datum, Clarke 1880 IGN) omitted:
     # Clarke 1880 IGN + NTF grid shift is gridded, not Helmert-clean.
 
@@ -584,7 +612,7 @@ SUPPORTED_HINT = (
     "EPSG:4326/3857, WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, "
     "NAD27 UTM 267xx, ED50 UTM 230xx, GDA94 MGA 283xx, 27700 (OSGB), 2154 "
     "(Lambert-93), 3035 (LAEA Europe), 5070 (Conus Albers), 31370 (Belgian "
-    "Lambert 72), geographic 4258/4269/4267/4277/4171/4283/4490/4230/4314/4284"
+    "Lambert 72), 3395 (World Mercator), geographic 4258/4269/4267/4277/4171/4283/4490/4230/4314/4284"
 )
 
 
@@ -698,8 +726,12 @@ def crs_from_proj4(s: str) -> CRS:
         )
     elif name == "laea":
         proj = LambertAzimuthalEqualArea(ell, lon0=num("lon_0"), lat0=num("lat_0"), fe=num("x_0"), fn=num("y_0"))
+    elif name == "merc":
+        proj = MercatorEllipsoidal(
+            ell, lon0=num("lon_0"), k0=num("k", num("k_0", 1.0)), fe=num("x_0"), fn=num("y_0")
+        )
     else:
         raise NotImplementedError(
-            f"+proj={name}: supported values are tmerc, utm, lcc, aea, laea, longlat"
+            f"+proj={name}: supported values are tmerc, utm, lcc, aea, laea, merc, longlat"
         )
     return CRS(0, proj, helmert, f"proj4:{name}")

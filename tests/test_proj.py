@@ -243,3 +243,27 @@ class TestProjString:
             transform_xy("EPSG:4326", "+proj=sinu", np.array([0.0]), np.array([0.0]))
         with pytest.raises(NotImplementedError):
             transform_xy("EPSG:4326", "+proj=lcc +k_0=0.9 +lat_1=10", np.array([0.0]), np.array([0.0]))
+
+    def test_world_mercator_3395_known_value(self):
+        import numpy as np
+
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        # EPSG GN7-2 Mercator worked example is on the Makassar datum; for
+        # 3395 pin against the published EPSG:3395 coords of (lon 10, lat 53)
+        # computed with PROJ: E=1113194.908, N=6948849.385 (mm-level)
+        x, y = transform_xy("EPSG:4326", "EPSG:3395", np.array([10.0]), np.array([53.0]))
+        assert abs(x[0] - 1113194.9079327357) < 1e-6
+        assert abs(y[0] - 6948849.385) < 0.01
+        lo, la = transform_xy("EPSG:3395", "EPSG:4326", x, y)
+        assert abs(lo[0] - 10.0) < 1e-9 and abs(la[0] - 53.0) < 1e-9
+
+    def test_merc_proj_string_matches_3395(self):
+        import numpy as np
+
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        p = (np.array([-74.0]), np.array([40.7]))
+        a = transform_xy("EPSG:4326", "+proj=merc +ellps=WGS84", *p)
+        b = transform_xy("EPSG:4326", "EPSG:3395", *p)
+        assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
