@@ -95,7 +95,12 @@ def expanded_pages(ray, n_docs: int, columns=None):
     ~8k-row blocks whose per-task overhead dominates the fused chains."""
     return ray.data.read_parquet(
         ensure_pages_parquet(ray, n_docs), columns=columns,
-        override_num_blocks=NCPU * 2,
+        # BENCH_BLOCKS pins an absolute block count (the scaling protocol
+        # sets it so BOTH parallelism levels see the same block layout —
+        # a real cluster fixes block SIZE, not blocks-per-CPU; without it
+        # the lower level gets larger blocks and better per-task
+        # amortization, deflating measured scaling efficiency)
+        override_num_blocks=int(os.environ.get("BENCH_BLOCKS", NCPU * 2)),
     )
 
 
@@ -432,6 +437,8 @@ def run_scaling():
     cluster would see."""
     scaling_expand = os.environ.get("BENCH_SCALING_EXPAND", "8000")
     trials = int(os.environ.get("BENCH_SCALING_TRIALS", "4"))
+    lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -440,6 +447,12 @@ def run_scaling():
             BENCH_EXPAND=scaling_expand,
             BENCH_ONLY="q1_flagship_pages,q3_tile_assign",
             BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
+            # same block layout at both levels: only the worker count
+            # varies between the runs. 8 blocks/CPU at the high level —
+            # measured A/B: per-task wall varies ~1.7x on this host, so
+            # fine blocks smooth stragglers at 32 CPUs (6.3s vs 7.7s with
+            # 2 blocks/CPU) while costing nothing at 8 (18.1 vs 17.8)
+            BENCH_BLOCKS=os.environ.get("BENCH_BLOCKS", str(hi * 8)),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
@@ -448,8 +461,12 @@ def run_scaling():
 
     # the sandbox host's effective CPU speed swings 2-3x minute-to-minute,
     # so interleave trials (lo, hi, lo, hi, ...) and take the per-level MIN
-    # — the canonical way to measure compute scaling on a noisy shared box
-    lo, hi = 8, 32
+    # — the canonical way to measure compute scaling on a noisy shared box.
+    # BENCH_SCALING_LO/HI pick the N-vs-4N pair: the default 8/32 exercises
+    # the full machine, but the no-Ray control shows this host's own
+    # parallel efficiency COLLAPSES above ~16 active cores (control 0.885
+    # at 4->16 vs 0.75 at 8->32 in the same hour) — 4/16 measures the
+    # engine below the host's contention knee
     r_lo = r_hi = None
     for _ in range(max(1, trials)):
         a, b = run(lo), run(hi)
@@ -464,7 +481,7 @@ def run_scaling():
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (flagship q1 sec, 8 vs 32 CPUs, same input)",
+                "metric": f"scaling efficiency (flagship q1 sec, {lo} vs {hi} CPUs, same input)",
                 "value": round(eff, 3),
                 "unit": "efficiency",
                 "sec_8": t_lo,
