@@ -225,3 +225,70 @@ def test_geotiff_roundtrip_random(h, w, bands, seed):
     r = Raster(rng.normal(size=(bands, h, w)), -10.0, 5.0, 0.5, 0.5)
     r2 = from_geotiff(as_geotiff(r))
     np.testing.assert_array_equal(r2.data, r.data)
+
+
+# ---------------------------------------------------------------------------
+# round-3 codec property fuzz: WAV, AVI, bilinear resize
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from(["u8", "i16", "i32", "f32"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_fuzz(n, ch, kind, seed):
+    import numpy as np
+
+    from incubator_sedona_ray.sources.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    if kind == "u8":
+        s = rng.integers(0, 256, size=(n, ch), dtype=np.uint8)
+    elif kind == "i16":
+        s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    elif kind == "i32":
+        s = rng.integers(-(1 << 31), 1 << 31, size=(n, ch), dtype=np.int64).astype(np.int32)
+    else:
+        s = rng.random(size=(n, ch), dtype=np.float32) * 2 - 1
+    out, sr = wav_decode(wav_encode(s, sample_rate=12345))
+    assert sr == 12345 and out.shape == (n, ch)
+    assert np.array_equal(out, s)
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=300), min_size=0, max_size=8),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_fuzz(frames, w, h):
+    from incubator_sedona_ray.sources.avi import avi_decode_frames, avi_encode
+
+    assert avi_decode_frames(avi_encode(frames, w, h)) == frames
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_bilinear_bounds_fuzz(h, w, oh, ow, seed):
+    import numpy as np
+
+    from incubator_sedona_ray.raster.resize import resize_bilinear
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resize_bilinear(img, oh, ow)
+    assert out.shape == (oh, ow, 3) and out.dtype == np.uint8
+    # interpolation convexity: outputs stay inside the input value range
+    assert out.min() >= img.min() and out.max() <= img.max()
+    # constant images are exactly preserved at any size
+    const = np.full((h, w), 7, dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(const, oh, ow), np.full((oh, ow), 7, dtype=np.uint8))
