@@ -1126,14 +1126,23 @@ def spatial_join(
     # the union carries BOTH sides' block lists; heavy upstream filters can
     # leave thousands of near-empty blocks, and the sort-based groupby pays
     # per-block costs (measured 7x on sparse joins) — coalesce first when
-    # the input block count is pathological
+    # that pathology is plausible. Ray 2.49's num_blocks() raises on every
+    # lazy dataset, so the old "unknown -> always coalesce" fallback paid a
+    # ~2 s repartition exchange on EVERY dense join; instead gate on the
+    # row totals the summary passes already computed: near-empty-block
+    # sparsity only arises when the joined rows are FEW (the measured 7x
+    # case was 40k rows spread over ~1300 filter-emptied blocks), and for
+    # few rows the coalesce is cheap anyway. Dense inputs skip the exchange.
     target_blocks = max(2 * num_partitions, 64)
     try:
         n_blocks = left.num_blocks() + right.num_blocks()
     except Exception:
         n_blocks = None
-    avg_rows = (l_total + r_total) / max(n_blocks or 1, 1)
-    if n_blocks is None or (n_blocks > 2 * target_blocks and avg_rows < 10_000):
+    if n_blocks is not None:
+        avg_rows = (l_total + r_total) / max(n_blocks, 1)
+        if n_blocks > 2 * target_blocks and avg_rows < 10_000:
+            unioned = unioned.repartition(target_blocks)
+    elif (l_total + r_total) < 10_000 * target_blocks:
         unioned = unioned.repartition(target_blocks)
 
     def _prefixed(geom, prefix):
