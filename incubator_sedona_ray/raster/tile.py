@@ -112,18 +112,87 @@ def heatmap_counts(
     y_col: str = "lat",
     weight_col: str | None = None,
     partial_batch_size: int = 262144,
+    dense_reduce_pixels: int = 1 << 21,
 ):
     """HeatMap.Visualize steps 1-2 (``viz/.../HeatMap.java:133`` +
     ``VisualizationOperator.Rasterize``): per-pixel weight sums.
 
-    Pre-aggregates inside each batch (one output row per DISTINCT pixel per
-    batch) so the ``groupby(pixel_id)`` shuffle is tiny, then sums partials.
-    ``partial_batch_size`` is deliberately large: with a res_x*res_y-key
-    space, bigger batches collapse more rows map-side (a 16k-row batch
-    against a 32k-pixel grid barely deduplicates at all).
+    Two plans by grid size:
+
+    * ``res_x * res_y <= dense_reduce_pixels`` (every practical viz grid):
+      NO shuffle — each block task accumulates a DENSE float64 grid
+      (``np.bincount`` over the whole grid), the grids tree-merge through
+      ``Dataset.aggregate``, and the sparse (pixel, weight) rows are built
+      from the final grid. The exchange this replaces cost more wall time
+      than the whole rasterization at bench scale. Driver merge cost is
+      O(blocks x grid), so huge grids fall through to the shuffle plan.
+    * larger grids: pre-aggregate inside each batch (one output row per
+      DISTINCT pixel per batch) so the ``groupby(pixel_id)`` shuffle is
+      tiny, then sum partials. ``partial_batch_size`` is deliberately
+      large: with a res_x*res_y-key space, bigger batches collapse more
+      rows map-side.
+
     Returns a Dataset (pixel_id, pixel_x, pixel_y, tile_id, weight).
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import AggregateFn, Sum
+
+    n_pixels = res_x * res_y
+    if n_pixels <= dense_reduce_pixels:
+
+        def _col(block, name) -> np.ndarray:
+            c = block[name]
+            try:  # pyarrow column
+                return c.to_numpy(zero_copy_only=False)
+            except TypeError:  # pandas Series (AggregateFn block format)
+                return c.to_numpy()
+
+        def acc_block(grid: np.ndarray, block) -> np.ndarray:
+            x = _col(block, x_col)
+            y = _col(block, y_col)
+            px, py = world_to_pixel(x, y, boundary, res_x, res_y)
+            inside = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y)
+            pid = encode_pixel_id(px[inside], py[inside], res_x)
+            if weight_col is None:
+                return grid + np.bincount(pid, minlength=n_pixels)
+            w = _col(block, weight_col)[inside]
+            # parallel presence counter: a pixel whose weights sum to 0
+            # must still be emitted (groupby semantics), so presence rides
+            # in the imaginary-free second half of the accumulator
+            grid = grid.copy()
+            grid[:n_pixels] += np.bincount(pid, weights=w, minlength=n_pixels)
+            grid[n_pixels:] += np.bincount(pid, minlength=n_pixels)
+            return grid
+
+        acc_len = n_pixels if weight_col is None else 2 * n_pixels
+        agg = ds.aggregate(
+            AggregateFn(
+                init=lambda k: np.zeros(acc_len, dtype=np.float64),
+                merge=lambda a, b: a + b,
+                accumulate_block=acc_block,
+                name="pixel_grid",
+            )
+        )
+        full = agg["pixel_grid"] if agg else np.zeros(acc_len, dtype=np.float64)
+        grid = full[:n_pixels]
+        presence = full[n_pixels:] if weight_col is not None else grid
+        upid = np.flatnonzero(presence)
+        upx = upid % res_x
+        upy = upid // res_x
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "pixel_id": pa.array(upid, type=pa.int64()),
+                    "pixel_x": pa.array(upx, type=pa.int64()),
+                    "pixel_y": pa.array(upy, type=pa.int64()),
+                    "tile_id": pa.array(
+                        pixel_to_tile(upx, upy, res_x, res_y, part_x, part_y), type=pa.int64()
+                    ),
+                    "weight": pa.array(grid[upid], type=pa.float64()),
+                }
+            )
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch[x_col].to_numpy(zero_copy_only=False)
