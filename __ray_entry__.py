@@ -338,6 +338,31 @@ def q_heatmap(sf_dir: str):
     return hm.map_batches(shape, batch_format="pyarrow")
 
 
+def q_heatmap_weighted(sf_dir: str):
+    """Weighted per-pixel aggregation through the shuffle-free dense-grid
+    reduce (weight mode carries the parallel presence counter). Integer
+    weights keep float64 sums exact, so the SQL SUM is bit-identical."""
+
+    def addw(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "w", pa.array((ids % 7 + 1).astype(np.float64), type=pa.float64())
+        )
+
+    src = _geo_docs(sf_dir).map_batches(addw, batch_format="pyarrow")
+    hm = heatmap_counts(src, WORLD, HM_RES_X, HM_RES_Y, 4, 4, weight_col="w")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pixel_id": batch["pixel_id"],
+                "weight": batch["weight"].cast(pa.int64()),
+            }
+        )
+
+    return hm.map_batches(shape, batch_format="pyarrow")
+
+
 def q_st_zone_stats(sf_dir: str):
     rows = []
     t = _zones_table()
@@ -1335,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_tile_stats": q_zonal_tile_stats,
         "envelope_aggr": q_envelope_aggr,
         "heatmap": q_heatmap,
+        "heatmap_weighted": q_heatmap_weighted,
         "st_zone_stats": q_st_zone_stats,
         "st_accessors": q_st_accessors,
         "dedup_exact": q_dedup_exact,
@@ -1599,6 +1625,11 @@ def oracle_sql() -> dict[str, str]:
         "heatmap": (
             f"WITH pts AS ({_PTS_SQL}) "
             f"SELECT ({hm_px} + {hm_py} * {HM_RES_X}) AS pixel_id, COUNT(*) AS weight FROM pts GROUP BY 1"
+        ),
+        "heatmap_weighted": (
+            f"WITH pts AS ({_PTS_SQL}) "
+            f"SELECT ({hm_px} + {hm_py} * {HM_RES_X}) AS pixel_id, "
+            f"CAST(SUM(doc_id % 7 + 1) AS BIGINT) AS weight FROM pts GROUP BY 1"
         ),
         "st_accessors": (
             f"WITH zones AS ({_ZONES_SQL}) SELECT zone_id, x0 AS sx, y0 AS sy, "
