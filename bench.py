@@ -379,6 +379,50 @@ def run_bench() -> dict:
 
     timed("q11_jpeg_decode", q11, rows=n_imgs)
 
+    # q12: REAL RIFF/WAVE decode + windowed features (pure-numpy codec) —
+    # payloads synthesized+materialized up front; timed section is the
+    # actor-pool decode + window-reduce alone
+    n_wavs = 20000
+
+    def _q12_payloads():
+        from incubator_sedona_ray.sources.wav import wav_encode
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            blobs = []
+            for d in ids:
+                d = int(d)
+                n = 4096 + (d % 5) * 1024
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 131 + i * 7919) % 65536 - 32768).astype(np.int16)
+                blobs.append(wav_encode(s, sample_rate=8000))
+            return pa.table({"doc_id": batch["doc_id"], "payload": pa.array(blobs, type=pa.binary())})
+
+        return (
+            ray.data.range(n_wavs, override_num_blocks=NCPU * 2)
+            .map_batches(lambda t: pa.table({"doc_id": t["id"]}), batch_format="pyarrow")
+            .map_batches(to_payload, batch_format="pyarrow")
+            .materialize()
+        )
+
+    wav_payloads = None
+    if not ONLY or "q12_wav_decode" in ONLY:
+        wav_payloads = _q12_payloads()
+
+    def q12():
+        from incubator_sedona_ray.sources.multimodal import AudioFeatures
+
+        return wav_payloads.map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs={"codec": "wav", "window": 512},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=NCPU // 2,
+            num_cpus=2,
+        ).count()
+
+    timed("q12_wav_decode", q12, rows=n_wavs)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",
