@@ -218,7 +218,8 @@ def q_choropleth(sf_dir: str):
         ds.map_batches(
             rasterize_batch_fn(WORLD, CHORO_RES_X, CHORO_RES_Y, weight_col="value", fill=True),
             batch_format="pyarrow",
-        )
+        ),
+        res_x=CHORO_RES_X, res_y=CHORO_RES_Y,
     )
     return pix
 
@@ -234,7 +235,8 @@ def q_scatter_zones(sf_dir: str):
     pix = _pixel_sum(
         zones.map_batches(
             rasterize_batch_fn(WORLD, CHORO_RES_X, CHORO_RES_Y, fill=False), batch_format="pyarrow"
-        )
+        ),
+        res_x=CHORO_RES_X, res_y=CHORO_RES_Y,
     )
     return pix
 

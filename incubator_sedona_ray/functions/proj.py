@@ -663,10 +663,34 @@ def crs_from_proj4(s: str) -> CRS:
         else:
             flags.add(body)
 
+    # strictness: any parameter that would alter the projection but is not
+    # modeled here must RAISE, not silently distort coordinates. Track the
+    # keys each branch consumes and reject leftovers at the end.
+    consumed: set[str] = set()
+    harmless = {"no_defs", "wktext", "type", "over"}
+    bad_flags = flags - harmless - {"south"}
+    if bad_flags:
+        raise NotImplementedError(f"unsupported proj flags: {sorted(bad_flags)}")
+    if kv.get("units", "m") != "m":
+        raise NotImplementedError(f"+units={kv['units']}: only meters supported")
+    if kv.get("axis", "enu") != "enu":
+        raise NotImplementedError(f"+axis={kv['axis']}: only enu supported")
+    consumed |= {"units", "axis", "type"}
+
     def num(key: str, default: float = 0.0) -> float:
+        consumed.add(key)
         return float(kv.get(key, default))
 
-    # ellipsoid
+    # ellipsoid (+datum implies one, plus a null WGS84 shift for the names
+    # modeled here)
+    consumed |= {"ellps", "a", "b", "rf", "f", "datum", "towgs84", "proj", "zone"}
+    if "datum" in kv:
+        if kv["datum"] == "WGS84":
+            kv.setdefault("ellps", "WGS84")
+        elif kv["datum"] == "NAD83":
+            kv.setdefault("ellps", "GRS80")
+        else:
+            raise NotImplementedError(f"+datum={kv['datum']}: use +ellps + +towgs84 instead")
     if "ellps" in kv:
         ell = _ELLPS_BY_NAME.get(kv["ellps"])
         if ell is None:
@@ -727,11 +751,23 @@ def crs_from_proj4(s: str) -> CRS:
     elif name == "laea":
         proj = LambertAzimuthalEqualArea(ell, lon0=num("lon_0"), lat0=num("lat_0"), fe=num("x_0"), fn=num("y_0"))
     elif name == "merc":
-        proj = MercatorEllipsoidal(
-            ell, lon0=num("lon_0"), k0=num("k", num("k_0", 1.0)), fe=num("x_0"), fn=num("y_0")
-        )
+        if "lat_ts" in kv:
+            # Mercator variant B: k0 derived from the true-scale latitude
+            if "k" in kv or "k_0" in kv:
+                raise NotImplementedError("+proj=merc accepts +lat_ts or +k_0, not both")
+            phi_ts = math.radians(num("lat_ts"))
+            k0 = math.cos(phi_ts) / math.sqrt(1.0 - ell.e2 * math.sin(phi_ts) ** 2)
+        else:
+            k0 = num("k", num("k_0", 1.0))
+        proj = MercatorEllipsoidal(ell, lon0=num("lon_0"), k0=k0, fe=num("x_0"), fn=num("y_0"))
     else:
         raise NotImplementedError(
             f"+proj={name}: supported values are tmerc, utm, lcc, aea, laea, merc, longlat"
+        )
+    leftover = set(kv) - consumed
+    if leftover:
+        raise NotImplementedError(
+            f"unsupported proj parameters {sorted(leftover)} for +proj={name} "
+            "(refusing to silently distort coordinates)"
         )
     return CRS(0, proj, helmert, f"proj4:{name}")

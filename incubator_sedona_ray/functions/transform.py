@@ -146,16 +146,30 @@ def vincenty_distance_arr(lon1, lat1, lon2, lat2, tol: float = 1e-12, max_iter: 
 
 
 def st_distancespheroid(col_a, col_b) -> pa.Array:
-    """Vectorized: point coords batch-extracted from WKB, one Vincenty
-    array pass (no per-row Python)."""
-    from ..geom.wkb import points_from_wkb
+    """Vectorized when every row is a plain 21-byte WKB point (batch coord
+    extract + one Vincenty array pass); mixed/null/exotic rows fall back to
+    the per-row kernel, nulls yielding null."""
+    from ..geom import wkb as _wkb
 
-    x1, y1 = points_from_wkb(col_a)
-    x2, y2 = points_from_wkb(col_b)
-    d = vincenty_distance_arr(x1, y1, x2, y2)
-    return pa.array(np.where(np.isnan(x1) | np.isnan(x2), np.nan, d), type=pa.float64()).cast(
-        pa.float64()
-    )
+    def _blob(v):
+        return v if isinstance(v, (bytes, bytearray)) or v is None else v.as_py()
+
+    a_vals = [_blob(v) for v in col_a]
+    b_vals = [_blob(v) for v in col_b]
+    if a_vals and all(
+        v is not None and len(v) == 21 and v[0] == 1 for v in a_vals
+    ) and all(v is not None and len(v) == 21 and v[0] == 1 for v in b_vals):
+        x1, y1 = _wkb.points_from_wkb(a_vals)
+        x2, y2 = _wkb.points_from_wkb(b_vals)
+        return pa.array(vincenty_distance_arr(x1, y1, x2, y2), type=pa.float64())
+    out = []
+    for a, b in zip(a_vals, b_vals):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        ga, gb = _wkb.from_wkb(a), _wkb.from_wkb(b)
+        out.append(vincenty_distance(ga.coords[0], ga.coords[1], gb.coords[0], gb.coords[1]))
+    return pa.array(out, type=pa.float64())
 
 
 # ---------------------------------------------------------------------------

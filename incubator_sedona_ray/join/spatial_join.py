@@ -978,8 +978,16 @@ def spatial_join(
     circle: bool = False,
     metrics=None,
     boundary: tuple[float, float, float, float] | None = None,
+    coalesce: bool | None = None,
 ):
     """Inner predicate/distance join of two Datasets.
+
+    ``coalesce``: force (True) or suppress (False) the pre-groupby block
+    coalesce; ``None`` (default) auto-detects. Ray 2.49 cannot report a
+    lazy dataset's block count, so auto only coalesces when the row totals
+    are small enough that near-empty-block sparsity is plausible — pass
+    ``coalesce=True`` for a LARGE input whose upstream filters left
+    thousands of near-empty blocks (the one case auto cannot see).
 
     Returns a Dataset whose columns are the left columns prefixed with
     ``lprefix`` followed by the right columns prefixed with ``rprefix``.
@@ -1134,15 +1142,17 @@ def spatial_join(
     # case was 40k rows spread over ~1300 filter-emptied blocks), and for
     # few rows the coalesce is cheap anyway. Dense inputs skip the exchange.
     target_blocks = max(2 * num_partitions, 64)
-    try:
-        n_blocks = left.num_blocks() + right.num_blocks()
-    except Exception:
-        n_blocks = None
-    if n_blocks is not None:
-        avg_rows = (l_total + r_total) / max(n_blocks, 1)
-        if n_blocks > 2 * target_blocks and avg_rows < 10_000:
-            unioned = unioned.repartition(target_blocks)
-    elif (l_total + r_total) < 10_000 * target_blocks:
+    if coalesce is None:
+        try:
+            n_blocks = left.num_blocks() + right.num_blocks()
+        except Exception:
+            n_blocks = None
+        if n_blocks is not None:
+            avg_rows = (l_total + r_total) / max(n_blocks, 1)
+            coalesce = n_blocks > 2 * target_blocks and avg_rows < 10_000
+        else:
+            coalesce = (l_total + r_total) < 10_000 * target_blocks
+    if coalesce:
         unioned = unioned.repartition(target_blocks)
 
     def _prefixed(geom, prefix):

@@ -172,38 +172,26 @@ def _pixel_sum(ds, res_x: int | None = None, res_y: int | None = None, dense_red
     pre-aggregation + one tiny shuffle + a vectorized native Sum (a
     per-group pandas ``map_groups`` here would pay one Python call per
     DISTINCT pixel)."""
-    from ray.data.aggregate import AggregateFn, Sum
+    from ray.data.aggregate import Sum
+
+    from .tile import block_col, dense_pixel_grids
 
     if res_x is not None and res_y is not None and res_x * res_y <= dense_reduce_pixels:
         n_pixels = res_x * res_y
 
-        def _col(block, name) -> np.ndarray:
-            c = block[name]
-            try:  # pyarrow
-                return c.to_numpy(zero_copy_only=False)
-            except TypeError:  # pandas (AggregateFn block format)
-                return c.to_numpy()
+        def extract(block):
+            px = block_col(block, "pixel_x").astype(np.int64)
+            py = block_col(block, "pixel_y").astype(np.int64)
+            w = block_col(block, "weight")
+            # rasterize_batch_fn pre-clips, but a future caller might not —
+            # bound-filter so a stray pixel can't corrupt the bincount
+            ok = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y)
+            if not ok.all():
+                px, py, w = px[ok], py[ok], w[ok]
+            return py * res_x + px, w
 
-        def acc_block(grid: np.ndarray, block) -> np.ndarray:
-            px = _col(block, "pixel_x").astype(np.int64)
-            py = _col(block, "pixel_y").astype(np.int64)
-            w = _col(block, "weight")
-            pid = py * res_x + px
-            grid = grid.copy()
-            grid[:n_pixels] += np.bincount(pid, weights=w, minlength=n_pixels)
-            grid[n_pixels:] += np.bincount(pid, minlength=n_pixels)
-            return grid
-
-        agg = ds.aggregate(
-            AggregateFn(
-                init=lambda k: np.zeros(2 * n_pixels, dtype=np.float64),
-                merge=lambda a, b: a + b,
-                accumulate_block=acc_block,
-                name="pixel_grid",
-            )
-        )
-        full = agg["pixel_grid"] if agg else np.zeros(2 * n_pixels, dtype=np.float64)
-        upid = np.flatnonzero(full[n_pixels:])
+        grid, presence = dense_pixel_grids(ds, n_pixels, extract)
+        upid = np.flatnonzero(presence)
         import ray as _ray
 
         return _ray.data.from_arrow(
@@ -211,7 +199,7 @@ def _pixel_sum(ds, res_x: int | None = None, res_y: int | None = None, dense_red
                 {
                     "pixel_x": pa.array(upid % res_x, type=pa.int64()),
                     "pixel_y": pa.array(upid // res_x, type=pa.int64()),
-                    "weight": pa.array(full[:n_pixels][upid], type=pa.float64()),
+                    "weight": pa.array(grid[upid], type=pa.float64()),
                 }
             )
         )

@@ -101,6 +101,48 @@ def tile_assign_batch_fn(
     return fn
 
 
+def block_col(block, name) -> np.ndarray:
+    """Column -> numpy for both block formats an ``AggregateFn`` may see."""
+    c = block[name]
+    try:  # pyarrow column
+        return c.to_numpy(zero_copy_only=False)
+    except TypeError:  # pandas Series
+        return c.to_numpy()
+
+
+def dense_pixel_grids(ds, n_pixels: int, extract) -> tuple[np.ndarray, np.ndarray]:
+    """Shuffle-free per-pixel reduce over a BOUNDED grid: each block task
+    bincounts into a dense float64 accumulator, accumulators tree-merge
+    through ``Dataset.aggregate``. ``extract(block) -> (pid, weights|None)``
+    must return pixel ids already clipped to ``[0, n_pixels)``.
+
+    Returns ``(weight_grid, presence_grid)`` — presence counts occurrences
+    so callers can preserve groupby emit semantics (a pixel whose weights
+    sum to 0 is still emitted). Driver merge cost is O(blocks x grid);
+    callers gate on grid size and fall back to a groupby shuffle above it.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc: np.ndarray, block) -> np.ndarray:
+        pid, w = extract(block)
+        acc = acc.copy()
+        counts = np.bincount(pid, minlength=n_pixels)
+        acc[:n_pixels] += counts if w is None else np.bincount(pid, weights=w, minlength=n_pixels)
+        acc[n_pixels:] += counts
+        return acc
+
+    agg = ds.aggregate(
+        AggregateFn(
+            init=lambda k: np.zeros(2 * n_pixels, dtype=np.float64),
+            merge=lambda a, b: a + b,
+            accumulate_block=acc_block,
+            name="pixel_grid",
+        )
+    )
+    full = agg["pixel_grid"] if agg else np.zeros(2 * n_pixels, dtype=np.float64)
+    return full[:n_pixels], full[n_pixels:]
+
+
 def heatmap_counts(
     ds,
     boundary: tuple[float, float, float, float],
@@ -134,47 +176,21 @@ def heatmap_counts(
 
     Returns a Dataset (pixel_id, pixel_x, pixel_y, tile_id, weight).
     """
-    from ray.data.aggregate import AggregateFn, Sum
+    from ray.data.aggregate import Sum
 
     n_pixels = res_x * res_y
     if n_pixels <= dense_reduce_pixels:
 
-        def _col(block, name) -> np.ndarray:
-            c = block[name]
-            try:  # pyarrow column
-                return c.to_numpy(zero_copy_only=False)
-            except TypeError:  # pandas Series (AggregateFn block format)
-                return c.to_numpy()
-
-        def acc_block(grid: np.ndarray, block) -> np.ndarray:
-            x = _col(block, x_col)
-            y = _col(block, y_col)
+        def extract(block):
+            x = block_col(block, x_col)
+            y = block_col(block, y_col)
             px, py = world_to_pixel(x, y, boundary, res_x, res_y)
             inside = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y)
             pid = encode_pixel_id(px[inside], py[inside], res_x)
-            if weight_col is None:
-                return grid + np.bincount(pid, minlength=n_pixels)
-            w = _col(block, weight_col)[inside]
-            # parallel presence counter: a pixel whose weights sum to 0
-            # must still be emitted (groupby semantics), so presence rides
-            # in the imaginary-free second half of the accumulator
-            grid = grid.copy()
-            grid[:n_pixels] += np.bincount(pid, weights=w, minlength=n_pixels)
-            grid[n_pixels:] += np.bincount(pid, minlength=n_pixels)
-            return grid
+            w = block_col(block, weight_col)[inside] if weight_col else None
+            return pid, w
 
-        acc_len = n_pixels if weight_col is None else 2 * n_pixels
-        agg = ds.aggregate(
-            AggregateFn(
-                init=lambda k: np.zeros(acc_len, dtype=np.float64),
-                merge=lambda a, b: a + b,
-                accumulate_block=acc_block,
-                name="pixel_grid",
-            )
-        )
-        full = agg["pixel_grid"] if agg else np.zeros(acc_len, dtype=np.float64)
-        grid = full[:n_pixels]
-        presence = full[n_pixels:] if weight_col is not None else grid
+        grid, presence = dense_pixel_grids(ds, n_pixels, extract)
         upid = np.flatnonzero(presence)
         upx = upid % res_x
         upy = upid // res_x

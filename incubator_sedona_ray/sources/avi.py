@@ -55,10 +55,13 @@ def avi_encode(
         width, height,
         0, 0, 0, 0,                # dwReserved
     )
-    # strh: AVIStreamHeader (56 bytes): fccType 'vids', handler 'MJPG'
+    # strh: AVIStreamHeader (56 bytes): fccType 'vids', handler 'MJPG',
+    # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate,
+    # dwStart, dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize,
+    # rcFrame
     strh = (
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0)
         + struct.pack("<4H", 0, 0, width, height)  # rcFrame
     )
     # strf: BITMAPINFOHEADER with biCompression 'MJPG'

@@ -49,6 +49,9 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             pos += 2
             continue
@@ -228,7 +231,7 @@ class ResizeImage:
                 rw, rh = fit_box(w, h, self.max_side)
                 thumb = resize_bilinear(img, rh, rw)
                 out_blob = png_encode_rgb(np.ascontiguousarray(thumb[:, :, :3]))
-            except (ValueError, KeyError, IndexError, OSError, zlib.error):
+            except (ValueError, KeyError, IndexError, OSError, zlib.error, struct.error):
                 if self.on_error == "raise":
                     raise
                 rw = rh = None
@@ -315,7 +318,11 @@ class AudioFeatures:
             n_win = samples.shape[0] // w
             if not n_win:
                 continue
-            # channel-mean downmix; int64 up-cast keeps integer sums exact
+            # channel-mean downmix; int64 up-cast keeps integer sums exact.
+            # PCM8 is offset-binary (silence = 128): center it so
+            # mean/rms/zero-crossings are meaningful amplitudes
+            if samples.dtype == np.uint8:
+                samples = samples.astype(np.int64) - 128
             if np.issubdtype(samples.dtype, np.integer):
                 mono = samples.astype(np.int64).sum(axis=1) / samples.shape[1]
             else:
@@ -467,7 +474,7 @@ class DecodeImage:
         for blob in batch[self.bin_col].to_pylist():
             try:
                 w, h, c, f = decode(blob or b"")
-            except (ValueError, KeyError, IndexError, OSError, zlib.error):
+            except (ValueError, KeyError, IndexError, OSError, zlib.error, struct.error):
                 if self.on_error == "raise" or self.codec is None:
                     raise
                 w = h = c = None

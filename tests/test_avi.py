@@ -84,3 +84,27 @@ def test_sample_frames_mjpeg_pixels_decodable():
     got = avi_decode_frames(avi_encode(frames, 24, 16))
     img = jpeg_decode(got[1])
     assert img.shape == (16, 24, 3)
+
+
+def test_strh_is_56_bytes():
+    # AVIStreamHeader is 56 bytes; a miscount shifts rcFrame for external
+    # parsers even though the repo's own decoder ignores strh
+    import struct
+
+    blob = avi_encode([b"\xff\xd8x\xff\xd9"], width=10, height=8)
+    i = blob.index(b"strh")
+    (size,) = struct.unpack("<I", blob[i + 4 : i + 8])
+    assert size == 56
+    body = blob[i + 8 : i + 8 + size]
+    assert body[:4] == b"vids" and body[4:8] == b"MJPG"
+    # rcFrame right/bottom are the last two words
+    assert struct.unpack("<4H", body[48:56]) == (0, 0, 10, 8)
+
+
+def test_jpeg_dims_with_fill_bytes():
+    from incubator_sedona_ray.sources.multimodal import _jpeg_dims
+
+    (frame,) = _mk_jpegs(1, w=30, h=20)
+    # legal 0xFF fill byte inserted after SOI must not derail the scan
+    padded = frame[:2] + b"\xff" + frame[2:]
+    assert _jpeg_dims(padded) == (30, 20)

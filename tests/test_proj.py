@@ -267,3 +267,33 @@ class TestProjString:
         a = transform_xy("EPSG:4326", "+proj=merc +ellps=WGS84", *p)
         b = transform_xy("EPSG:4326", "EPSG:3395", *p)
         assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
+
+    def test_unsupported_params_raise_not_distort(self):
+        import numpy as np
+        import pytest
+
+        from incubator_sedona_ray.functions.proj import crs_from_proj4
+        from incubator_sedona_ray.functions.transform import transform_xy
+
+        # +lat_ts on merc IS modeled (variant B: k0 from true-scale lat)
+        x, _ = transform_xy(
+            "EPSG:4326", "+proj=merc +lat_ts=30 +ellps=WGS84", np.array([10.0]), np.array([0.0])
+        )
+        # EPSG 9805 variant B: k0 = cos(phi_ts)/sqrt(1 - e2 sin^2(phi_ts))
+        import math
+
+        e2 = 0.00669437999014
+        k0 = math.cos(math.radians(30)) / math.sqrt(1 - e2 * 0.25)
+        assert abs(x[0] - 6378137.0 * k0 * math.radians(10.0)) < 1e-6
+        assert x[0] < 1_000_000  # far from the k0=1 value 1113195
+        # unknown projection-altering params must raise, never silently drop
+        with pytest.raises(NotImplementedError):
+            crs_from_proj4("+proj=tmerc +lat_0=0 +lon_0=9 +pm=paris")
+        with pytest.raises(NotImplementedError):
+            crs_from_proj4("+proj=merc +lat_ts=30 +k_0=0.9")
+        with pytest.raises(NotImplementedError):
+            crs_from_proj4("+proj=longlat +units=ft")
+        # +datum=WGS84 resolves; exotic datums raise
+        assert crs_from_proj4("+proj=utm +zone=31 +datum=WGS84").proj.ell.a == 6378137.0
+        with pytest.raises(NotImplementedError):
+            crs_from_proj4("+proj=utm +zone=31 +datum=potsdam")

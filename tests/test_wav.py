@@ -120,3 +120,22 @@ def test_audio_features_wav_stereo_downmix_exact():
     mono = st.astype(np.int64).sum(axis=1) / 2  # [15, -20, 5, 2]
     assert out["mean_amp"].to_pylist() == [mono.mean()]
     assert out["zcr"].to_pylist() == [2]
+
+
+def test_audio_features_pcm8_centered():
+    # PCM8 is offset-binary: digital silence (all 128) must yield zero
+    # amplitude, and zero-crossings must fire on sign changes around 128
+    from incubator_sedona_ray.sources.multimodal import AudioFeatures
+
+    silent = np.full(8, 128, dtype=np.uint8)
+    wavy = np.array([138, 118, 138, 118], dtype=np.uint8)  # +10,-10 swings
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([wav_encode(silent), wav_encode(wavy)], type=pa.binary()),
+        }
+    )
+    out = AudioFeatures(codec="wav", window=4)(batch)
+    assert out["mean_amp"].to_pylist() == [0.0, 0.0, 0.0]
+    assert out["rms"].to_pylist()[0] == 0.0 and out["rms"].to_pylist()[2] == 10.0
+    assert out["zcr"].to_pylist() == [0, 0, 3]
