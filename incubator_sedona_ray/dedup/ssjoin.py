@@ -130,7 +130,9 @@ def _df_rank_table(sigs_ds, max_entries: int = 5_000_000):
     def keep_repeated(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
 
-    rep_ds = counts.map_batches(keep_repeated, batch_format="pyarrow")
+    # materialize: count() and the pull below would otherwise EACH re-run
+    # the token-groupby shuffle (Datasets re-execute per consumption)
+    rep_ds = counts.map_batches(keep_repeated, batch_format="pyarrow").materialize()
     n_rep = rep_ds.count()
     if n_rep > max_entries:
         # keep only the heavy hitters: mergeable per-block top-M by df
