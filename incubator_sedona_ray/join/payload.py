@@ -48,6 +48,9 @@ def attach_payload(
         except Exception:
             num_partitions = 4
     if strategy == "auto":
+        # materialize before sizing: count() and the downstream join/refs
+        # would otherwise EACH re-execute slim_result's upstream
+        slim_result = slim_result.materialize()
         n = slim_result.count()
         strategy = "broadcast" if n <= broadcast_row_limit else "hash"
     if strategy == "hash":
