@@ -451,6 +451,107 @@ def q_lang_count(sf_dir: str):
     return _rename(out, {"count()": "n"})
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub (C4/Gopher prep pass): deterministic PII is planted into
+    each document (email/IPv4/phone derived from doc_id — the corpus has
+    none of its own), then redacted by the Arrow RE2 rule chain. Counts are
+    taken on the running text exactly as the rules apply, and the oracle
+    replays the identical patterns through DuckDB's RE2."""
+    from incubator_sedona_ray.text.redact import redact_pii
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        suffix = pa.array(
+            [
+                f" contact user{int(i)}@example.com or 10.0.{int(i) % 256}.7 call +1 555 000{int(i) % 10}"
+                for i in ids
+            ]
+        )
+        text = pc.binary_join_element_wise(batch["text"], suffix, "")
+        return batch.set_column(batch.schema.get_field_index("text"), "text", text)
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(plant, batch_format="pyarrow")
+    out = redact_pii(ds)
+    return out.select_columns(["doc_id", "text", "n_email", "n_ip", "n_phone"])
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition scores (dup-word / top-word / dup-2-gram
+    fractions) — vectorized dictionary-encode + lexsort kernels, closed-form
+    list-function oracle."""
+    from incubator_sedona_ray.text.repetition import repetition_scores
+
+    out = repetition_scores(_docs(sf_dir, columns=["doc_id", "text"]))
+    return out.select_columns(
+        ["doc_id", "n_words", "dup_word_frac", "top_word_frac", "dup_2gram_frac"]
+    )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-level exact paragraph dedup (Lee et al. 2021): documents are
+    given a deterministic 12-word line structure, every repeated line keeps
+    only its first (doc_id, position) occurrence corpus-wide, and documents
+    are rebuilt from their survivors (empty documents drop out)."""
+    from incubator_sedona_ray.dedup.paragraph import chunk_into_lines_fn, dedup_paragraphs
+
+    lined = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        chunk_into_lines_fn(12), batch_format="pyarrow"
+    )
+    return dedup_paragraphs(lined).select_columns(["doc_id", "text"])
+
+
+def _synth_url_variants_fn(batch: pa.Table) -> pa.Table:
+    """Recrawl/variant synthesis for the URL-dedup query: the flagship URL
+    per doc, plus a tracking-param recrawl (+1h) for doc_id%3==0 and an
+    uppercase-host trailing-slash recrawl (+2h) for doc_id%5==0 — all
+    closed-form in doc_id so the oracle unions the same three selects."""
+    from incubator_sedona_ray.pipelines.pages import _BASE_TS, _LANG_TLDS
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, tss, out_ids = [], [], []
+    for i, lang, src in zip(ids, langs, sources):
+        i = int(i)
+        tlds = _LANG_TLDS.get(lang, ["com"])
+        dom = f"{src}-{i}.{tlds[i % len(tlds)]}"
+        base_ts = _BASE_TS + np.timedelta64(i, "s")
+        urls.append(f"https://{dom}/p/{i}")
+        tss.append(base_ts)
+        out_ids.append(i)
+        if i % 3 == 0:
+            urls.append(f"https://{dom}/p/{i}?utm_source=feed&utm_campaign=c{i % 7}")
+            tss.append(base_ts + np.timedelta64(1, "h"))
+            out_ids.append(i)
+        if i % 5 == 0:
+            urls.append(f"HTTPS://{dom.upper()}/p/{i}/")
+            tss.append(base_ts + np.timedelta64(2, "h"))
+            out_ids.append(i)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(np.array(tss, dtype="datetime64[us]")),
+        }
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """URL canonicalize + keep-latest-capture dedup over a synthesized
+    recrawl stream (url, warc_ts): canonical form strips query/fragment,
+    lowercases scheme+host, strips a trailing slash; per canonical URL the
+    row with max warc_ts (ties: min raw url) survives."""
+    from incubator_sedona_ray.text.urls import dedup_urls
+
+    pages = _docs(sf_dir, columns=["doc_id", "lang", "source"]).map_batches(
+        _synth_url_variants_fn, batch_format="pyarrow"
+    )
+    out = dedup_urls(pages, url_col="url", ts_col="warc_ts")
+    return out.select_columns(["canon_url", "url", "warc_ts", "doc_id"])
+
+
 def _ann_queries(ds) -> pd.DataFrame:
     """The ANN_NQ lowest-id embedding rows as the query set — extracted via
     a distributed FILTER (vec_ids are 0..n-1), never a full to_pandas: at
@@ -1370,6 +1471,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "lang_count": q_lang_count,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
+        "paragraph_dedup": q_paragraph_dedup,
+        "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -1536,6 +1641,20 @@ def oracle_sql() -> dict[str, str]:
     hm_px = f"CAST(floor((lon + 180.0) / 360.0 * {HM_RES_X}) AS BIGINT)"
     hm_py = f"CAST(floor((lat + 90.0) / 180.0 * {HM_RES_Y}) AS BIGINT)"
     dsq = "((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))"
+    from incubator_sedona_ray.pipelines.pages import _LANG_TLDS
+    from incubator_sedona_ray.text.redact import EMAIL_RE, IPV4_RE, PHONE_RE
+    from incubator_sedona_ray.text.urls import _HEAD_RE
+
+    pii_suffix = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 000' || CAST(doc_id % 10 AS VARCHAR)"
+    )
+    url_tld_case = " ".join(
+        "WHEN '{lang}' THEN list_extract([{lst}], CAST(doc_id % {n} AS INT) + 1)".format(
+            lang=lang, lst=", ".join(f"'{t}'" for t in tlds), n=len(tlds)
+        )
+        for lang, tlds in _LANG_TLDS.items()
+    )
     out = {
         "geocode": f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents",
         "grid_cells": (
@@ -1664,6 +1783,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars_q, 1) AS DOUBLE) AS alpha_ratio FROM q"
         ),
         "lang_count": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "pii_redact": (
+            # counts taken on the RUNNING text in rule order, exactly as
+            # text/redact.py redact_batch does (email -> ip -> phone)
+            f"WITH t0 AS (SELECT doc_id, {pii_suffix} AS t FROM documents), "
+            f"t1 AS (SELECT doc_id, len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email, "
+            f"regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t FROM t0), "
+            f"t2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ip, "
+            f"regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t FROM t1), "
+            f"t3 AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone, "
+            f"regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t FROM t2) "
+            f"SELECT doc_id, t AS text, n_email, n_ip, n_phone FROM t3"
+        ),
+        "repetition": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            "u AS (SELECT doc_id, unnest(ws) AS wd FROM w), "
+            "cnt AS (SELECT doc_id, wd, count(*) AS c FROM u GROUP BY 1, 2), "
+            "tw AS (SELECT doc_id, max(c) AS mx, count(*) AS dis FROM cnt GROUP BY 1), "
+            "g AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END AS g2 FROM w) "
+            "SELECT w.doc_id AS doc_id, len(w.ws) AS n_words, "
+            "CASE WHEN len(w.ws) = 0 THEN 0.0 ELSE 1.0 - CAST(tw.dis AS DOUBLE) / len(w.ws) END AS dup_word_frac, "
+            "CASE WHEN len(w.ws) = 0 THEN 0.0 ELSE CAST(tw.mx AS DOUBLE) / len(w.ws) END AS top_word_frac, "
+            "CASE WHEN len(g.g2) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2) END AS dup_2gram_frac "
+            "FROM w LEFT JOIN tw ON w.doc_id = tw.doc_id JOIN g ON w.doc_id = g.doc_id"
+        ),
+        "paragraph_dedup": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws FROM documents), "
+            "lines AS (SELECT doc_id, i, array_to_string(ws[(i-1)*12+1 : i*12], ' ') AS para "
+            "FROM w, UNNEST(range(1, CAST(ceil(len(ws)/12.0) AS BIGINT) + 1)) AS t(i) WHERE len(ws) > 0), "
+            "k AS (SELECT doc_id, i, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn FROM lines) "
+            "SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS text FROM k WHERE rn = 1 GROUP BY doc_id"
+        ),
+        "url_dedup": (
+            f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "
+            "u AS (SELECT doc_id, source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld AS dom FROM t), "
+            "base AS (SELECT doc_id, dom, 'https://' || dom || '/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts FROM u), "
+            "v AS (SELECT doc_id, url, warc_ts FROM base "
+            "UNION ALL SELECT doc_id, url || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR), "
+            "warc_ts + INTERVAL 1 HOUR FROM base WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT doc_id, 'HTTPS://' || upper(dom) || '/p/' || CAST(doc_id AS VARCHAR) || '/', "
+            "warc_ts + INTERVAL 2 HOUR FROM base WHERE doc_id % 5 = 0), "
+            "c0 AS (SELECT doc_id, url, warc_ts, regexp_replace(url, '[?#].*$', '', 'g') AS s1 FROM v), "
+            f"c1 AS (SELECT *, regexp_extract(s1, '{_HEAD_RE}') AS hd FROM c0), "
+            "c AS (SELECT doc_id, url, warc_ts, regexp_replace(CASE WHEN hd <> '' "
+            "THEN lower(hd) || substr(s1, len(hd) + 1) ELSE s1 END, '/$', '', 'g') AS canon_url FROM c1), "
+            "k AS (SELECT *, row_number() OVER (PARTITION BY canon_url ORDER BY warc_ts DESC, url ASC) AS rn FROM c) "
+            "SELECT canon_url, url, warc_ts, doc_id FROM k WHERE rn = 1"
+        ),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}), "
             "s AS (SELECT q.query_id, e.vec_id, "
