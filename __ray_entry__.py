@@ -502,6 +502,19 @@ def q_paragraph_dedup(sf_dir: str):
     return dedup_paragraphs(lined).select_columns(["doc_id", "text"])
 
 
+def q_lm_familiarity(sf_dir: str):
+    """CCNet-style corpus-fit quality score: a bigram model is fitted on
+    the corpus itself (explode -> local Arrow combine -> one groupby-sum,
+    singleton-pruned), then every document is scored by the mean corpus
+    count of its bigrams via a distributed hash join (the model is a
+    Dataset — never broadcast or collected). Integer-exact arithmetic, so
+    the SQL oracle matches bit-for-bit."""
+    from incubator_sedona_ray.text.lm import familiarity_scores
+
+    out = familiarity_scores(_docs(sf_dir, columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_bigrams", "familiarity"])
+
+
 def _synth_url_variants_fn(batch: pa.Table) -> pa.Table:
     """Recrawl/variant synthesis for the URL-dedup query: the flagship URL
     per doc, plus a tracking-param recrawl (+1h) for doc_id%3==0 and an
@@ -1474,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "paragraph_dedup": q_paragraph_dedup,
+        "lm_familiarity": q_lm_familiarity,
         "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
@@ -1814,6 +1828,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM w, UNNEST(range(1, CAST(ceil(len(ws)/12.0) AS BIGINT) + 1)) AS t(i) WHERE len(ws) > 0), "
             "k AS (SELECT doc_id, i, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn FROM lines) "
             "SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS text FROM k WHERE rn = 1 GROUP BY doc_id"
+        ),
+        "lm_familiarity": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            "bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END AS bs FROM w), "
+            "e AS (SELECT doc_id, unnest(bs) AS b FROM bg), "
+            "cnt AS (SELECT b, count(*) AS c FROM e GROUP BY b), "
+            "filt AS (SELECT b, c FROM cnt WHERE c >= 2), "
+            "num AS (SELECT e.doc_id, sum(filt.c) AS s FROM e JOIN filt USING (b) GROUP BY e.doc_id), "
+            "den AS (SELECT doc_id, len(bs) AS n FROM bg) "
+            "SELECT den.doc_id AS doc_id, CAST(den.n AS BIGINT) AS n_bigrams, "
+            "CASE WHEN den.n = 0 THEN 0.0 ELSE CAST(coalesce(num.s, 0) AS DOUBLE) / den.n END AS familiarity "
+            "FROM den LEFT JOIN num ON den.doc_id = num.doc_id"
         ),
         "url_dedup": (
             f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "

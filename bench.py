@@ -423,6 +423,33 @@ def run_bench() -> dict:
 
     timed("q12_wav_decode", q12, rows=n_wavs)
 
+    # q13: the text-prep chain over the full page corpus — PII scrub (3 RE2
+    # passes) + repetition scores (split/dict-encode/lexsort) fused into one
+    # map stage, then URL canonicalize + keep-latest dedup (1 shuffle of the
+    # slim url/ts/canon projection; the text column is NOT shipped)
+    def q13():
+        from incubator_sedona_ray.text.redact import redact_batch
+        from incubator_sedona_ray.text.repetition import repetition_batch
+        from incubator_sedona_ray.text.urls import dedup_urls
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = repetition_batch(redact_batch(b))
+            return b.drop_columns(["text"])  # wide-row rule: scores only past this point
+
+        scored = expanded_pages(ray, n_docs, columns=["doc_id", "url", "text"]).map_batches(
+            prep, batch_format="pyarrow", batch_size=BATCH
+        )
+
+        def add_ts(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            base = np.datetime64("2024-01-01T00:00:00", "us")
+            ts = base + (ids % 86400).astype("timedelta64[s]").astype("timedelta64[us]")
+            return b.append_column("warc_ts", pa.array(ts))
+
+        return dedup_urls(scored.map_batches(add_ts, batch_format="pyarrow"), num_parts=NCPU * 2).count()
+
+    timed("q13_textprep", q13, rows=n_pages)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

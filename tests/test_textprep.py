@@ -139,6 +139,40 @@ def test_dedup_paragraphs_within_doc(ray_session):
     assert out["text"].tolist() == ["X\nY"]  # second X removed, order kept
 
 
+# -------------------------------------------------------------- familiarity
+
+
+def test_familiarity_hand_case(ray_session):
+    import ray
+
+    from incubator_sedona_ray.text.lm import familiarity_scores
+
+    # bigrams: d1 {a b, b c}, d2 {a b, b d}, d3 {x}, d4 {}
+    # corpus counts: "a b"=2 (kept), others singletons (pruned)
+    t = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a b c", "a b d", "x", ""]})
+    out = (
+        familiarity_scores(ray.data.from_arrow(t), min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_bigrams"].tolist() == [2, 2, 0, 0]
+    assert out["familiarity"].tolist() == pytest.approx([1.0, 1.0, 0.0, 0.0])
+
+
+def test_familiarity_external_model(ray_session):
+    import ray
+
+    from incubator_sedona_ray.text.lm import familiarity_scores, fit_bigram_model
+
+    corpus = ray.data.from_arrow(pa.table({"text": ["p q", "p q", "p q r"]}))
+    model = fit_bigram_model(corpus, min_count=2)  # {"p q": 3}
+    target = ray.data.from_arrow(pa.table({"doc_id": [9], "text": ["p q z"]}))
+    out = familiarity_scores(target, model=model).to_pandas()
+    # bigrams {p q (c=3), q z (unseen)} -> (3 + 0) / 2
+    assert out["familiarity"].tolist() == pytest.approx([1.5])
+
+
 # ------------------------------------------------------------------ urls
 
 
