@@ -9,9 +9,12 @@ first-class components alongside the spatial engine).
 * :mod:`.ssjoin`  — EXACT n-gram-Jaccard all-pairs via prefix filtering
   (PPJoin/Vernica-style; the deterministic alternative to MinHash)
 * :mod:`.embed`   — embedding-cosine near-dup
+* :mod:`.paragraph` — corpus-level exact paragraph dedup (keep-first,
+  rebuild docs from survivors; Lee et al. 2021 at paragraph granularity)
 """
 
 from .exact import add_text_hash_fn, dedup_exact  # noqa: F401
+from .paragraph import dedup_paragraphs, explode_paragraphs_fn  # noqa: F401
 from .minhash import minhash_dedup  # noqa: F401
 from .simhash import simhash_batch_fn, simhash_dedup  # noqa: F401
 from .embed import embedding_dedup, embedding_dedup_survivors  # noqa: F401

@@ -1,5 +1,10 @@
 """Web-page text stages: deterministic geocoding, language ID, quality
-scoring, token counting, fingerprinting (SURVEY.md §7.0 + training-data
-pipeline ops)."""
+scoring, token counting, fingerprinting, PII redaction, repetition
+(Gopher) scores, URL canonicalize+dedup, corpus-fit bigram familiarity
+(SURVEY.md §7.0 + training-data pipeline ops)."""
 
 from .geocode import geocode_batch, geocode_doc_ids, geocode_urls  # noqa: F401
+from .lm import familiarity_scores, fit_bigram_model  # noqa: F401
+from .redact import redact_pii  # noqa: F401
+from .repetition import repetition_scores  # noqa: F401
+from .urls import dedup_urls  # noqa: F401
