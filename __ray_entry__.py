@@ -565,6 +565,28 @@ def q_url_dedup(sf_dir: str):
     return out.select_columns(["canon_url", "url", "warc_ts", "doc_id"])
 
 
+def q_decontam(sf_dir: str):
+    """Test-set decontamination report (Brown et al. 2020 §C): held-out set
+    = docs with doc_id % 37 == 0; every other doc sharing a word 4-gram
+    with it is flagged with its distinct-overlap count. Broadcast mode —
+    the held-out side collapses to a sorted hash array shipped once, so
+    the train side streams with ZERO shuffles."""
+    from incubator_sedona_ray.text.decontam import contamination_report
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _split(test: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 37 == 0
+            return b.filter(pa.array(m if test else ~m))
+
+        return fn
+
+    test = docs.map_batches(_split(True), batch_format="pyarrow")
+    train = docs.map_batches(_split(False), batch_format="pyarrow")
+    return contamination_report(train, test, n=4)
+
+
 def _ann_queries(ds) -> pd.DataFrame:
     """The ANN_NQ lowest-id embedding rows as the query set — extracted via
     a distributed FILTER (vec_ids are 0..n-1), never a full to_pandas: at
@@ -1488,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "paragraph_dedup": q_paragraph_dedup,
         "lm_familiarity": q_lm_familiarity,
+        "decontam": q_decontam,
         "url_dedup": q_url_dedup,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
@@ -1841,6 +1864,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT den.doc_id AS doc_id, CAST(den.n AS BIGINT) AS n_bigrams, "
             "CASE WHEN den.n = 0 THEN 0.0 ELSE CAST(coalesce(num.s, 0) AS DOUBLE) / den.n END AS familiarity "
             "FROM den LEFT JOIN num ON den.doc_id = num.doc_id"
+        ),
+        "decontam": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS ng "
+            "FROM w, UNNEST(range(1, greatest(len(ws) - 2, 1))) AS t(i)), "
+            "test AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0) "
+            "SELECT g.doc_id AS doc_id, count(DISTINCT g.ng) AS n_hits "
+            "FROM g JOIN test USING (ng) WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id"
         ),
         "url_dedup": (
             f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "

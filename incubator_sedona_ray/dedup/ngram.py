@@ -68,6 +68,52 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5, mode: str = "char") -> f
     return jaccard(sh(text_a, k), sh(text_b, k))
 
 
+def fnv_strings(arr: "pa.Array") -> np.ndarray:
+    """FNV-1a of every string in an Arrow StringArray, straight from the
+    offsets/data buffers — no Python string materialization. Bit-identical
+    to :func:`_fnv` of each utf-8 string."""
+    import pyarrow as pa
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    offs = offs.astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts = offs[:-1]
+    lens = offs[1:] - offs[:-1]
+    m = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if m == 0:
+        return h
+    mat = np.zeros((n, m), dtype=np.uint8)
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[row, col] = data[np.repeat(starts, lens) + col]
+    for j in range(m):
+        active = lens > j
+        h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def fnv_fold(word_hashes: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """n-gram hash = FNV-style fold of n consecutive per-word hashes
+    beginning at each ``starts`` index. Word boundaries are explicit in the
+    fold, so it separates 'ab c' from 'a bc' like joined-string hashing
+    would; n vectorized passes, no per-gram loop."""
+    h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(n):
+        h = (h ^ word_hashes[starts + j]) * _FNV_PRIME
+    return h
+
+
 def fnv_tokens(tokens: list[bytes]) -> np.ndarray:
     """FNV-1a of many byte strings at once: rows padded to the longest
     token, folded with a per-column active mask — bit-identical to

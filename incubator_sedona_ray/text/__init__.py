@@ -3,6 +3,7 @@ scoring, token counting, fingerprinting, PII redaction, repetition
 (Gopher) scores, URL canonicalize+dedup, corpus-fit bigram familiarity
 (SURVEY.md §7.0 + training-data pipeline ops)."""
 
+from .decontam import contamination_report, decontaminate, heldout_ngram_hashes  # noqa: F401
 from .geocode import geocode_batch, geocode_doc_ids, geocode_urls  # noqa: F401
 from .lm import familiarity_scores, fit_bigram_model  # noqa: F401
 from .redact import redact_pii  # noqa: F401
