@@ -587,6 +587,30 @@ def q_decontam(sf_dir: str):
     return contamination_report(train, test, n=4)
 
 
+def q_html_extract(sf_dir: str):
+    """North-star invariant as an operator: synthesize the page table
+    (url, warc_ts, html, text, lang), re-extract text from the raw html
+    bytes with the vectorized RE2 chain (text/extract.py strip mode), and
+    emit the byte-identity verdict per url — extraction must recover the
+    reference text exactly through head/title/style/script/comment chrome."""
+    from incubator_sedona_ray.pipelines.pages import synth_pages_fn
+    from incubator_sedona_ray.text.extract import extract_text
+
+    pages = _docs(sf_dir, columns=["doc_id", "text", "lang", "source"]).map_batches(
+        synth_pages_fn, batch_format="pyarrow"
+    )
+    out = extract_text(pages, html_col="html", out_col="extracted_text")
+
+    def verdict(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column("matches", pc.equal(b["extracted_text"], b["text"]))
+
+    return out.map_batches(verdict, batch_format="pyarrow").select_columns(
+        ["url", "extracted_text", "matches"]
+    )
+
+
 def _ann_queries(ds) -> pd.DataFrame:
     """The ANN_NQ lowest-id embedding rows as the query set — extracted via
     a distributed FILTER (vec_ids are 0..n-1), never a full to_pandas: at
@@ -1512,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": q_lm_familiarity,
         "decontam": q_decontam,
         "url_dedup": q_url_dedup,
+        "html_extract": q_html_extract,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -1889,6 +1914,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN lower(hd) || substr(s1, len(hd) + 1) ELSE s1 END, '/$', '', 'g') AS canon_url FROM c1), "
             "k AS (SELECT *, row_number() OVER (PARTITION BY canon_url ORDER BY warc_ts DESC, url ASC) AS rn FROM c) "
             "SELECT canon_url, url, warc_ts, doc_id FROM k WHERE rn = 1"
+        ),
+        "html_extract": (
+            # the north-star byte-identity invariant: strip-mode extraction
+            # over the synthesized chrome must return `text` exactly, so the
+            # oracle is the url synthesis + the text column + TRUE
+            f"WITH t AS (SELECT doc_id, text, CASE lang {url_tld_case} ELSE 'com' END AS tld, source FROM documents) "
+            "SELECT 'https://' || source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "text AS extracted_text, TRUE AS matches FROM t"
         ),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}), "

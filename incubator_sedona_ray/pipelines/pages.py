@@ -43,7 +43,14 @@ def synth_pages_fn(batch: pa.Table) -> pa.Table:
     for i, lang, src in zip(ids, langs, sources):
         tlds = _LANG_TLDS.get(lang, ["com"])
         urls.append(f"https://{src}-{int(i)}.{tlds[int(i) % len(tlds)]}/p/{int(i)}")
-    html = [b"<html><body>" + t.encode() + b"</body></html>" for t in texts]
+    # realistic chrome: head/title/style/script/comment wrap the body text;
+    # text.extract strip-mode must recover `text` byte-identically from this
+    # (the north-star invariant, checked by the html_extract query)
+    html = [
+        b"<html><head><title>" + u.encode() + b"</title><style>p{margin:0}</style></head>"
+        b"<body><script>var n=1;</script><!-- warc --><p>" + t.encode() + b"</p></body></html>"
+        for u, t in zip(urls, texts)
+    ]
     ts = _BASE_TS + (ids * np.timedelta64(1, "s")).astype("timedelta64[us]")
     return pa.table(
         {
