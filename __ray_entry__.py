@@ -611,6 +611,25 @@ def q_html_extract(sf_dir: str):
     )
 
 
+BM25_TERMS = ("table", "sort", "hash")
+BM25_K = 25
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir: str):
+    """Distributed BM25 retrieval (text/bm25.py): stats pass (N, avgdl,
+    per-query-term df as O(#batches) partial aggregates), broadcast idf,
+    vectorized scoring with per-batch local top-k, exact mergeable global
+    top-k. Scores are float64 with oracle-matched evaluation order; the
+    query returns (doc_id, rank) — ranks agree because ties are exact and
+    broken by doc_id in both engines."""
+    from incubator_sedona_ray.text.bm25 import bm25_topk
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = bm25_topk(ds, list(BM25_TERMS), BM25_K, k1=BM25_K1, b=BM25_B)
+    return out.select_columns(["doc_id", "rank"])
+
+
 def _ann_queries(ds) -> pd.DataFrame:
     """The ANN_NQ lowest-id embedding rows as the query set — extracted via
     a distributed FILTER (vec_ids are 0..n-1), never a full to_pandas: at
@@ -1537,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": q_decontam,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
+        "bm25_topk": q_bm25_topk,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -1638,6 +1658,32 @@ _FIXTURE_ORACLES = [
     "frame_sample_mjpeg",
     "image_resize",
 ]
+
+
+def _bm25_sql() -> str:
+    """Closed-form BM25 oracle: identical tokenization (lower, \\s+ split,
+    empties dropped), identical float64 evaluation order (left-to-right
+    term sum, ln(1 + (N-df+.5)/(df+.5)) idf), ties by doc_id. Returns
+    (doc_id, rank) — engine scores are bit-close but ranks exact."""
+    k1, b = BM25_K1, BM25_B
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{j}" for j, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(f"count_if(tf{j} > 0) AS df{j}" for j in range(len(BM25_TERMS)))
+    score = " + ".join(
+        f"ln(1 + (n - df{j} + 0.5)/(df{j} + 0.5)) * (tf{j}*({k1}+1))/(tf{j} + {k1}*(1-{b}+{b}*dl/avgdl))"
+        for j in range(len(BM25_TERMS))
+    )
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents), "
+        "d AS (SELECT doc_id, ws, len(ws) AS dl FROM w), "
+        "stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM d), "
+        f"tf AS (SELECT doc_id, dl, {tf_cols} FROM d), "
+        f"dfs AS (SELECT {df_cols} FROM tf), "
+        f"sc AS (SELECT doc_id, {score} AS score FROM tf, stats, dfs) "
+        "SELECT doc_id, rank FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank "
+        f"FROM sc WHERE score > 0) WHERE rank <= {BM25_K}"
+    )
 
 
 def _flagship_sql() -> str | None:
@@ -1923,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://' || source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR) AS url, "
             "text AS extracted_text, TRUE AS matches FROM t"
         ),
+        "bm25_topk": _bm25_sql(),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}), "
             "s AS (SELECT q.query_id, e.vec_id, "
