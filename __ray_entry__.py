@@ -611,6 +611,25 @@ def q_html_extract(sf_dir: str):
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "zh": 0.2, "es": 0.1, "de": 0.3, "fr": 0.25}
+SAMPLE_DEFAULT = 0.05
+SAMPLE_SEED = 7
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language corpus rebalancing (dedup/sample.py):
+    keep iff fmix32(doc_id + seed)/2^32 < rate[lang] — a stateless
+    vectorized filter with zero shuffles, bit-replayable in SQL (the
+    oracle runs the identical MurmurHash3 finalizer via HUGEINT ops)."""
+    from incubator_sedona_ray.dedup.sample import sample_stratified
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    out = sample_stratified(
+        ds, SAMPLE_RATES, strata_col="lang", seed=SAMPLE_SEED, default_rate=SAMPLE_DEFAULT
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 BM25_TERMS = ("table", "sort", "hash")
 BM25_K = 25
 BM25_K1, BM25_B = 1.2, 0.75
@@ -1557,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
+        "stratified_sample": q_stratified_sample,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -1658,6 +1678,18 @@ _FIXTURE_ORACLES = [
     "frame_sample_mjpeg",
     "image_resize",
 ]
+
+
+def _stratified_sample_sql() -> str:
+    """fmix32 replayed in SQL: keep iff hash/2^32 < rate[lang]."""
+    from incubator_sedona_ray.dedup.sample import fmix32_sql
+
+    rate_case = " ".join(f"WHEN '{s}' THEN {r!r}" for s, r in sorted(SAMPLE_RATES.items()))
+    h = fmix32_sql("doc_id", seed=SAMPLE_SEED)
+    return (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE CAST({h} AS DOUBLE)/4294967296.0 < (CASE lang {rate_case} ELSE {SAMPLE_DEFAULT!r} END)"
+    )
 
 
 def _bm25_sql() -> str:
@@ -1970,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
             "text AS extracted_text, TRUE AS matches FROM t"
         ),
         "bm25_topk": _bm25_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}), "
             "s AS (SELECT q.query_id, e.vec_id, "
