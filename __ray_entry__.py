@@ -630,6 +630,20 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+SEQ_LEN = 24
+
+
+def q_seq_chunks(sf_dir: str):
+    """LM-pretraining sequence chunking (text/packing.py): each doc's token
+    stream splits into seq_len-token chunks (trailing partial kept) —
+    per-document on purpose, so the output is deterministic row-for-row at
+    any parallelism. One stateless vectorized map_batches, no shuffle."""
+    from incubator_sedona_ray.text.packing import seq_chunks
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return seq_chunks(ds, SEQ_LEN)
+
+
 BM25_TERMS = ("table", "sort", "hash")
 BM25_K = 25
 BM25_K1, BM25_B = 1.2, 0.75
@@ -1577,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
+        "seq_chunks": q_seq_chunks,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2003,6 +2018,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "seq_chunks": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents), "
+            f"c AS (SELECT doc_id, ws, UNNEST(range(0, CAST(ceil(len(ws)/{SEQ_LEN}.0) AS BIGINT))) AS chunk_id FROM w) "
+            f"SELECT doc_id, chunk_id, least({SEQ_LEN}, len(ws) - chunk_id*{SEQ_LEN}) AS n_tokens, "
+            f"array_to_string(ws[chunk_id*{SEQ_LEN} + 1 : least((chunk_id+1)*{SEQ_LEN}, len(ws))], ' ') AS chunk FROM c "
+            f"WHERE least({SEQ_LEN}, len(ws) - chunk_id*{SEQ_LEN}) >= 1"
+        ),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}), "
             "s AS (SELECT q.query_id, e.vec_id, "

@@ -1,0 +1,107 @@
+"""Fixed-length sequence chunking: split each document's token stream into
+training-example-sized chunks (the LM-pretraining prep step).
+
+Each doc tokenizes (``\\s+`` split, empties dropped, case preserved) and
+emits ``ceil(n_tok / seq_len)`` rows ``(doc_id, chunk_id, n_tokens,
+chunk)``; a trailing partial chunk survives iff it has at least
+``min_tokens`` tokens. Chunking is PER-DOCUMENT on purpose: greedy
+cross-document bin packing is order-dependent, so under a distributed,
+block-parallel execution it is neither reproducible nor resumable — the
+per-doc form is deterministic row-for-row at any parallelism (same
+argument as the deterministic hash sampler in :mod:`..dedup.sample`).
+
+Scale shape: one stateless ``map_batches`` — the kernel is fully
+vectorized (flatten token lists once, derive chunk offsets with numpy
+arithmetic, re-join with one ``binary_join`` over a rebuilt ListArray);
+output rows ≈ input tokens / seq_len, streaming through with no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def chunk_batch(
+    batch: pa.Table,
+    *,
+    seq_len: int,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """One Arrow batch of docs -> chunk rows (id, chunk_id, n_tokens, chunk)."""
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    n = batch.num_rows
+    ntok = np.bincount(parent, minlength=n)  # tokens per doc
+
+    # chunk counts per doc: full chunks + (partial if >= min_tokens)
+    full = ntok // seq_len
+    rem = ntok % seq_len
+    nchunks = full + ((rem >= min_tokens) & (rem > 0)).astype(np.int64)
+
+    doc_idx = np.repeat(np.arange(n), nchunks)  # one entry per output chunk
+    # chunk_id within each doc: 0..nchunks[d]-1
+    starts = np.zeros(len(doc_idx), dtype=np.int64)
+    if len(doc_idx):
+        first = np.r_[0, np.cumsum(nchunks)[:-1]]
+        chunk_id = np.arange(len(doc_idx)) - np.repeat(first, nchunks)
+    else:
+        chunk_id = starts
+    tok_first = np.r_[0, np.cumsum(ntok)[:-1]]  # each doc's first token in flat
+    c_start = tok_first[doc_idx] + chunk_id * seq_len
+    c_len = np.minimum(seq_len, ntok[doc_idx] - chunk_id * seq_len)
+    # drop partial chunks below min_tokens (only possible on the last chunk)
+    ok = c_len >= min_tokens
+    doc_idx, chunk_id, c_start, c_len = doc_idx[ok], chunk_id[ok], c_start[ok], c_len[ok]
+
+    # rebuild a ListArray over flat tokens with the chunk offsets, join once
+    offsets = np.empty(len(c_start) + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(c_len, out=offsets[1:])
+    # chunks are contiguous but may skip nothing (c_start is strictly the
+    # running token cursor when min_tokens <= 1); with min_tokens > 1 the
+    # flat array must be re-gathered
+    total = int(offsets[-1]) if len(c_len) else 0
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], c_len)
+    gather = np.repeat(c_start, c_len) + within
+    chunk_tokens = flat.take(pa.array(gather, type=pa.int64()))
+    if isinstance(chunk_tokens, pa.ChunkedArray):
+        chunk_tokens = chunk_tokens.combine_chunks()
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), chunk_tokens)
+    joined = pc.binary_join(lst, " ")
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "chunk_id": pa.array(chunk_id.astype(np.int64)),
+            "n_tokens": pa.array(c_len.astype(np.int64)),
+            "chunk": joined,
+        }
+    )
+
+
+def seq_chunks(
+    ds,
+    seq_len: int,
+    *,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Dataset of docs -> Dataset of fixed-length token chunks."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    return ds.map_batches(
+        lambda b: chunk_batch(
+            b, seq_len=seq_len, min_tokens=min_tokens, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+    )
