@@ -450,6 +450,45 @@ def run_bench() -> dict:
 
     timed("q13_textprep", q13, rows=n_pages)
 
+    # q14: html -> text extraction over the full page corpus — wrap each
+    # page body in realistic chrome (title/style/script/comment), then the
+    # vectorized RE2 strip chain re-derives the body text (the north-star
+    # byte-identity stage). Stateless, zero shuffle.
+    def q14():
+        from incubator_sedona_ray.text.extract import extract_text_batch
+
+        pre = (
+            "<html><head><title>t</title><style>p{margin:0}</style></head>"
+            "<body><script>var n=1;</script><!-- warc --><p>"
+        )
+        post = "</p></body></html>"
+
+        def wrap_and_extract(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            html = pc.binary_join_element_wise(pre, b["text"], post, "")
+            t = pa.table({"doc_id": b["doc_id"], "html": html})
+            return extract_text_batch(t, "html", "etext").select(["doc_id", "etext"])
+
+        return (
+            expanded_pages(ray, n_docs, columns=["doc_id", "text"])
+            .map_batches(wrap_and_extract, batch_format="pyarrow", batch_size=BATCH)
+            .count()
+        )
+
+    timed("q14_html_extract", q14, rows=n_pages)
+
+    # q15: BM25 retrieval over the full page corpus — stats pass (partial
+    # aggregates only) + broadcast-idf score pass with mergeable local
+    # top-k: two streaming reads, no shuffle.
+    def q15():
+        from incubator_sedona_ray.text.bm25 import bm25_topk
+
+        ds = expanded_pages(ray, n_docs, columns=["doc_id", "text"])
+        return bm25_topk(ds, ["lorem", "synthetic", "body"], 25).count()
+
+    timed("q15_bm25", q15, rows=2 * n_pages)  # two passes over the corpus
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",
