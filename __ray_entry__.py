@@ -630,6 +630,30 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+_DOMAIN_TLDS = ("com", "org", "co.uk", "de", "net")
+
+
+def q_domain_stats(sf_dir: str):
+    """Registrable-domain corpus accounting (RefinedWeb-style): parse urls
+    (scheme/host/public-suffix-lite domain/path depth) with pure RE2
+    kernels, then per-domain doc count + char totals via map-side partial
+    aggregation — only the tiny (domain, n, chars) partials shuffle."""
+    from incubator_sedona_ray.text.urls import domain_stats
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://site{int(i) % 37}.{_DOMAIN_TLDS[int(i) % 5]}"
+            + (f"/a/b/{int(i)}" if i % 3 == 0 else f"/p/{int(i)}")
+            for i in ids
+        ]
+        return batch.append_column("url", pa.array(urls))
+
+    return domain_stats(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 SEQ_LEN = 24
 
 
@@ -1592,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "seq_chunks": q_seq_chunks,
+        "domain_stats": q_domain_stats,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2018,6 +2043,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "domain_stats": (
+            "WITH u AS (SELECT doc_id, n_chars, "
+            "'site' || CAST(doc_id % 37 AS VARCHAR) || '.' || "
+            "list_extract(['com','org','co.uk','de','net'], CAST(doc_id % 5 AS INT) + 1) AS host FROM documents), "
+            "d AS (SELECT n_chars, host, "
+            "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS last2, "
+            "regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS last3 FROM u), "
+            "e AS (SELECT n_chars, CASE WHEN "
+            "list_contains(['ac','co','com','edu','gov','net','org'], regexp_extract(last2, '^([^.]+)\\.', 1)) "
+            "AND last3 <> '' THEN last3 ELSE last2 END AS domain FROM d) "
+            "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS mean_chars FROM e GROUP BY domain"
+        ),
         "seq_chunks": (
             "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents), "
             f"c AS (SELECT doc_id, ws, UNNEST(range(0, CAST(ceil(len(ws)/{SEQ_LEN}.0) AS BIGINT))) AS chunk_id FROM w) "

@@ -11,4 +11,4 @@ from .lm import familiarity_scores, fit_bigram_model  # noqa: F401
 from .packing import chunk_batch, seq_chunks  # noqa: F401
 from .redact import redact_pii  # noqa: F401
 from .repetition import repetition_scores  # noqa: F401
-from .urls import dedup_urls  # noqa: F401
+from .urls import dedup_urls, domain_stats, parse_urls, parse_urls_batch  # noqa: F401

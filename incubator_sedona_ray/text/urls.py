@@ -97,3 +97,75 @@ def dedup_urls(
 
     keyed = ds.map_batches(add_keys, batch_format="pyarrow")
     return keyed.groupby("upart").map_groups(kernel, batch_format="pyarrow")
+
+
+# second labels of two-part public suffixes (public-suffix-lite): a host
+# ending ".<one-of-these>.<tld>" has a three-label registrable domain
+MULTI_2LD = ("ac", "co", "com", "edu", "gov", "net", "org")
+
+
+def parse_urls_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append ``scheme``, ``host``, ``domain`` (registrable domain via the
+    public-suffix-lite rule), and ``path_depth`` (non-empty path segments).
+    Pure Arrow RE2 kernels, byte-replayable in SQL (the domain_stats oracle
+    runs the identical regexes through DuckDB)."""
+    u = batch[url_col]
+    parts = pc.extract_regex(
+        pc.utf8_lower(u), pattern=r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://(?P<host>[^/:?#]+)"
+    )
+    scheme = pc.struct_field(parts, "scheme")
+    host = pc.struct_field(parts, "host")
+    last2 = pc.struct_field(pc.extract_regex(host, pattern=r"(?P<d>[^.]+\.[^.]+)$"), "d")
+    last3 = pc.struct_field(pc.extract_regex(host, pattern=r"(?P<d>[^.]+\.[^.]+\.[^.]+)$"), "d")
+    sld = pc.struct_field(pc.extract_regex(last2, pattern=r"^(?P<a>[^.]+)\."), "a")
+    use3 = pc.and_kleene(pc.is_in(sld, value_set=pa.array(list(MULTI_2LD))), pc.is_valid(last3))
+    domain = pc.coalesce(pc.if_else(pc.fill_null(use3, False), last3, last2), host)
+    # path: strip query/fragment, then everything after the authority
+    path = pc.replace_substring_regex(u, pattern=r"[?#].*$", replacement="")
+    path = pc.replace_substring_regex(path, pattern=f"{_HEAD_RE}", replacement="")
+    segs = pc.split_pattern(path, pattern="/")
+    flat = pc.list_flatten(segs)
+    parent = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    depth = np.bincount(parent[nonempty], minlength=batch.num_rows).astype(np.int64)
+    for name, col in (
+        ("scheme", scheme),
+        ("host", host),
+        ("domain", domain),
+        ("path_depth", pa.array(depth)),
+    ):
+        batch = batch.append_column(name, col)
+    return batch
+
+
+def parse_urls(ds, url_col: str = "url"):
+    """Dataset -> Dataset + (scheme, host, domain, path_depth). Stateless
+    vectorized map_batches, zero shuffle."""
+    return ds.map_batches(lambda b: parse_urls_batch(b, url_col), batch_format="pyarrow")
+
+
+def domain_stats(ds, *, url_col: str = "url", chars_col: str = "n_chars"):
+    """Per-registrable-domain corpus stats (RefinedWeb-style domain-level
+    accounting): doc count, total chars, mean chars. Map-side partial
+    aggregation (one Arrow group_by per batch) shuffles only the tiny
+    (domain, n, chars) partials, then one small groupby-sum finalizes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = parse_urls_batch(batch, url_col)
+        g = (
+            pa.table({"domain": b["domain"], chars_col: b[chars_col]})
+            .group_by("domain")
+            .aggregate([(chars_col, "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["domain", "sum_chars", "n_docs"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("domain").sum(["sum_chars", "n_docs"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["sum(n_docs)"], pa.int64())
+        s = pc.cast(b["sum(sum_chars)"], pa.int64())
+        mean = pc.divide(pc.cast(s, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.table({"domain": b["domain"], "n_docs": n, "sum_chars": s, "mean_chars": mean})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
