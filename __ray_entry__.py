@@ -630,6 +630,50 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+CF_MIN_WORDS = 25
+CF_MAX_DUP2 = 0.04
+CF_MIN_ALPHA = 0.815
+CF_MWL_LO, CF_MWL_HI = 4.3, 4.7
+
+
+def q_corpus_filter(sf_dir: str):
+    """The composed C4/Gopher keep/drop chain as ONE fused stateless stage:
+    quality signals (byte-mask counts) + repetition fractions (dict-encode
+    lexsort kernels) + mean-word-length, then the conjunctive keep rule
+    n_words >= 25 AND dup_2gram_frac <= 0.04 AND alpha_ratio >= 0.815 AND
+    mwl in [4.3, 4.7]. All features are bit-deterministic vs the SQL
+    replicas (integer sums, exact double divisions), so the kept set is
+    exact. Zero shuffles — the whole filter streams."""
+    from incubator_sedona_ray.text.analysis import quality_fn
+    from incubator_sedona_ray.text.bm25 import _tokenize
+    from incubator_sedona_ray.text.repetition import repetition_batch
+
+    qfn = quality_fn()
+
+    def feats(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        b = repetition_batch(qfn(b))
+        flat, parent = _tokenize(b["text"])
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        tot = np.bincount(parent, weights=lens.astype(np.float64), minlength=b.num_rows)
+        nw = b["n_words"].to_numpy(zero_copy_only=False)
+        mwl = tot / np.maximum(nw, 1)
+        b = b.append_column("mwl", pa.array(mwl, type=pa.float64()))
+        keep = (
+            (nw >= CF_MIN_WORDS)
+            & (b["dup_2gram_frac"].to_numpy(zero_copy_only=False) <= CF_MAX_DUP2)
+            & (b["alpha_ratio"].to_numpy(zero_copy_only=False) >= CF_MIN_ALPHA)
+            & (mwl >= CF_MWL_LO)
+            & (mwl <= CF_MWL_HI)
+        )
+        return b.filter(pa.array(keep))
+
+    out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(feats, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "alpha_ratio", "dup_2gram_frac", "mwl"])
+
+
 _DOMAIN_TLDS = ("com", "org", "co.uk", "de", "net")
 
 
@@ -1617,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "seq_chunks": q_seq_chunks,
         "domain_stats": q_domain_stats,
+        "corpus_filter": q_corpus_filter,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2043,6 +2088,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "corpus_filter": (
+            r"WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, text, ws, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END AS g2 FROM w), "
+            "f AS (SELECT doc_id, len(ws) AS n_words, "
+            "CASE WHEN len(g2) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) END AS dup_2gram_frac, "
+            "CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)/greatest(len(ws), 1) AS mwl, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/greatest(length(text), 1) AS alpha_ratio FROM g) "
+            f"SELECT doc_id, n_words, alpha_ratio, dup_2gram_frac, mwl FROM f "
+            f"WHERE n_words >= {CF_MIN_WORDS} AND dup_2gram_frac <= {CF_MAX_DUP2} "
+            f"AND alpha_ratio >= {CF_MIN_ALPHA} AND mwl >= {CF_MWL_LO} AND mwl <= {CF_MWL_HI}"
+        ),
         "domain_stats": (
             "WITH u AS (SELECT doc_id, n_chars, "
             "'site' || CAST(doc_id % 37 AS VARCHAR) || '.' || "
