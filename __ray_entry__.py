@@ -22,6 +22,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -628,6 +629,154 @@ def q_stratified_sample(sf_dir: str):
         ds, SAMPLE_RATES, strata_col="lang", seed=SAMPLE_SEED, default_rate=SAMPLE_DEFAULT
     )
     return out.select_columns(["doc_id", "lang"])
+
+
+TPCH_CUTOFF = "1998-09-01"
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Exact cent-integer conversion identical to the SQL replica's
+    ``CAST(floor(x*100 + 0.5) AS BIGINT)`` — integer sums are then
+    order-independent, so the distributed aggregation can never diverge
+    from DuckDB by float-summation order."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1-style pricing summary over the biggest table: filter at the
+    read, map-side partial aggregation per batch (one Arrow group_by), then
+    a tiny global groupby-sum over (returnflag, linestatus) partials. All
+    money math in exact integer cents."""
+    cutoff = np.datetime64(TPCH_CUTOFF)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ship <= cutoff))
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_pct = _cents(b["l_discount"].to_numpy(zero_copy_only=False))  # 0..10
+        rev = price_c * (100 - disc_pct)  # cents x pct: scale 10^4, exact
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(qty),
+                "base_c": pa.array(price_c),
+                "disc_c2": pa.array(rev),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "qty", "base_c", "disc_c2", "n"])
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).sum(["qty", "base_c", "disc_c2", "n"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["sum(n)"], pa.int64())
+        qty = pc.cast(b["sum(qty)"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": qty,
+                "sum_base_cents": pc.cast(b["sum(base_c)"], pa.int64()),
+                "sum_disc_cents2": pc.cast(b["sum(disc_c2)"], pa.int64()),
+                "count_order": n,
+                "avg_qty": pc.divide(pc.cast(qty, pa.float64()), pc.cast(n, pa.float64())),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-style revenue rollup: lineitem (filtered at the read,
+    pre-aggregated per orderkey inside each batch) hash-joins orders on the
+    order key, the small customer side broadcasts as a custkey->segment
+    lookup (no second shuffle), and revenue rolls up by (mktsegment,
+    o_orderpriority) in exact integer cents."""
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    cutoff = np.datetime64(TPCH_CUTOFF)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ship > cutoff))
+        price_c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_pct = _cents(b["l_discount"].to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev": pa.array(price_c * (100 - disc_pct))}
+        )
+        return (
+            t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    joined = safe_hash_join(
+        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=32, scrub_left=True, scrub_right=False,
+    )
+
+    # customer is the SMALL side: collect once, broadcast a sorted-key
+    # lookup (searchsorted — no per-row dict lookups in the hot path)
+    cust = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    seg_ref = ray.put(
+        {"keys": cust["c_custkey"].to_numpy(), "segs": cust["c_mktsegment"].to_numpy()}
+    )
+
+    def add_seg(b: pa.Table, seg) -> pa.Table:
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(seg["keys"], keys)
+        idx = np.clip(idx, 0, len(seg["keys"]) - 1)
+        segs = np.where(seg["keys"][idx] == keys, seg["segs"][idx], None)
+        t = b.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+        g = (
+            pa.table({"c_mktsegment": t["c_mktsegment"], "o_orderpriority": t["o_orderpriority"], "rev": t["rev"]})
+            .group_by(["c_mktsegment", "o_orderpriority"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["c_mktsegment", "o_orderpriority", "rev"])
+
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    parts = broadcast_map_batches(joined, add_seg, {"seg": seg_ref})
+    agg = parts.groupby(["c_mktsegment", "o_orderpriority"]).sum("rev")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue_cents2": pc.cast(b["sum(rev)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 CF_MIN_WORDS = 25
@@ -1662,6 +1811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_chunks": q_seq_chunks,
         "domain_stats": q_domain_stats,
         "corpus_filter": q_corpus_filter,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2088,6 +2239,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "tpch_q1": (
+            f"WITH f AS (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '{TPCH_CUTOFF} 00:00:00'), "
+            "c AS (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS base_c, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS disc_c2 FROM f) "
+            "SELECT l_returnflag, l_linestatus, CAST(SUM(qty) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(base_c) AS BIGINT) AS sum_base_cents, CAST(SUM(disc_c2) AS BIGINT) AS sum_disc_cents2, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order, "
+            "CAST(SUM(qty) AS DOUBLE)/COUNT(*) AS avg_qty "
+            "FROM c GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3": (
+            f"WITH li AS (SELECT l_orderkey, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS rev "
+            f"FROM lineitem WHERE l_shipdate > TIMESTAMP '{TPCH_CUTOFF} 00:00:00') "
+            "SELECT c.c_mktsegment, o.o_orderpriority, CAST(SUM(li.rev) AS BIGINT) AS revenue_cents2 "
+            "FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment, o.o_orderpriority"
+        ),
         "corpus_filter": (
             r"WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
             "g AS (SELECT doc_id, text, ws, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[]) "
