@@ -631,6 +631,51 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_image_dedup(sf_dir: str):
+    """Perceptual image dedup (dedup/phash.py): every 5 consecutive doc_ids
+    share a base image — v0 the base, v1/v2 near-identical variants (one-
+    pixel bump / exact re-encode), v3 inverted and v4 re-gradiented (far).
+    dHash (real PNG decode -> luma -> bilinear 8x9 -> difference bits) +
+    the shared banded-hamming tail groups the near-identicals; ~3% of
+    payloads are truncated to exercise skip-invalid (null hash, kept in the
+    survivors universe). Golden-fixture oracle (no SQL closed form)."""
+    from incubator_sedona_ray.dedup.phash import dhash_dedup
+    from incubator_sedona_ray.raster.viz import png_encode_rgb
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        from incubator_sedona_ray.dedup.sample import fmix32
+
+        for i in ids:
+            base, v = int(i) // 5, int(i) % 5
+            w, h = 16 + base % 9, 12 + base % 5
+            # hash-noise texture (NOT a smooth gradient — monotonic rows
+            # would degenerate every dHash to the same all-ones pattern)
+            px = fmix32(np.arange(h * w * 3, dtype=np.uint64) + np.uint64(base * 7919))
+            img = (px % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)
+            if v == 1:  # near-dup: bump one small corner region
+                img = img.copy()
+                img[:2, :2] = np.clip(img[:2, :2].astype(np.int64) + 24, 0, 255).astype(np.uint8)
+            elif v == 3:
+                img = (255 - img).copy()  # inversion flips every diff bit
+            elif v == 4:
+                img = np.rot90(img).copy()  # rearranged texture
+            blob = png_encode_rgb(np.ascontiguousarray(img))
+            if int(i) % 31 == 0:
+                blob = blob[: len(blob) // 2]  # skip-invalid path
+            payloads.append(blob)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    pays = docs.map_batches(to_payload, batch_format="pyarrow")
+    survivors, pairs = dhash_dedup(pays, max_hamming=3)
+    return survivors.select_columns(["doc_id"])
+
+
 TPCH_CUTOFF = "1998-09-01"
 
 
@@ -1813,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": q_corpus_filter,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "image_dedup": q_image_dedup,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -1913,6 +1959,7 @@ _FIXTURE_ORACLES = [
     "image_decode_jpeg",
     "frame_sample_mjpeg",
     "image_resize",
+    "image_dedup",
 ]
 
 

@@ -16,7 +16,8 @@ first-class components alongside the spatial engine).
 from .exact import add_text_hash_fn, dedup_exact  # noqa: F401
 from .paragraph import dedup_paragraphs, explode_paragraphs_fn  # noqa: F401
 from .minhash import minhash_dedup  # noqa: F401
-from .simhash import simhash_batch_fn, simhash_dedup  # noqa: F401
+from .phash import ImageDHash, dhash64, dhash_dedup  # noqa: F401
+from .simhash import fingerprint_dedup, simhash_batch_fn, simhash_dedup  # noqa: F401
 from .embed import embedding_dedup, embedding_dedup_survivors  # noqa: F401
 from .sample import fmix32, keep_mask, sample_stratified, sample_uniform  # noqa: F401
 from .ssjoin import jaccard_self_join  # noqa: F401

@@ -54,10 +54,31 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     ``ds``-derived id side — keeps it streaming; pass when ``ds`` comes
     from a fresh source (see minhash_dedup)."""
     fps = ds.map_batches(simhash_batch_fn(id_col, text_col), batch_format="pyarrow")
+    return fingerprint_dedup(
+        fps, ds, id_col=id_col, hash_col="simhash", max_hamming=max_hamming, scrub_input=scrub_input
+    )
+
+
+def fingerprint_dedup(
+    fps,
+    ds,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    scrub_input: bool = True,
+):
+    """The banded-hamming dedup tail, reusable for ANY 64-bit fingerprint
+    column (text simhash, image dHash, audio chromaprint-style bits):
+    ``fps`` is a Dataset with (id_col, hash_col int64-viewed uint64 bits);
+    ``ds`` is the full id universe for the survivors join. Returns
+    (survivors, pairs) Datasets — same distributed shape as simhash_dedup
+    (4x16-bit band buckets, star pairs, hamming verify, min-label
+    components, left-anti survivors join; nothing on the driver)."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sh = batch[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         out_i, out_b, out_k = [], [], []
         for bi in range(4):
             key = (sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
@@ -69,7 +90,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
                 id_col: np.concatenate(out_i),
                 "band_id": np.concatenate(out_b),
                 "band_key": np.concatenate(out_k),
-                "simhash": pa.array(np.tile(sh.view(np.int64), 4)),
+                hash_col: pa.array(np.tile(sh.view(np.int64), 4)),
             }
         )
 
@@ -84,7 +105,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     # vectorized across buckets (no per-bucket Python), hamming computed
     # per pair row in one batch pass
     stars = star_pairs_by_bucket(
-        banded, ["band_id", "band_key"], id_col, num_parts=num_partitions * 4, carry_col="simhash"
+        banded, ["band_id", "band_key"], id_col, num_parts=num_partitions * 4, carry_col=hash_col
     )
 
     def add_ham(t: pa.Table) -> pa.Table:
