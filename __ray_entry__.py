@@ -631,6 +631,40 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+TOPDOCS_K = 5
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k as a mergeable reduction: per batch keep each lang's
+    local top-k by (alpha_ratio desc, doc_id asc) — top-k merges exactly,
+    so only k rows per (lang, batch) shuffle; a per-group finalize ranks.
+    alpha_ratio is bit-deterministic vs SQL (exact int/int division)."""
+    from incubator_sedona_ray.text.analysis import quality_fn
+
+    qfn = quality_fn()
+
+    def local(b: pa.Table) -> pa.Table:
+        b = qfn(b)
+        df = pa.table(
+            {"lang": b["lang"], "doc_id": b["doc_id"], "alpha_ratio": b["alpha_ratio"]}
+        ).to_pandas()
+        df = df.sort_values(["alpha_ratio", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang", sort=False).head(TOPDOCS_K), preserve_index=False)
+
+    cand = _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        local, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["alpha_ratio", "doc_id"], ascending=[False, True], kind="mergesort").head(
+            TOPDOCS_K
+        ).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("lang").map_groups(merge, batch_format="pandas")
+
+
 def q_image_dedup(sf_dir: str):
     """Perceptual image dedup (dedup/phash.py): every 5 consecutive doc_ids
     share a base image — v0 the base, v1/v2 near-identical variants (one-
@@ -1859,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "image_dedup": q_image_dedup,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2286,6 +2321,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "top_docs_per_lang": (
+            "WITH q AS (SELECT lang, doc_id, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/greatest(length(text), 1) AS alpha_ratio "
+            "FROM documents) "
+            "SELECT lang, doc_id, alpha_ratio, rank FROM ("
+            "SELECT lang, doc_id, alpha_ratio, "
+            "row_number() OVER (PARTITION BY lang ORDER BY alpha_ratio DESC, doc_id) AS rank FROM q) "
+            f"WHERE rank <= {TOPDOCS_K}"
+        ),
         "tpch_q1": (
             f"WITH f AS (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '{TPCH_CUTOFF} 00:00:00'), "
             "c AS (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty, "
