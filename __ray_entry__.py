@@ -631,6 +631,27 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Recrawl dedup against a prior snapshot (dedup/exact.py
+    dedup_incremental): the 'seen' set is the sha256 manifest of docs with
+    doc_id % 3 == 0; the full corpus streams through a broadcast
+    searchsorted membership filter — zero shuffles (join mode covers
+    unbounded seen sets)."""
+    from incubator_sedona_ray.dedup.exact import add_text_hash_fn, dedup_incremental
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def seen_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    seen = docs.map_batches(seen_filter, batch_format="pyarrow").map_batches(
+        add_text_hash_fn(), batch_format="pyarrow"
+    )
+    out = dedup_incremental(docs, seen, mode="broadcast")
+    return out.select_columns(["doc_id", "text_hash"])
+
+
 TOPDOCS_K = 5
 
 
@@ -1894,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "image_dedup": q_image_dedup,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "dedup_incremental": q_dedup_incremental,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2321,6 +2343,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "dedup_incremental": (
+            "WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0) "
+            "SELECT d.doc_id, sha256(d.text) AS text_hash FROM documents d "
+            "LEFT JOIN seen ON sha256(d.text) = seen.h WHERE seen.h IS NULL"
+        ),
         "top_docs_per_lang": (
             "WITH q AS (SELECT lang, doc_id, "
             "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/greatest(length(text), 1) AS alpha_ratio "

@@ -13,7 +13,7 @@ first-class components alongside the spatial engine).
   rebuild docs from survivors; Lee et al. 2021 at paragraph granularity)
 """
 
-from .exact import add_text_hash_fn, dedup_exact  # noqa: F401
+from .exact import add_text_hash_fn, dedup_exact, dedup_incremental  # noqa: F401
 from .paragraph import dedup_paragraphs, explode_paragraphs_fn  # noqa: F401
 from .minhash import minhash_dedup  # noqa: F401
 from .phash import ImageDHash, dhash64, dhash_dedup  # noqa: F401

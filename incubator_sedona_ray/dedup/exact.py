@@ -43,3 +43,76 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_cols: l
     return attach_payload(
         survivors, payload, key=id_col, payload_key=id_col, strategy="hash"
     )
+
+
+def dedup_incremental(
+    ds,
+    seen_hashes,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "broadcast",
+    num_partitions: int | None = None,
+):
+    """Recrawl/incremental exact dedup: drop rows whose sha256(text) already
+    exists in a prior corpus snapshot.
+
+    ``seen_hashes`` is either a Dataset with a ``text_hash`` column (the
+    prior snapshot's hash manifest) or any iterable of hex digests.
+
+    ``mode="broadcast"`` (default): the seen set collapses to ONE sorted
+    numpy array of hex digests shipped once (``ray.put``) and membership is
+    a vectorized ``searchsorted`` per batch — the new corpus streams with
+    ZERO shuffles. Right up to ~10^9 seen hashes (32 GB of digests); past
+    that use ``mode="join"``: a distributed left-anti hash join on the
+    hash column (one shuffle each side, unbounded seen set). Same pattern
+    pair as text/decontam.py.
+    """
+    import numpy as np
+
+    hashed = ds.map_batches(add_text_hash_fn(text_col), batch_format="pyarrow")
+    if mode == "join":
+        from ..state.blocks import safe_hash_join
+
+        if num_partitions is None:
+            # Ray's JoinOperator reserves actors per partition group — a fixed
+            # large count deadlocks small clusters (seen: 64 parts @ 4 CPUs).
+            try:
+                import ray as _r
+
+                num_partitions = max(2, int(_r.cluster_resources().get("CPU", 4)) // 2)
+            except Exception:
+                num_partitions = 4
+
+        if not hasattr(seen_hashes, "map_batches"):
+            import ray as _ray
+
+            seen_hashes = _ray.data.from_arrow(
+                pa.table({"text_hash": pa.array(sorted(set(seen_hashes)), type=pa.string())})
+            )
+        seen = seen_hashes.select_columns(["text_hash"])
+        return safe_hash_join(
+            hashed, seen, "left_anti", num_partitions, on=("text_hash",),
+        )
+    if mode != "broadcast":
+        raise ValueError(f"mode must be 'broadcast' or 'join', got {mode!r}")
+
+    import ray as _ray
+
+    if hasattr(seen_hashes, "map_batches"):
+        seen_list = seen_hashes.select_columns(["text_hash"]).to_pandas()["text_hash"].to_numpy()
+    else:
+        seen_list = np.asarray(list(seen_hashes), dtype=object)
+    seen_arr = np.sort(np.unique(seen_list.astype("U64")))
+    seen_ref = _ray.put(seen_arr)
+
+    def keep_unseen(batch: pa.Table, seen_sorted) -> pa.Table:
+        h = np.asarray(batch["text_hash"].to_pylist(), dtype="U64")
+        idx = np.searchsorted(seen_sorted, h)
+        idx_c = np.minimum(idx, len(seen_sorted) - 1) if len(seen_sorted) else idx
+        member = (seen_sorted[idx_c] == h) if len(seen_sorted) else np.zeros(len(h), bool)
+        return batch.filter(pa.array(~member))
+
+    from ..partition.assign import broadcast_map_batches
+
+    return broadcast_map_batches(hashed, keep_unseen, {"seen_sorted": seen_ref})

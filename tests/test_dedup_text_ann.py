@@ -55,6 +55,41 @@ def test_dedup_exact_keep_cols_reattaches_rows():
     assert (merged["extra"] == merged["extra_src"]).all()
 
 
+def test_dedup_incremental_broadcast_and_join_agree():
+    from incubator_sedona_ray.dedup import dedup_incremental
+    from incubator_sedona_ray.dedup.exact import add_text_hash_fn
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()[["doc_id", "text"]]
+    ds = ray.data.from_pandas(df)
+    seen_df = df[df.doc_id % 3 == 0]
+    seen = ray.data.from_pandas(seen_df).map_batches(
+        add_text_hash_fn(), batch_format="pyarrow"
+    )
+    expected = set(df.doc_id) - set(
+        df[df.text.isin(seen_df.text)].doc_id
+    )  # drop every doc whose TEXT was seen (dups of seen texts go too)
+    out_b = dedup_incremental(ds, seen, mode="broadcast").to_pandas()
+    assert set(out_b.doc_id) == expected
+    out_j = dedup_incremental(ds, seen, mode="join").to_pandas()
+    assert set(out_j.doc_id) == expected
+    assert sorted(out_j.columns) == sorted(out_b.columns)
+
+
+def test_dedup_incremental_iterable_seen_and_empty():
+    from incubator_sedona_ray.dedup import dedup_incremental
+
+    import hashlib
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "cc"]})
+    ds = ray.data.from_pandas(df)
+    h_bb = hashlib.sha256(b"bb").hexdigest()
+    out = dedup_incremental(ds, [h_bb], mode="broadcast").to_pandas()
+    assert set(out.doc_id) == {1, 3}
+    # empty seen set keeps everything
+    out2 = dedup_incremental(ds, [], mode="broadcast").to_pandas()
+    assert set(out2.doc_id) == {1, 2, 3}
+
+
 def test_minhash_dedup_catches_near_dups():
     df = _docs_with_dups()
     ds = ray.data.from_pandas(df)
