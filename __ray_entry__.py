@@ -652,6 +652,191 @@ def q_dedup_incremental(sf_dir: str):
     return out.select_columns(["doc_id", "text_hash"])
 
 
+QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_doclen_quantiles(sf_dir: str):
+    """EXACT global quantiles of document length WITHOUT a global sort
+    (sketch/quantiles.py): 3 streaming histogram passes, shuffle bounded by
+    bucket count — vs `ds.sort()` which moves every row. Matches DuckDB
+    quantile_disc semantics (1-based rank ceil(q*n))."""
+    from incubator_sedona_ray.sketch import quantiles_exact
+
+    docs = _docs(sf_dir, columns=["n_chars"])
+    got = quantiles_exact(docs, "n_chars", list(QUANTILE_QS))
+    return pa.table(
+        {
+            "q": pa.array(list(QUANTILE_QS), pa.float64()),
+            "value": pa.array([float(got[q]) for q in QUANTILE_QS], pa.float64()),
+        }
+    )
+
+
+def q_lang_length_quantiles(sf_dir: str):
+    """Per-language exact median/p90 of document length via (group, value)
+    count partials — the shuffle carries distinct (lang, length) pairs, not
+    rows (sketch/quantiles.py grouped_quantiles_exact)."""
+    from incubator_sedona_ray.sketch import grouped_quantiles_exact
+
+    docs = _docs(sf_dir, columns=["lang", "n_chars"])
+    out = grouped_quantiles_exact(docs, "n_chars", [0.5, 0.9], by="lang")
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("value"), "value", b["value"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+TOP_NGRAM_K = 20
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams, exact (text/ngrams.py): per-batch
+    np.unique partial counts -> distinct-ngram groupby sum -> mergeable
+    local/global top-k. Ties (count desc, ngram asc)."""
+    from incubator_sedona_ray.text.ngrams import top_ngrams
+
+    docs = _docs(sf_dir, columns=["text"])
+    return top_ngrams(docs, n=2, k=TOP_NGRAM_K)
+
+
+HLL_P = 12
+HLL_DOMAIN_MOD = 10_007
+
+
+def q_hll_domains(sf_dir: str):
+    """HyperLogLog distinct-domain estimate (sketch/hll.py): ONE register
+    row per batch, block-level max-merge, O(#blocks) driver fold — the
+    100 TB replacement for a COUNT(DISTINCT) shuffle. sha256-hashed ->
+    bit-deterministic -> golden-fixture oracle; the pytest suite asserts
+    the estimate against the exact count within the 1.04/sqrt(2^p) bound."""
+    from incubator_sedona_ray.sketch import hll_count_distinct
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def mk_dom(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        doms = np.char.add(
+            np.char.add("dom", (ids % HLL_DOMAIN_MOD).astype("U8")), ".net"
+        )
+        return pa.table({"domain": pa.array(doms.astype(object), pa.string())})
+
+    est = hll_count_distinct(docs.map_batches(mk_dom, batch_format="pyarrow"), "domain", p=HLL_P)
+    return pa.table({"p": pa.array([HLL_P], pa.int64()), "estimate": pa.array([round(est, 6)], pa.float64())})
+
+
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_LO, TPCH_Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-style local-supplier revenue: ONE big-big hash join
+    (lineitem x date-filtered orders on orderkey); every dimension hop —
+    region->nation set, custkey->nationkey, suppkey->nationkey — is a
+    broadcast sorted-key lookup, and revenue rolls up in exact integer
+    cents with map-side partials. At true TPC-H ratios customer is ~1.5%
+    of lineitem: broadcastable far longer than orders, and the fallback is
+    the same safe_hash_join used for the orderkey join."""
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nk = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nk = nk[nk.r_name == TPCH_Q5_REGION][["n_nationkey", "n_name"]].sort_values("n_nationkey")
+    nation_keys = nk["n_nationkey"].to_numpy()
+    nation_names = nk["n_name"].to_numpy()
+
+    cust = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    supp = (
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    lut = ray.put(
+        {
+            "ck": cust["c_custkey"].to_numpy(),
+            "cn": cust["c_nationkey"].to_numpy(),
+            "sk": supp["s_suppkey"].to_numpy(),
+            "sn": supp["s_nationkey"].to_numpy(),
+            "nk": nation_keys,
+        }
+    )
+    lo, hi = np.datetime64(TPCH_Q5_LO), np.datetime64(TPCH_Q5_HI)
+
+    def orders_side(b: pa.Table, lut) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((d >= lo) & (d < hi)))
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(lut["ck"], keys), 0, len(lut["ck"]) - 1)
+        cnat = np.where(lut["ck"][idx] == keys, lut["cn"][idx], -1)
+        keep = np.isin(cnat, lut["nk"])
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+                "c_nat": pa.array(cnat[keep], pa.int32()),
+            }
+        )
+
+    def li_side(b: pa.Table, lut) -> pa.Table:
+        price_c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_pct = _cents(b["l_discount"].to_numpy(zero_copy_only=False))
+        keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(lut["sk"], keys), 0, len(lut["sk"]) - 1)
+        snat = np.where(lut["sk"][idx] == keys, lut["sn"][idx], -1)
+        keep = np.isin(snat, lut["nk"])
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].filter(pa.array(keep)),
+                "s_nat": pa.array(snat[keep], pa.int32()),
+                "rev": pa.array((price_c * (100 - disc_pct))[keep], pa.int64()),
+            }
+        )
+
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    ords = broadcast_map_batches(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        orders_side,
+        {"lut": lut},
+    )
+    li = broadcast_map_batches(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        li_side,
+        {"lut": lut},
+    )
+    joined = safe_hash_join(
+        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=32
+    )
+
+    name_by_key = ray.put({"keys": nation_keys, "names": nation_names})
+
+    def rollup(b: pa.Table, nb) -> pa.Table:
+        sn = b["s_nat"].to_numpy(zero_copy_only=False)
+        keep = sn == b["c_nat"].to_numpy(zero_copy_only=False)  # local supplier
+        sn = sn[keep]
+        rev = b["rev"].to_numpy(zero_copy_only=False)[keep]
+        idx = np.searchsorted(nb["keys"], sn)
+        names = nb["names"][idx]
+        t = pa.table({"n_name": pa.array(names, pa.string()), "rev": pa.array(rev, pa.int64())})
+        return (
+            t.group_by("n_name").aggregate([("rev", "sum")]).rename_columns(["n_name", "rev"])
+        )
+
+    parts = broadcast_map_batches(joined, rollup, {"nb": name_by_key})
+    out = parts.groupby("n_name").sum("rev")
+    return out.map_batches(
+        lambda b: b.rename_columns(["n_name", "revenue_cents2"]), batch_format="pyarrow"
+    )
+
+
 TOPDOCS_K = 5
 
 
@@ -1916,6 +2101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup": q_image_dedup,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_incremental": q_dedup_incremental,
+        "doclen_quantiles": q_doclen_quantiles,
+        "lang_length_quantiles": q_lang_length_quantiles,
+        "top_bigrams": q_top_bigrams,
+        "hll_domains": q_hll_domains,
+        "tpch_q5": q_tpch_q5,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -2017,6 +2207,7 @@ _FIXTURE_ORACLES = [
     "frame_sample_mjpeg",
     "image_resize",
     "image_dedup",
+    "hll_domains",
 ]
 
 
@@ -2347,6 +2538,36 @@ def oracle_sql() -> dict[str, str]:
             "WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0) "
             "SELECT d.doc_id, sha256(d.text) AS text_hash FROM documents d "
             "LEFT JOIN seen ON sha256(d.text) = seen.h WHERE seen.h IS NULL"
+        ),
+        "doclen_quantiles": " UNION ALL ".join(
+            f"SELECT {q} AS q, CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS value FROM documents"
+            for q in QUANTILE_QS
+        ),
+        "lang_length_quantiles": (
+            "SELECT lang, 0.5 AS q, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value "
+            "FROM documents GROUP BY lang UNION ALL "
+            "SELECT lang, 0.9 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value "
+            "FROM documents GROUP BY lang"
+        ),
+        "top_bigrams": (
+            r"WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a "
+            "FROM documents), grams AS ("
+            "SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS ngram "
+            "FROM toks WHERE len(a) >= 2) "
+            "SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams "
+            f"GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT {TOP_NGRAM_K}"
+        ),
+        "tpch_q5": (
+            "WITH o AS (SELECT o_orderkey, c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey "
+            f"WHERE o_orderdate >= TIMESTAMP '{TPCH_Q5_LO} 00:00:00' AND o_orderdate < TIMESTAMP '{TPCH_Q5_HI} 00:00:00'), "
+            "l AS (SELECT l_orderkey, s_nationkey, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS rev "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) "
+            "SELECT n_name, CAST(SUM(rev) AS BIGINT) AS revenue_cents2 "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation ON l.s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey "
+            f"WHERE r_name = '{TPCH_Q5_REGION}' AND l.s_nationkey = o.c_nationkey "
+            "GROUP BY n_name"
         ),
         "top_docs_per_lang": (
             "WITH q AS (SELECT lang, doc_id, "

@@ -1,0 +1,101 @@
+"""Corpus-wide top-k word n-grams — the training-data vocabulary /
+heavy-hitter primitive (e.g. boilerplate detection, contamination
+phrases, BPE seed statistics).
+
+Exact, with the shuffle bounded by DISTINCT n-grams rather than rows:
+
+1. **map-side combine** — one ``map_batches`` tokenizes each batch (the
+   repo-standard tokenization: lowercase, split ``\\s+``, drop empties —
+   identical to bm25/decontam so the DuckDB oracle reproduces it), forms
+   the n-grams positionally within each row, and emits each batch's
+   ``np.unique`` (ngram, count) pairs — the partial aggregate.
+2. **keyed sum** — ``groupby(ngram).sum`` over the pre-aggregated pair
+   stream; the all-to-all moves one row per distinct n-gram per batch,
+   not one per occurrence.
+3. **mergeable top-k** — after the sum each n-gram exists exactly once,
+   so a local top-k per block followed by one single-group merge is the
+   exact global top-k (same reduction shape as join/knn.py top-k).
+
+Ties break deterministically: (count desc, ngram asc).
+
+At 100 TB the distinct-bigram universe is itself large (billions); the
+groupby shuffle is unavoidable for exactness but its payload is the
+already-combined pair stream. For an approximate/bounded variant, feed the
+per-batch partials into a count-min or SpaceSaving stage instead of the
+groupby — the map-side combine here is reusable as-is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bm25 import _tokenize
+
+__all__ = ["ngram_partials", "top_ngrams"]
+
+
+def _batch_ngrams(batch: pa.Table, text_col: str, n: int) -> np.ndarray:
+    """All word n-grams of every row in the batch, space-joined, as one
+    object ndarray (vectorized: one flat token buffer + positional masks,
+    no per-row Python loop)."""
+    flat, parent = _tokenize(batch[text_col])
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    if len(toks) < n:
+        return np.empty(0, dtype=object)
+    # position j starts an n-gram iff positions j..j+n-1 share a row
+    ok = np.ones(len(toks) - n + 1, dtype=bool)
+    for d in range(1, n):
+        ok &= parent[d : len(parent) - n + 1 + d] == parent[: len(parent) - n + 1]
+    starts = np.nonzero(ok)[0]
+    if len(starts) == 0:
+        return np.empty(0, dtype=object)
+    grams = toks[starts]
+    for d in range(1, n):
+        grams = grams + " "
+        grams = grams + toks[starts + d]
+    return grams
+
+
+def ngram_partials(ds, *, n: int = 2, text_col: str = "text"):
+    """Dataset of per-batch (ngram, cnt) partial counts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = _batch_ngrams(batch, text_col, n)
+        if len(grams) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        vals, cnts = np.unique(grams, return_counts=True)
+        return pa.table(
+            {"ngram": pa.array(vals, pa.string()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Exact global top-k (ngram, cnt) Dataset, (count desc, ngram asc)."""
+    summed = (
+        ngram_partials(ds, n=n, text_col=text_col)
+        .groupby("ngram")
+        .sum("cnt")
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
+        g = np.asarray(batch["ngram"].to_pylist(), dtype=object)
+        order = np.lexsort((g, -c))[:k]
+        return pa.table(
+            {"ngram": pa.array(g[order], pa.string()), "cnt": pa.array(c[order], pa.int64())}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
+        return out[["ngram", "cnt"]].reset_index(drop=True)
+
+    local = summed.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+    return (
+        local.add_column("_g", lambda b: pd.Series(np.zeros(len(b), dtype=np.int64)))
+        .groupby("_g")
+        .map_groups(merge, batch_format="pandas")
+    )
