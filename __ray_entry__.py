@@ -652,6 +652,34 @@ def q_dedup_incremental(sf_dir: str):
     return out.select_columns(["doc_id", "text_hash"])
 
 
+RESERVOIR_K = 64
+RESERVOIR_SEED = 5
+
+
+def q_reservoir_sample(sf_dir: str):
+    """Exact-size deterministic uniform sample (dedup/sample.py
+    sample_fixed_k): fmix32 hash-key reservoir, local top-k per batch +
+    one single-group merge — zero shuffles. Bit-replayable in SQL
+    (ORDER BY fmix32(id), id LIMIT k)."""
+    from incubator_sedona_ray.dedup import sample_fixed_k
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    return sample_fixed_k(docs, RESERVOIR_K, seed=RESERVOIR_SEED).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
+def q_reservoir_per_lang(sf_dir: str):
+    """Exactly k rows per language (sample_fixed_k_per_group): per-batch
+    per-group top-k partials, keyed shuffle bounded by batches x groups x k."""
+    from incubator_sedona_ray.dedup import sample_fixed_k_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    return sample_fixed_k_per_group(docs, 10, seed=RESERVOIR_SEED).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -2101,6 +2129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup": q_image_dedup,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_incremental": q_dedup_incremental,
+        "reservoir_sample": q_reservoir_sample,
+        "reservoir_per_lang": q_reservoir_per_lang,
         "doclen_quantiles": q_doclen_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_bigrams": q_top_bigrams,
@@ -2209,6 +2239,13 @@ _FIXTURE_ORACLES = [
     "image_dedup",
     "hll_domains",
 ]
+
+
+def _reservoir_h() -> str:
+    """fmix32 priority expression shared by the reservoir-sample oracles."""
+    from incubator_sedona_ray.dedup.sample import fmix32_sql
+
+    return fmix32_sql("doc_id", seed=RESERVOIR_SEED)
 
 
 def _stratified_sample_sql() -> str:
@@ -2538,6 +2575,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0) "
             "SELECT d.doc_id, sha256(d.text) AS text_hash FROM documents d "
             "LEFT JOIN seen ON sha256(d.text) = seen.h WHERE seen.h IS NULL"
+        ),
+        "reservoir_sample": (
+            "SELECT doc_id, lang FROM documents "
+            f"ORDER BY {_reservoir_h()}, doc_id LIMIT {RESERVOIR_K}"
+        ),
+        "reservoir_per_lang": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            f"row_number() OVER (PARTITION BY lang ORDER BY {_reservoir_h()}, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
         ),
         "doclen_quantiles": " UNION ALL ".join(
             f"SELECT {q} AS q, CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS value FROM documents"

@@ -19,5 +19,12 @@ from .minhash import minhash_dedup  # noqa: F401
 from .phash import ImageDHash, dhash64, dhash_dedup  # noqa: F401
 from .simhash import fingerprint_dedup, simhash_batch_fn, simhash_dedup  # noqa: F401
 from .embed import embedding_dedup, embedding_dedup_survivors  # noqa: F401
-from .sample import fmix32, keep_mask, sample_stratified, sample_uniform  # noqa: F401
+from .sample import (  # noqa: F401
+    fmix32,
+    keep_mask,
+    sample_fixed_k,
+    sample_fixed_k_per_group,
+    sample_stratified,
+    sample_uniform,
+)
 from .ssjoin import jaccard_self_join  # noqa: F401

@@ -85,3 +85,64 @@ def fmix32_sql(expr: str, seed: int = 0) -> str:
     h3 = f"xor({h2}, ({h2}) // 8192)"
     h4 = f"CAST((CAST(({h3}) AS HUGEINT) * {int(_C2)}) % 4294967296 AS BIGINT)"
     return f"xor({h4}, ({h4}) // 65536)"
+
+
+def sample_fixed_k(ds, k: int, *, id_col: str = "doc_id", seed: int = 0):
+    """EXACT-size uniform sample of k rows, deterministic and mergeable
+    (hash-key reservoir, Efraimidis-Spirakis with fmix32 priorities): rank
+    every row by ``fmix32(id + seed)`` (a 32-bit BIJECTION — uniform and
+    collision-free over int ids), keep the k smallest. The k-smallest set
+    is a mergeable reduction: local top-k per batch, one single-group merge
+    — zero shuffles, O(batches x k) exchanged.
+
+    Replayable in SQL as ``ORDER BY fmix32(id), id LIMIT k`` (see
+    :func:`fmix32_sql`), so the sample is bit-identical across engines and
+    across resumed/re-run shards.
+    """
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = fmix32((ids.astype(np.uint64) + np.uint64(seed)) & _MASK32)
+        order = np.lexsort((ids, h))[:k]
+        return batch.take(order).append_column("_h", pa.array(h[order].astype(np.int64)))
+
+    def merge(df):
+        out = df.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return out.drop(columns=["_h", "_g"]).reset_index(drop=True)
+
+    import pandas as _pd
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return (
+        local.add_column("_g", lambda b: _pd.Series(np.zeros(len(b), dtype=np.int64)))
+        .groupby("_g")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def sample_fixed_k_per_group(
+    ds, k: int, *, group_col: str = "lang", id_col: str = "doc_id", seed: int = 0
+):
+    """Exactly k rows PER GROUP (min(k, group size)), same deterministic
+    fmix32 priorities. Local per-(batch, group) top-k partials shrink the
+    keyed shuffle to O(batches x groups x k) rows; one ``map_groups`` per
+    group finishes the merge. SQL replica: ``row_number() OVER (PARTITION
+    BY group ORDER BY fmix32(id), id) <= k``."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = fmix32((ids.astype(np.uint64) + np.uint64(seed)) & _MASK32)
+        grp = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        order = np.lexsort((ids, h, grp))  # group-major, then priority
+        g_sorted = grp[order]
+        starts = np.r_[0, np.nonzero(g_sorted[1:] != g_sorted[:-1])[0] + 1]
+        rank_in_group = np.arange(len(order)) - np.repeat(starts, np.diff(np.r_[starts, len(order)]))
+        keep = order[rank_in_group < k]
+        return batch.take(keep).append_column("_h", pa.array(h[keep].astype(np.int64)))
+
+    def merge(df):
+        out = df.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return out.drop(columns=["_h"]).reset_index(drop=True)
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby(group_col).map_groups(merge, batch_format="pandas")

@@ -3,6 +3,7 @@ SQL replica, rate behavior, stratification, and determinism."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -73,3 +74,40 @@ def test_stratified_rates(ray_session):
     en = (out["lang"] == "en").sum() / (n / 2)
     xx = (out["lang"] == "xx").sum() / (n / 2)
     assert abs(en - 0.8) < 0.05 and abs(xx - 0.1) < 0.05
+
+
+def test_fixed_k_exact_size_and_determinism(ray_session):
+    from incubator_sedona_ray.dedup import sample_fixed_k
+    from incubator_sedona_ray.dedup.sample import fmix32, _MASK32
+
+    n, k, seed = 5000, 37, 5
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "lang": np.where(ids % 2 == 0, "en", "xx")})
+    ds = ray.data.from_pandas([df.iloc[i : i + 700] for i in range(0, n, 700)])
+    out = sample_fixed_k(ds, k, seed=seed).to_pandas()
+    assert len(out) == k
+    # exact expected set: k smallest fmix32 priorities
+    h = fmix32((ids.astype(np.uint64) + np.uint64(seed)) & _MASK32)
+    exp = set(ids[np.lexsort((ids, h))[:k]])
+    assert set(out.doc_id) == exp
+    # deterministic across a re-run with different chunking
+    ds2 = ray.data.from_pandas([df.iloc[i : i + 1234] for i in range(0, n, 1234)])
+    out2 = sample_fixed_k(ds2, k, seed=seed).to_pandas()
+    assert set(out2.doc_id) == exp
+
+
+def test_fixed_k_per_group_sizes(ray_session):
+    from incubator_sedona_ray.dedup import sample_fixed_k_per_group
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(3000), "lang": rng.choice(["en", "fr", "de"], size=3000)}
+    )
+    # one tiny group, below k
+    df.loc[df.index[:4], "lang"] = "tiny"
+    df.loc[df.index[4:], "lang"] = rng.choice(["en", "fr", "de"], size=2996)
+    ds = ray.data.from_pandas([df.iloc[i : i + 500] for i in range(0, 3000, 500)])
+    out = sample_fixed_k_per_group(ds, 10, seed=1).to_pandas()
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes["en"] == sizes["fr"] == sizes["de"] == 10
+    assert sizes["tiny"] == 4  # min(k, group size)
