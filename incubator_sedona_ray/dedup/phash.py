@@ -99,12 +99,17 @@ def dhash_dedup(
     (state once per actor, small batches for large payloads)."""
     from .simhash import fingerprint_dedup
 
+    from ..partition.assign import default_pool
+
     fps = ds.map_batches(
         ImageDHash,
         fn_constructor_kwargs={"bin_col": bin_col, "id_col": id_col, "codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        # autoscaling (1, N) pool, NOT a fixed count: a fixed pool the size
+        # of the cluster pins every CPU and starves the downstream banded
+        # groupby shuffle (observed: 4 actors @ 4 CPUs -> near-livelock)
+        concurrency=concurrency or default_pool(),
     )
     hashed = fps.map_batches(
         lambda t: t.filter(pc.is_valid(t["dhash"])), batch_format="pyarrow"
