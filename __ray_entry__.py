@@ -716,6 +716,60 @@ def q_lang_length_quantiles(sf_dir: str):
     )
 
 
+def q_lang_moments(sf_dir: str):
+    """Per-language mean/variance of doc length via EXACT integer moment
+    partials (sketch/moments.py): float sums are order-dependent, so the
+    distributed aggregation carries (n, sum, sum^2) as int64 and finalizes
+    with one fixed float64 expression — bit-identical to the oracle, which
+    derives mean/var from the same integer sums rather than its own AVG."""
+    from incubator_sedona_ray.sketch import grouped_moments
+
+    docs = _docs(sf_dir, columns=["lang", "n_chars"])
+    return grouped_moments(docs, "n_chars", by="lang")
+
+
+def q_lang_distinct_sources(sf_dir: str):
+    """Exact COUNT(DISTINCT source) per language: per-batch distinct
+    (lang, source) pairs (map-side combine), keyed groupby over the pair
+    stream, then a per-lang count — the shuffle carries distinct pairs,
+    not rows."""
+    docs = _docs(sf_dir, columns=["lang", "source"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "source": b["source"]})
+        return t.group_by(["lang", "source"]).aggregate([])
+
+    distinct = docs.map_batches(pairs, batch_format="pyarrow").groupby(["lang", "source"]).count()
+    out = distinct.groupby("lang").count()
+    return out.map_batches(
+        lambda b: b.rename_columns(["lang", "n_sources"]).set_column(
+            1, "n_sources", b.column(1).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+BAND_LO_Q, BAND_HI_Q = 0.05, 0.95
+
+
+def q_length_band_filter(sf_dir: str):
+    """Quantile-band corpus filter (Gopher-style length trimming with
+    DATA-DERIVED thresholds): phase 1 computes exact global p05/p95 via the
+    sortless histogram quantiles, phase 2 streams the corpus through the
+    [p05, p95] band filter — the composition pattern for any
+    'filter by percentile' pipeline stage."""
+    from incubator_sedona_ray.sketch import quantiles_exact
+
+    got = quantiles_exact(_docs(sf_dir, columns=["n_chars"]), "n_chars", [BAND_LO_Q, BAND_HI_Q])
+    lo, hi = got[BAND_LO_Q], got[BAND_HI_Q]
+
+    def band(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return _docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(band, batch_format="pyarrow")
+
+
 TOP_NGRAM_K = 20
 
 
@@ -2134,6 +2188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_bigrams": q_top_bigrams,
+        "lang_moments": q_lang_moments,
+        "lang_distinct_sources": q_lang_distinct_sources,
+        "length_band_filter": q_length_band_filter,
         "hll_domains": q_hll_domains,
         "tpch_q5": q_tpch_q5,
         "ann_topk": q_ann_topk,
@@ -2594,6 +2651,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang UNION ALL "
             "SELECT lang, 0.9 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value "
             "FROM documents GROUP BY lang"
+        ),
+        "lang_moments": (
+            "WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS s1, "
+            "CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2 FROM documents GROUP BY lang) "
+            "SELECT lang, n, s1, s2, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+            "(CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) AS var_pop FROM s"
+        ),
+        "lang_distinct_sources": (
+            "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM documents GROUP BY lang"
+        ),
+        "length_band_filter": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
+            f"(SELECT quantile_disc(n_chars, {BAND_LO_Q}) FROM documents) "
+            f"AND n_chars <= (SELECT quantile_disc(n_chars, {BAND_HI_Q}) FROM documents)"
         ),
         "top_bigrams": (
             r"WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a "

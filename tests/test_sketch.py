@@ -140,3 +140,29 @@ def test_top_ngrams_trigrams():
     ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
     got = top_ngrams(ds, n=3, k=2).to_pandas()
     assert list(zip(got["ngram"], got["cnt"])) == [("a b c", 60), ("b c d", 60)]
+
+
+def test_grouped_moments_bit_exact():
+    from incubator_sedona_ray.sketch import grouped_moments
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {"x": rng.integers(0, 10_000, size=8000), "g": rng.choice(["p", "q", "r"], size=8000)}
+    )
+    out = grouped_moments(_chunked(df), "x", by="g").to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        v = sub["x"].to_numpy().astype(np.int64)
+        n, s1, s2 = len(v), int(v.sum()), int((v * v).sum())
+        row = out.loc[g]
+        assert (row["n"], row["s1"], row["s2"]) == (n, s1, s2)
+        # the float finalization must be the exact fixed expression
+        assert row["mean"] == np.float64(s1) / np.float64(n)
+        assert row["var_pop"] == (np.float64(s2) - np.float64(s1) * np.float64(s1) / np.float64(n)) / np.float64(n)
+
+
+def test_grouped_moments_overflow_guard():
+    from incubator_sedona_ray.sketch import grouped_moments
+
+    df = pd.DataFrame({"x": np.full(10, 2**33, dtype=np.int64), "g": ["a"] * 10})
+    with pytest.raises(Exception, match="(?i)overflow|too large"):
+        grouped_moments(ray.data.from_pandas(df), "x", by="g").to_pandas()
