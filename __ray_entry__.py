@@ -716,6 +716,17 @@ def q_lang_length_quantiles(sf_dir: str):
     )
 
 
+def q_script_mix(sf_dir: str):
+    """Unicode-script composition per doc (text/analysis.py script_mix_fn):
+    one vectorized RE2 \\p{Script} count kernel per script per batch;
+    stateless map, zero shuffles."""
+    from incubator_sedona_ray.text.analysis import script_mix_fn
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    out = docs.map_batches(script_mix_fn(), batch_format="pyarrow")
+    return out.drop_columns(["text"])
+
+
 def q_lang_moments(sf_dir: str):
     """Per-language mean/variance of doc length via EXACT integer moment
     partials (sketch/moments.py): float sums are order-dependent, so the
@@ -2188,6 +2199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_bigrams": q_top_bigrams,
+        "script_mix": q_script_mix,
         "lang_moments": q_lang_moments,
         "lang_distinct_sources": q_lang_distinct_sources,
         "length_band_filter": q_length_band_filter,
@@ -2651,6 +2663,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang UNION ALL "
             "SELECT lang, 0.9 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value "
             "FROM documents GROUP BY lang"
+        ),
+        "script_mix": (
+            "SELECT doc_id, "
+            + ", ".join(
+                rf"CAST(length(regexp_replace(text, '[^\p{{{s}}}]', '', 'g')) AS DOUBLE)"
+                f"/greatest(length(text), 1) AS frac_{s.lower()}"
+                for s in ("Arabic", "Cyrillic", "Han", "Latin")
+            )
+            + ", (SELECT s FROM (SELECT unnest(['Arabic','Cyrillic','Han','Latin']) AS s, "
+            r"unnest([length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')), "
+            r"length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')), "
+            r"length(regexp_replace(text, '[^\p{Han}]', '', 'g')), "
+            r"length(regexp_replace(text, '[^\p{Latin}]', '', 'g'))]) AS c) "
+            "ORDER BY c DESC, s LIMIT 1) AS dominant_script FROM documents"
         ),
         "lang_moments": (
             "WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "

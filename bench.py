@@ -489,6 +489,33 @@ def run_bench() -> dict:
 
     timed("q15_bm25", q15, rows=2 * n_pages)  # two passes over the corpus
 
+    # q16: corpus-wide top-20 bigrams — map-side np.unique combine, then a
+    # groupby shuffle bounded by DISTINCT bigrams, then mergeable top-k.
+    def q16():
+        from incubator_sedona_ray.text.ngrams import top_ngrams
+
+        ds = expanded_pages(ray, n_docs, columns=["text"])
+        return top_ngrams(ds, n=2, k=20).count()
+
+    timed("q16_top_bigrams", q16, rows=n_pages)
+
+    # q17: exact global quantiles of page length — 3 histogram passes, no
+    # sort shuffle (the streaming replacement for ds.sort + rank lookup).
+    def q17():
+        from incubator_sedona_ray.sketch import quantiles_exact
+
+        ds = expanded_pages(ray, n_docs, columns=["text"]).map_batches(
+            lambda b: pa.table(
+                {"n_chars": pa.compute.utf8_length(b["text"]).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=BATCH,
+        )
+        got = quantiles_exact(ds, "n_chars", [0.25, 0.5, 0.9, 0.99])
+        return len(got)
+
+    timed("q17_quantiles", q17, rows=3 * n_pages)  # three passes
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

@@ -261,3 +261,38 @@ def fingerprint_fn(text_col: str = "text", out_col: str = "fingerprint", window:
         return batch.append_column(out_col, pa.array(vals.view(np.int64)))
 
     return fn
+
+
+SCRIPTS = ("Arabic", "Cyrillic", "Han", "Latin")
+
+
+def script_mix_fn(text_col: str = "text"):
+    """Unicode-script composition per document — the multilingual-corpus
+    triage stage (mixed-script spam, mislabeled languages, CJK in a
+    'latin' shard). Fully vectorized: one RE2 ``\\p{Script}`` count kernel
+    per script over the whole batch (Arrow ``count_substring_regex``), no
+    per-row Python. Fractions are codepoint counts / codepoint length, and
+    the dominant script breaks ties by (count desc, name asc) — both
+    replayable in DuckDB's RE2 regexps for exact oracle parity."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = np.maximum(n, 1).astype(np.float64)
+        counts = np.empty((len(SCRIPTS), len(batch)), dtype=np.int64)
+        for i, s in enumerate(SCRIPTS):
+            counts[i] = pc.count_substring_regex(
+                col, pattern=rf"\p{{{s}}}"
+            ).to_numpy(zero_copy_only=False)
+        # dominant: count desc, script-name asc (SCRIPTS is sorted)
+        dom_idx = np.argmax(counts, axis=0)  # argmax takes the FIRST max
+        dom = np.asarray(SCRIPTS, dtype=object)[dom_idx]
+        out = batch
+        for i, s in enumerate(SCRIPTS):
+            out = out.append_column(
+                f"frac_{s.lower()}", pa.array(counts[i] / denom, pa.float64())
+            )
+        return out.append_column("dominant_script", pa.array(dom, pa.string()))
+
+    return fn

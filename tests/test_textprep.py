@@ -220,3 +220,33 @@ def test_dedup_urls_distinct_survive(ray_session):
     )
     out = dedup_urls(ray.data.from_arrow(t), num_parts=2).to_pandas()
     assert sorted(out["url"]) == ["https://a.b/1", "https://a.b/2"]
+
+
+def test_script_mix_counts_and_dominant(ray_session):
+    from incubator_sedona_ray.text.analysis import SCRIPTS, script_mix_fn
+
+    texts = [
+        "Hello world",
+        "Привет мир",
+        "你好世界 ok",
+        "مرحبا بالعالم",
+        "mixed Привет hello",
+        "",
+        "12345 !!!",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = script_mix_fn()(t).to_pandas()
+
+    # hand-computed rows (codepoint counts / codepoint length)
+    r0 = out.iloc[0]
+    assert r0["frac_latin"] == 10 / 11 and r0["dominant_script"] == "Latin"
+    r1 = out.iloc[1]
+    assert r1["frac_cyrillic"] == 9 / 10 and r1["dominant_script"] == "Cyrillic"
+    r2 = out.iloc[2]
+    assert r2["frac_han"] == 4 / 7 and r2["dominant_script"] == "Han"
+    r3 = out.iloc[3]
+    assert r3["dominant_script"] == "Arabic"
+    # empty + no-script rows: all fractions 0, tie broken alphabetically
+    assert out.iloc[5]["dominant_script"] == "Arabic"
+    assert out.iloc[6]["dominant_script"] == "Arabic"
+    assert set(f"frac_{s.lower()}" for s in SCRIPTS) <= set(out.columns)
