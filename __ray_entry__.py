@@ -716,6 +716,62 @@ def q_lang_length_quantiles(sf_dir: str):
     )
 
 
+TPCH_Q14_LO, TPCH_Q14_HI = "1996-03-01", "1996-04-01"
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-style promo-revenue ratio: a pure mergeable reduction —
+    part broadcasts as a sorted partkey->is_promo lookup, each lineitem
+    batch emits ONE (promo_cents, total_cents) int64 partial row, and the
+    ratio finalizes from the two exact integer sums with a single float64
+    expression. Zero shuffles, O(batches) exchanged."""
+    lo, hi = np.datetime64(TPCH_Q14_LO), np.datetime64(TPCH_Q14_HI)
+    part = (
+        ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    lut = ray.put(
+        {
+            "pk": part["p_partkey"].to_numpy(),
+            "promo": part["p_type"].str.startswith("PROMO").to_numpy(),
+        }
+    )
+
+    def partial(b: pa.Table, lut) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((d >= lo) & (d < hi)))
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+            100 - _cents(b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        keys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(lut["pk"], keys), 0, max(len(lut["pk"]) - 1, 0))
+        promo = (lut["pk"][idx] == keys) & lut["promo"][idx]
+        return pa.table(
+            {
+                "promo_c": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_c": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    parts = broadcast_map_batches(li, partial, {"lut": lut}).to_pandas()
+    promo_c, total_c = int(parts["promo_c"].sum()), int(parts["total_c"].sum())
+    ratio = 100.0 * np.float64(promo_c) / np.float64(total_c)
+    return pa.table(
+        {
+            "promo_cents2": pa.array([promo_c], pa.int64()),
+            "total_cents2": pa.array([total_c], pa.int64()),
+            "promo_revenue_pct": pa.array([ratio], pa.float64()),
+        }
+    )
+
+
 def q_script_mix(sf_dir: str):
     """Unicode-script composition per doc (text/analysis.py script_mix_fn):
     one vectorized RE2 \\p{Script} count kernel per script per batch;
@@ -2199,6 +2255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_bigrams": q_top_bigrams,
+        "tpch_q14": q_tpch_q14,
         "script_mix": q_script_mix,
         "lang_moments": q_lang_moments,
         "lang_distinct_sources": q_lang_distinct_sources,
@@ -2663,6 +2720,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang UNION ALL "
             "SELECT lang, 0.9 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value "
             "FROM documents GROUP BY lang"
+        ),
+        "tpch_q14": (
+            "WITH li AS (SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS rev, "
+            "starts_with(p_type, 'PROMO') AS promo "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE l_shipdate >= TIMESTAMP '{TPCH_Q14_LO} 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '{TPCH_Q14_HI} 00:00:00'), "
+            "s AS (SELECT CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT) AS promo_cents2, "
+            "CAST(SUM(rev) AS BIGINT) AS total_cents2 FROM li) "
+            "SELECT promo_cents2, total_cents2, "
+            "100.0 * CAST(promo_cents2 AS DOUBLE) / CAST(total_cents2 AS DOUBLE) AS promo_revenue_pct FROM s"
         ),
         "script_mix": (
             "SELECT doc_id, "
