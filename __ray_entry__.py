@@ -716,6 +716,19 @@ def q_lang_length_quantiles(sf_dir: str):
     )
 
 
+COLLOC_K, COLLOC_MIN = 20, 5
+
+
+def q_collocations(sf_dir: str):
+    """Top-k collocations by lift (text/ngrams.py top_collocations): exact
+    unigram + bigram distinct-key counts, lift from integer counts in one
+    fixed float64 expression (PMI without the libm log), mergeable top-k."""
+    from incubator_sedona_ray.text.ngrams import top_collocations
+
+    docs = _docs(sf_dir, columns=["text"])
+    return top_collocations(docs, k=COLLOC_K, min_count=COLLOC_MIN)
+
+
 TPCH_Q14_LO, TPCH_Q14_HI = "1996-03-01", "1996-04-01"
 
 
@@ -2255,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_bigrams": q_top_bigrams,
+        "collocations": q_collocations,
         "tpch_q14": q_tpch_q14,
         "script_mix": q_script_mix,
         "lang_moments": q_lang_moments,
@@ -2720,6 +2734,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang UNION ALL "
             "SELECT lang, 0.9 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value "
             "FROM documents GROUP BY lang"
+        ),
+        "collocations": (
+            r"WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a "
+            "FROM documents), uni AS (SELECT unnest(a) AS w FROM toks), "
+            "uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w), "
+            "nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni), "
+            "grams AS (SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS ngram "
+            "FROM toks WHERE len(a) >= 2), "
+            f"bc AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY ngram HAVING COUNT(*) >= {COLLOC_MIN}), "
+            "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams) "
+            "SELECT bc.ngram, bc.cnt, "
+            "(CAST(bc.cnt AS DOUBLE) * CAST(nu.n AS DOUBLE) * CAST(nu.n AS DOUBLE)) / "
+            "(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift "
+            "FROM bc JOIN uc ca ON ca.w = split_part(bc.ngram, ' ', 1) "
+            "JOIN uc cb ON cb.w = split_part(bc.ngram, ' ', 2) "
+            "CROSS JOIN nu CROSS JOIN nb "
+            f"ORDER BY lift DESC, bc.ngram LIMIT {COLLOC_K}"
         ),
         "tpch_q14": (
             "WITH li AS (SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * "

@@ -99,3 +99,93 @@ def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
         .groupby("_g")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def top_collocations(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+    """Top-k word-pair collocations by LIFT — PMI's argument without the
+    log: lift(a,b) = P(ab) / (P(a) P(b)) computed as
+    ``(c_ab * N_uni * N_uni) / (c_a * c_b * N_bi)`` from EXACT integer
+    counts in one fixed float64 expression (a log would re-introduce libm
+    rounding differences across engines; the ordering is identical).
+
+    Three count layers, each map-side combined: unigram counts and bigram
+    counts are distinct-key groupby sums; the tiny unigram table for the
+    surviving (count >= min_count) bigrams broadcasts into the scoring
+    stage. Output: (ngram, cnt, lift), ties (lift desc, ngram asc).
+    """
+    import ray
+
+    uni = (
+        ngram_partials(ds, n=1, text_col=text_col)
+        .groupby("ngram")
+        .sum("cnt")
+    )
+    bi = (
+        ngram_partials(ds, n=2, text_col=text_col)
+        .groupby("ngram")
+        .sum("cnt")
+    )
+
+    # global totals: O(blocks) partial sums
+    def total_of(d):
+        parts = d.map_batches(
+            lambda b: pa.table(
+                {"t": pa.array([int(np.sum(b["sum(cnt)"].to_numpy(zero_copy_only=False)))], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).to_pandas()
+        return int(parts["t"].sum())
+
+    n_uni, n_bi = total_of(uni), total_of(bi)
+
+    # unigram lookup for scoring: the bigram vocabulary that survives
+    # min_count references far fewer unigrams than the corpus holds, but
+    # any unigram can appear — broadcast the whole (word, count) table
+    # sorted for searchsorted (documented cap: vocabularies beyond driver
+    # memory need the join path, same trade as text/decontam.py)
+    uni_df = uni.to_pandas().sort_values("ngram")
+    uref = ray.put(
+        {
+            "w": uni_df["ngram"].to_numpy(dtype=object).astype("U"),
+            "c": uni_df["sum(cnt)"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def score(batch: pa.Table, u) -> pa.Table:
+        cnt = batch["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = np.asarray(batch["ngram"].to_pylist(), dtype=object)
+        keep = cnt >= min_count
+        grams, cnt = grams[keep], cnt[keep]
+        if len(grams) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()), "lift": pa.array([], pa.float64())}
+            )
+        splits = np.char.partition(grams.astype("U"), " ")
+        ca = u["c"][np.searchsorted(u["w"], splits[:, 0])]
+        cb = u["c"][np.searchsorted(u["w"], splits[:, 2])]
+        lift = (
+            cnt.astype(np.float64) * np.float64(n_uni) * np.float64(n_uni)
+        ) / (ca.astype(np.float64) * cb.astype(np.float64) * np.float64(n_bi))
+        order = np.lexsort((grams, -lift))[:k]
+        return pa.table(
+            {
+                "ngram": pa.array(grams[order], pa.string()),
+                "cnt": pa.array(cnt[order], pa.int64()),
+                "lift": pa.array(lift[order], pa.float64()),
+            }
+        )
+
+    from ..partition.assign import broadcast_map_batches
+
+    local = broadcast_map_batches(bi, score, {"u": uref}, batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["lift", "ngram"], ascending=[False, True]).head(k)
+        return out[["ngram", "cnt", "lift"]].reset_index(drop=True)
+
+    return (
+        local.add_column("_g", lambda b: pd.Series(np.zeros(len(b), dtype=np.int64)))
+        .groupby("_g")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -166,3 +166,32 @@ def test_grouped_moments_overflow_guard():
     df = pd.DataFrame({"x": np.full(10, 2**33, dtype=np.int64), "g": ["a"] * 10})
     with pytest.raises(Exception, match="(?i)overflow|too large"):
         grouped_moments(ray.data.from_pandas(df), "x", by="g").to_pandas()
+
+
+def test_top_collocations_vs_naive():
+    from collections import Counter
+
+    from incubator_sedona_ray.text.ngrams import top_collocations
+
+    texts = (
+        ["new york city", "new york times", "in new york", "the city that"] * 8
+        + ["the the the", "of the city", "a b", "x"] * 6
+    )
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"text": texts[i : i + 11]}) for i in range(0, len(texts), 11)]
+    )
+    got = top_collocations(ds, k=4, min_count=3).to_pandas()
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split() if w]
+        uni.update(toks)
+        bi.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    scored = [
+        (g, c, (np.float64(c) * np.float64(nu) * np.float64(nu)) / (np.float64(uni[g.split()[0]]) * np.float64(uni[g.split()[1]]) * np.float64(nb)))
+        for g, c in bi.items()
+        if c >= 3
+    ]
+    exp = sorted(scored, key=lambda x: (-x[2], x[0]))[:4]
+    assert list(zip(got["ngram"], got["cnt"], got["lift"])) == exp
