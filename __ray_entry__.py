@@ -716,6 +716,27 @@ def q_lang_length_quantiles(sf_dir: str):
     )
 
 
+POSTINGS_TERMS = ("hash", "merge", "window")
+
+
+def q_postings_lookup(sf_dir: str):
+    """Inverted-index build + bucket-pruned term lookup (text/index.py):
+    the corpus is written once as hive-partitioned (token,doc,tf) postings
+    bucketed by token hash; a term query then reads ONLY its terms' bucket
+    directories (asserted: scanned < total) — the IVF-style IO-pruning
+    layout applied to text retrieval."""
+    import tempfile
+
+    from incubator_sedona_ray.text.index import build_inverted_index, term_postings
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    path = tempfile.mkdtemp(prefix="postings_", dir="/tmp")
+    build_inverted_index(docs, path, n_buckets=64)
+    out, scanned, total = term_postings(path, list(POSTINGS_TERMS))
+    assert scanned < total, (scanned, total)  # the pruning IS the point
+    return out
+
+
 COLLOC_K, COLLOC_MIN = 20, 5
 
 
@@ -2268,6 +2289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_bigrams": q_top_bigrams,
+        "postings_lookup": q_postings_lookup,
         "collocations": q_collocations,
         "tpch_q14": q_tpch_q14,
         "script_mix": q_script_mix,
@@ -2734,6 +2756,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang UNION ALL "
             "SELECT lang, 0.9 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value "
             "FROM documents GROUP BY lang"
+        ),
+        "postings_lookup": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), "
+            "x -> x <> '')) AS token FROM documents) "
+            "SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+            f"WHERE token IN {POSTINGS_TERMS!r} GROUP BY token, doc_id"
         ),
         "collocations": (
             r"WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a "
