@@ -10,5 +10,5 @@
 """
 
 from .quantiles import grouped_quantiles_exact, quantiles_exact  # noqa: F401
-from .hll import hll_count_distinct, hll_estimate, hll_partials  # noqa: F401
+from .hll import hll_count_distinct, hll_count_distinct_by_group, hll_estimate, hll_partials  # noqa: F401
 from .moments import grouped_moments  # noqa: F401

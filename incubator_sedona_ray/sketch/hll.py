@@ -31,7 +31,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hll_partials", "hll_estimate", "hll_count_distinct"]
+__all__ = ["hll_partials", "hll_estimate", "hll_count_distinct", "hll_count_distinct_by_group"]
 
 
 def _hash64(values: np.ndarray) -> np.ndarray:
@@ -106,3 +106,38 @@ def hll_count_distinct(ds, col: str, *, p: int = 12) -> float:
     arrs = [np.frombuffer(b, dtype=np.uint8) for b in parts["regs"]]
     regs = np.maximum.reduce(arrs) if arrs else np.zeros(m, dtype=np.uint8)
     return hll_estimate(regs)
+
+
+def hll_count_distinct_by_group(ds, col: str, by: str, *, p: int = 12):
+    """Per-group HLL estimates: one register row per (batch, group) partial
+    (map-side combine), one keyed groupby merge over O(batches x groups)
+    4 KB rows, estimates finalized inside the group task. Returns a Dataset
+    of (by, estimate)."""
+    import pandas as pd
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        grps = np.asarray(batch[by].to_pylist(), dtype=object)
+        if len(grps) == 0:
+            return pa.table({by: pa.array([], pa.string()), "regs": pa.array([], pa.binary(m))})
+        order = np.argsort(grps, kind="mergesort")
+        g_sorted, v_sorted = grps[order], vals[order]
+        starts = np.r_[0, np.nonzero(g_sorted[1:] != g_sorted[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(g_sorted)]
+        regs, keys = [], []
+        for s, e in zip(starts, ends):
+            keys.append(g_sorted[s])
+            regs.append(_registers_of(v_sorted[s:e], p).tobytes())
+        return pa.table({by: pa.array(keys, pa.string()), "regs": pa.array(regs, pa.binary(m))})
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce([np.frombuffer(b, dtype=np.uint8) for b in df["regs"]])
+        return pd.DataFrame({by: [df[by].iloc[0]], "estimate": [hll_estimate(regs)]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(merge_group, batch_format="pandas")
+    )

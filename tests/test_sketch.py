@@ -195,3 +195,21 @@ def test_top_collocations_vs_naive():
     ]
     exp = sorted(scored, key=lambda x: (-x[2], x[0]))[:4]
     assert list(zip(got["ngram"], got["cnt"], got["lift"])) == exp
+
+
+def test_hll_grouped_matches_global_per_group():
+    from incubator_sedona_ray.sketch import hll_count_distinct, hll_count_distinct_by_group
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "k": [f"v{v}" for v in rng.integers(0, 4000, size=30_000)],
+            "g": rng.choice(["en", "fr"], size=30_000),
+        }
+    )
+    got = hll_count_distinct_by_group(_chunked(df, 4000), "k", "g", p=12).to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        solo = hll_count_distinct(ray.data.from_pandas(sub.reset_index(drop=True)), "k", p=12)
+        assert got.loc[g, "estimate"] == solo  # identical registers either way
+        exact = sub["k"].nunique()
+        assert abs(got.loc[g, "estimate"] - exact) / exact < 0.065
