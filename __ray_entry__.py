@@ -995,8 +995,13 @@ def q_tpch_q5(sf_dir: str):
         li_side,
         {"lut": lut},
     )
+    from incubator_sedona_ray.dedup.minhash import _default_join_partitions
+
     joined = safe_hash_join(
-        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=32
+        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        # CPU-scaled: each hash-join partition is an aggregator ACTOR; a
+        # fixed 32 stalls a 4-CPU session (32 actors, no CPU for tasks)
+        num_partitions=_default_join_partitions() * 2,
     )
 
     name_by_key = ray.put({"keys": nation_keys, "names": nation_names})
@@ -1199,9 +1204,12 @@ def q_tpch_q3(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderpriority"],
     )
+    from incubator_sedona_ray.dedup.minhash import _default_join_partitions
+
     joined = safe_hash_join(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=32, scrub_left=True, scrub_right=False,
+        num_partitions=_default_join_partitions() * 2,  # actor-backed: CPU-scaled
+        scrub_left=True, scrub_right=False,
     )
 
     # customer is the SMALL side: collect once, broadcast a sorted-key
