@@ -588,6 +588,18 @@ def q_decontam(sf_dir: str):
     return contamination_report(train, test, n=4)
 
 
+def q_dup_spans(sf_dir: str):
+    """Duplicate-span report (dedup/spans.py, ExactSubstr family — Lee et
+    al. 2021): per document, how many of its DISTINCT word 4-grams occur
+    verbatim in >=2 documents. Two uniform FNV-hash-keyed shuffles (gram
+    document-frequency groupby + pairs-x-dup-grams hash join); docs with
+    zero shared spans never leave the join."""
+    from incubator_sedona_ray.dedup.spans import dup_span_report
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return dup_span_report(docs, n=4, min_docs=2)
+
+
 def q_html_extract(sf_dir: str):
     """North-star invariant as an operator: synthesize the page table
     (url, warc_ts, html, text, lang), re-extract text from the raw html
@@ -2280,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "lm_familiarity": q_lm_familiarity,
         "decontam": q_decontam,
+        "dup_spans": q_dup_spans,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
@@ -2713,6 +2726,17 @@ def oracle_sql() -> dict[str, str]:
             "test AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0) "
             "SELECT g.doc_id AS doc_id, count(DISTINCT g.ng) AS n_hits "
             "FROM g JOIN test USING (ng) WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id"
+        ),
+        "dup_spans": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS ng "
+            "FROM w, UNNEST(range(1, greatest(len(ws) - 2, 1))) AS t(i)), "
+            "tot AS (SELECT doc_id, count(*) AS total_grams FROM g GROUP BY doc_id), "
+            "dup AS (SELECT ng FROM g GROUP BY ng HAVING count(*) >= 2), "
+            "hits AS (SELECT g.doc_id, count(*) AS dup_grams FROM g JOIN dup USING (ng) GROUP BY g.doc_id) "
+            "SELECT hits.doc_id AS doc_id, dup_grams, total_grams, "
+            "CAST(dup_grams AS DOUBLE) / total_grams AS dup_frac "
+            "FROM hits JOIN tot ON hits.doc_id = tot.doc_id"
         ),
         "url_dedup": (
             f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "

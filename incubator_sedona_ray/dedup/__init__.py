@@ -28,3 +28,4 @@ from .sample import (  # noqa: F401
     sample_uniform,
 )
 from .ssjoin import jaccard_self_join  # noqa: F401
+from .spans import dup_span_report  # noqa: F401
