@@ -600,6 +600,98 @@ def q_dup_spans(sf_dir: str):
     return dup_span_report(docs, n=4, min_docs=2)
 
 
+def _synth_linked_pages_fn(batch: pa.Table) -> pa.Table:
+    """Pages with a deterministic anchor mix for the link-extraction query:
+    one absolute external href, one root-relative href, three unresolvable
+    ones (mailto:, fragment, directory-relative) that extraction must DROP,
+    plus an extra http:// anchor for doc_id%4==0 — all closed-form in
+    doc_id so the oracle rebuilds the identical html string in SQL and
+    regexp-extracts it."""
+    from incubator_sedona_ray.pipelines.pages import _LANG_TLDS
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+    urls, htmls = [], []
+    for i, lang, src in zip(ids, langs, sources):
+        i = int(i)
+        tlds = _LANG_TLDS.get(lang, ["com"])
+        urls.append(f"https://{src}-{i}.{tlds[i % len(tlds)]}/p/{i}")
+        ext = (i * 7 + 13) % 101
+        rel = (i * 3 + 1) % 997
+        h = (
+            f'<html><body><a href="https://ext-{ext}.example/p/{ext}">x</a><p>t</p>'
+            f'<a href="/p/{rel}">y</a><a href="mailto:admin@example.com">m</a>'
+            f'<a href="#top">t</a><a href="about.html">r</a>'
+        )
+        if i % 4 == 0:
+            h += f'<a href="http://mirror.example/{i}">z</a>'
+        h += "</body></html>"
+        htmls.append(h.encode())
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(htmls, type=pa.binary()),
+        }
+    )
+
+
+def q_extract_links(sf_dir: str):
+    """Crawl-graph edge extraction (text/links.py): vectorized href harvest
+    from html:binary — split on href=\" + one RE2 head per fragment, then
+    resolve absolute/root-relative targets against the source origin and
+    drop mailto:/fragment/directory-relative anchors. Zero shuffles."""
+    from incubator_sedona_ray.text.links import extract_links
+
+    pages = _docs(sf_dir, columns=["doc_id", "lang", "source"]).map_batches(
+        _synth_linked_pages_fn, batch_format="pyarrow"
+    )
+    return extract_links(pages)
+
+
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 10**12
+
+
+def _synth_edges_fn(n_docs: int):
+    """Deterministic 3-out-regular link graph over doc ids, with every
+    doc_id%11==0 node made DANGLING (no out-edges) to exercise the
+    dangling-mass redistribution."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids[ids % 11 != 0]
+        src = np.repeat(keep, 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(keep))
+        dst = (src * 7 + j * 13) % n_docs
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (graph/pagerank.py), 5 damped rounds over the
+    synthetic 3-out-regular doc graph in EXACT int64 fixed-point (picorank
+    scale 1e12): each round is one edges-x-ranks hash join + one
+    node-keyed groupby, with the dangling mass (doc_id%11==0 nodes)
+    redistributed uniformly — bit-equal to the unrolled SQL oracle."""
+    from incubator_sedona_ray.graph.pagerank import pagerank
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_edges_fn(n), batch_format="pyarrow")
+    nodes = _rename(docs, {"doc_id": "node"})
+    out = pagerank(
+        edges, nodes, iters=PAGERANK_ITERS, scale=PAGERANK_SCALE, n_nodes=n
+    )
+    return _rename(out, {"node": "doc_id"})
+
+
 def q_html_extract(sf_dir: str):
     """North-star invariant as an operator: synthesize the page table
     (url, warc_ts, html, text, lang), re-extract text from the raw html
@@ -2293,6 +2385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": q_lm_familiarity,
         "decontam": q_decontam,
         "dup_spans": q_dup_spans,
+        "extract_links": q_extract_links,
+        "pagerank": q_pagerank,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
@@ -2440,6 +2534,45 @@ def _stratified_sample_sql() -> str:
     return (
         f"SELECT doc_id, lang FROM documents "
         f"WHERE CAST({h} AS DOUBLE)/4294967296.0 < (CASE lang {rate_case} ELSE {SAMPLE_DEFAULT!r} END)"
+    )
+
+
+def _pagerank_sql() -> str:
+    """The fixed-point PageRank recurrence unrolled iteration-by-iteration:
+    every arithmetic step is BIGINT-only (// division, order-independent
+    integer sums), so the comparison with the distributed engine is
+    bit-exact, not tolerance-based. Mirrors graph/pagerank.py exactly:
+    base + (85 * (contrib + dangling // n)) // 100 at picorank scale."""
+    S = PAGERANK_SCALE
+    cnt = "(SELECT cnt FROM n)"
+    base = f"(15 * ({S} // {cnt})) // 100"
+    ctes = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"edges AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % {cnt} AS dst "
+        "FROM documents, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 11 <> 0)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "nd AS (SELECT node, coalesce(d, 0) AS d FROM nodes LEFT JOIN deg ON node = src)",
+        f"r0 AS (SELECT node, d, {S} // {cnt} AS r FROM nd)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"dg{i} AS (SELECT coalesce(sum(r), 0) AS dang FROM {p} WHERE d = 0)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(p.r // p.d) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.node, nd.d, {base} + "
+            f"(85 * (coalesce(c{i}.s, 0) + (SELECT dang FROM dg{i}) // {cnt})) // 100 AS r "
+            f"FROM nd LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp, "
+        f"CAST(r AS DOUBLE) / CAST({S} AS DOUBLE) AS rank FROM r{PAGERANK_ITERS}"
     )
 
 
@@ -2738,6 +2871,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(dup_grams AS DOUBLE) / total_grams AS dup_frac "
             "FROM hits JOIN tot ON hits.doc_id = tot.doc_id"
         ),
+        "extract_links": (
+            f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "
+            "u AS (SELECT doc_id, 'https://' || source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld AS origin FROM t), "
+            "h AS (SELECT origin || '/p/' || CAST(doc_id AS VARCHAR) AS url, origin, "
+            "'<html><body><a href=\"https://ext-' || CAST((doc_id*7+13) % 101 AS VARCHAR) || '.example/p/' || CAST((doc_id*7+13) % 101 AS VARCHAR) || '\">x</a><p>t</p>' "
+            "|| '<a href=\"/p/' || CAST((doc_id*3+1) % 997 AS VARCHAR) || '\">y</a><a href=\"mailto:admin@example.com\">m</a><a href=\"#top\">t</a><a href=\"about.html\">r</a>' "
+            "|| CASE WHEN doc_id % 4 = 0 THEN '<a href=\"http://mirror.example/' || CAST(doc_id AS VARCHAR) || '\">z</a>' ELSE '' END "
+            "|| '</body></html>' AS html FROM u), "
+            "e AS (SELECT url, origin, unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)) AS href FROM h) "
+            "SELECT url AS src_url, href, CASE WHEN regexp_matches(href, '^https?://') THEN href ELSE origin || href END AS dst_url "
+            "FROM e WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')"
+        ),
+        "pagerank": _pagerank_sql(),
         "url_dedup": (
             f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "
             "u AS (SELECT doc_id, source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld AS dom FROM t), "

@@ -1,0 +1,82 @@
+"""Hyperlink extraction over the ``html:binary`` page column — the edge
+producer for crawl-graph analytics (PageRank, domain graphs, dedup by
+mirror detection). Common-Crawl WAT files carry exactly this output shape
+(src page -> resolved outlink).
+
+Scale shape: one vectorized chain per batch, zero Python per row —
+``split_pattern(html, 'href="')`` explodes each page into fragments whose
+heads are the raw href values (everything up to the next quote, taken with
+one RE2 ``extract_regex``); offsets arithmetic drops each row's pre-anchor
+fragment. Resolution keeps the two deterministic classes a crawler can
+resolve without fetching:
+
+  * absolute  http:// / https:// hrefs pass through unchanged
+  * root-relative ``/path`` hrefs resolve against the source origin
+    (scheme + host extracted from ``url`` with one RE2)
+
+Everything else (fragment-only, mailto:, javascript:, protocol-relative,
+directory-relative) is dropped — matching the SQL-oracle contract, which
+mirrors the same CASE over ``regexp_extract_all(html, 'href="([^"]*)"')``.
+
+No counterpart in the reference repo (Sedona is a spatial engine); the
+operator comes from the north rule's Common-Crawl input shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .extract import _decode_utf8
+
+_ORIGIN_RE = r"(?P<o>^https?://[^/]+)"
+_HREF_HEAD_RE = r'(?P<u>^[^"]*)'
+
+
+def extract_links_batch(
+    batch: pa.Table, *, html_col: str = "html", url_col: str = "url"
+) -> pa.Table:
+    """(src_url, href, dst_url) — one row per resolvable anchor."""
+    s = _decode_utf8(batch[html_col])
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    frags = pc.split_pattern(s, 'href="')
+    frags = frags.combine_chunks() if isinstance(frags, pa.ChunkedArray) else frags
+    offs = np.asarray(frags.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    flat = frags.flatten()
+    nflat = len(flat)
+    # drop the first fragment of every non-empty row (text before the
+    # first anchor); rows with no anchor contribute nothing
+    drop = offs[:-1][np.diff(offs) > 0]
+    keep = np.ones(nflat, dtype=bool)
+    keep[drop] = False
+    idx = np.flatnonzero(keep)
+    row_id = np.searchsorted(offs, idx, side="right") - 1
+    if len(idx):
+        heads = pc.extract_regex(flat.take(pa.array(idx)), _HREF_HEAD_RE)
+        href = heads.field("u")
+    else:
+        href = pa.array([], type=pa.string())
+
+    src = batch[url_col]
+    src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    src_rep = src.take(pa.array(row_id))
+
+    is_abs = pc.match_substring_regex(href, r"^https?://")
+    # "/path" resolves against the origin; "//host/x" is scheme-relative
+    # (needs the src scheme to resolve) and is dropped with the rest
+    is_root = pc.and_(pc.starts_with(href, "/"), pc.invert(pc.starts_with(href, "//")))
+    origin = pc.extract_regex(src_rep, _ORIGIN_RE).field("o")
+    dst = pc.if_else(is_abs, href, pc.binary_join_element_wise(origin, href, ""))
+    keep_m = pc.or_(is_abs, is_root)
+    out = pa.table({"src_url": src_rep, "href": href, "dst_url": dst})
+    return out.filter(keep_m)
+
+
+def extract_links(ds, *, html_col: str = "html", url_col: str = "url"):
+    """Dataset(src_url, href, dst_url): streaming map_batches, no shuffle."""
+    return ds.map_batches(
+        lambda b: extract_links_batch(b, html_col=html_col, url_col=url_col),
+        batch_format="pyarrow",
+    )
