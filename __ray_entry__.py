@@ -649,6 +649,21 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+PACK_CAPACITY = 512
+
+
+def q_pack_offsets(sf_dir: str):
+    """GPT-style cross-document sequence packing (text/packing.py
+    pack_offsets): concat the corpus in doc_id order, cut every 512 tokens
+    — each doc's global token offset comes from a distributed exclusive
+    prefix sum (state/scan.py range partitioning + per-range local scan,
+    one real shuffle), the SQL window-function equivalent."""
+    from incubator_sedona_ray.text.packing import pack_offsets
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return pack_offsets(docs, PACK_CAPACITY)
+
+
 PAGERANK_ITERS = 5
 PAGERANK_SCALE = 10**12
 
@@ -2387,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "extract_links": q_extract_links,
         "pagerank": q_pagerank,
+        "pack_offsets": q_pack_offsets,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
@@ -2884,6 +2900,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM e WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')"
         ),
         "pagerank": _pagerank_sql(),
+        "pack_offsets": (
+            r"WITH w AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start FROM w) "
+            f"SELECT doc_id, n_tokens, CAST(token_start AS BIGINT) AS token_start, "
+            f"CAST(token_start // {PACK_CAPACITY} AS BIGINT) AS first_pack, "
+            f"CAST(CASE WHEN n_tokens = 0 THEN token_start // {PACK_CAPACITY} "
+            f"ELSE (token_start + n_tokens - 1) // {PACK_CAPACITY} END AS BIGINT) AS last_pack FROM c"
+        ),
         "url_dedup": (
             f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "
             "u AS (SELECT doc_id, source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld AS dom FROM t), "

@@ -88,6 +88,59 @@ def chunk_batch(
     )
 
 
+def count_tokens_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (\\s+ split, empties dropped — the seq_chunks
+    tokenization) as one vectorized kernel."""
+    toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    ntok = np.bincount(parent[keep], minlength=batch.num_rows).astype(np.int64)
+    return batch.append_column("n_tokens", pa.array(ntok, type=pa.int64()))
+
+
+def pack_offsets(
+    ds,
+    capacity: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_ranges: int | None = None,
+):
+    """Cross-document sequence packing, GPT-style ("concatenate the corpus
+    in ``id_col`` order, cut every ``capacity`` tokens"): each doc gets its
+    global ``token_start`` via a distributed exclusive prefix sum
+    (:func:`..state.scan.range_prefix_sum`) and therefore its pack-window
+    span — ``first_pack = token_start // capacity``, ``last_pack`` from its
+    final token. Unlike greedy bin packing this layout is deterministic at
+    any parallelism and resumable, and it is the packing LM pretraining
+    actually uses (docs flow across window boundaries).
+
+    Returns Dataset(id_col, n_tokens, token_start, first_pack, last_pack);
+    zero-token docs sit at their offset with ``last_pack = first_pack``.
+    """
+    from ..state.scan import range_prefix_sum
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    counted = ds.map_batches(
+        lambda b: count_tokens_batch(b, text_col=text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "n_tokens"])
+    scanned = range_prefix_sum(
+        counted, id_col, "n_tokens", out_col="token_start", num_ranges=num_ranges
+    )
+
+    def windows(t: pa.Table) -> pa.Table:
+        start = t["token_start"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        first = start // capacity
+        last = np.where(n > 0, (start + np.maximum(n, 1) - 1) // capacity, first)
+        t = t.append_column("first_pack", pa.array(first, type=pa.int64()))
+        return t.append_column("last_pack", pa.array(last, type=pa.int64()))
+
+    return scanned.map_batches(windows, batch_format="pyarrow")
+
+
 def seq_chunks(
     ds,
     seq_len: int,
