@@ -649,6 +649,58 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC source end-to-end (sources/warc.py): synthesize pages, write a
+    gzipped WARC/1.0 archive (one file per block, content-hashed names,
+    _SUCCESS-guarded /tmp cache with atomic directory promotion), read it
+    back file-parallel, and re-extract the text from each record's html
+    payload — output must match the documents table byte-for-byte."""
+    import hashlib
+    import shutil
+
+    from incubator_sedona_ray.pipelines.pages import synth_pages_fn
+    from incubator_sedona_ray.sources.warc import read_warc, write_warc
+    from incubator_sedona_ray.text.extract import extract_text
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": b["url"],
+                # cast to second precision first: Arrow's %S prints the
+                # fractional part for sub-second timestamp units
+                "warc_date": pc.strftime(
+                    b["warc_ts"].cast(pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%SZ"
+                ),
+                "payload": b["html"],
+            }
+        )
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/isr_warc_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pages = (
+            _docs(sf_dir, columns=["doc_id", "text", "lang", "source"])
+            .map_batches(synth_pages_fn, batch_format="pyarrow")
+            .map_batches(prep, batch_format="pyarrow")
+            .repartition(8)
+        )
+        tmp_dir = f"{path}.tmp.{os.getpid()}"
+        write_warc(pages, tmp_dir, compress=True)
+        try:
+            os.rename(tmp_dir, path)
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a concurrent race
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".warc.gz")
+    )
+    recs = _rename(read_warc(files), {"payload": "html"})
+    out = extract_text(recs, html_col="html", out_col="text")
+    return out.select_columns(["url", "warc_date", "text"])
+
+
 PACK_CAPACITY = 512
 
 
@@ -2403,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "pagerank": q_pagerank,
         "pack_offsets": q_pack_offsets,
+        "warc_roundtrip": q_warc_roundtrip,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
@@ -2900,6 +2953,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM e WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')"
         ),
         "pagerank": _pagerank_sql(),
+        "warc_roundtrip": (
+            f"WITH t AS (SELECT doc_id, text, CASE lang {url_tld_case} ELSE 'com' END AS tld, source FROM documents) "
+            "SELECT 'https://' || source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%SZ') AS warc_date, "
+            "text FROM t"
+        ),
         "pack_offsets": (
             r"WITH w AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens FROM documents), "
             "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
