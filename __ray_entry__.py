@@ -649,6 +649,51 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_link_components(sf_dir: str):
+    """Connected components over a sparse synthetic link graph (chains
+    doc_id—doc_id+1 broken at multiples of 7) via distributed min-label
+    propagation (dedup/minhash.py connected_components_min_label: one hash
+    join + groupby-min per BSP round, label-sum convergence certificate).
+    The oracle is DuckDB's recursive-CTE transitive closure."""
+    from incubator_sedona_ray.dedup.minhash import connected_components_min_label
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids[(ids % 7 != 0) & (ids + 1 < n)]
+        return pa.table(
+            {
+                "a": pa.array(keep, type=pa.int64()),
+                "b": pa.array(keep + 1, type=pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(mk, batch_format="pyarrow")
+    out = connected_components_min_label(pairs)
+    return _rename(out, {"node": "doc_id", "label": "comp"})
+
+
+CENTROID_QBITS = 20  # fixed-point resolution 2^-20 — makes the mean exact
+
+
+def q_centroid_per_label(sf_dir: str):
+    """Per-cluster embedding centroid as a MERGEABLE map-side reduction:
+    each batch emits (label, dim, int64 fixed-point partial sum, count) —
+    quantizing float32 components at 2^-20 makes the distributed sum
+    order-independent and therefore bit-equal to the SQL oracle; one tiny
+    (labels x dims)-row groupby finishes, one float division finalizes."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    from incubator_sedona_ray.ann.centroid import grouped_vector_mean
+
+    return grouped_vector_mean(
+        emb, "label", "embedding", quantize_bits=CENTROID_QBITS
+    )
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC source end-to-end (sources/warc.py): synthesize pages, write a
     gzipped WARC/1.0 archive (one file per block, content-hashed names,
@@ -2456,6 +2501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "pack_offsets": q_pack_offsets,
         "warc_roundtrip": q_warc_roundtrip,
+        "link_components": q_link_components,
+        "centroid_per_label": q_centroid_per_label,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
         "bm25_topk": q_bm25_topk,
@@ -2953,6 +3000,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM e WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')"
         ),
         "pagerank": _pagerank_sql(),
+        "link_components": (
+            "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "
+            "e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+            "WHERE doc_id % 7 <> 0 AND doc_id + 1 < (SELECT cnt FROM n)), "
+            "sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e), "
+            "nodes AS (SELECT DISTINCT x AS node FROM sym), "
+            "r(node, lab) AS (SELECT node, node FROM nodes "
+            "UNION SELECT s.y, r.lab FROM r JOIN sym s ON s.x = r.node) "
+            "SELECT node AS doc_id, min(lab) AS comp FROM r GROUP BY node"
+        ),
+        "centroid_per_label": (
+            f"WITH q AS (SELECT label, u.i AS dim, "
+            f"CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * {1 << CENTROID_QBITS}) AS BIGINT) AS qv "
+            "FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)) "
+            f"SELECT CAST(label AS BIGINT) AS label, dim, "
+            f"CAST(sum(qv) AS DOUBLE) / (count(*) * CAST({1 << CENTROID_QBITS} AS DOUBLE)) AS centroid, "
+            "count(*) AS n FROM q GROUP BY label, dim"
+        ),
         "warc_roundtrip": (
             f"WITH t AS (SELECT doc_id, text, CASE lang {url_tld_case} ELSE 'com' END AS tld, source FROM documents) "
             "SELECT 'https://' || source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld || '/p/' || CAST(doc_id AS VARCHAR) AS url, "
