@@ -649,6 +649,22 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+BPE_MERGES = 12
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (text/bpe.py, Sennrich et al.
+    2016): one corpus pass for word frequencies, then 12 merge rounds over
+    the distributed word table — vectorized packed-pair counting, global
+    max with a deterministic tie-break, run-parity merge application.
+    Parallelism-invariant by construction (tests prove equality with a
+    sequential reference); oracle is the pinned sf0.01 fixture."""
+    from incubator_sedona_ray.text.bpe import bpe_train
+
+    docs = _docs(sf_dir, columns=["text"])
+    return bpe_train(docs, BPE_MERGES)
+
+
 def q_link_components(sf_dir: str):
     """Connected components over a sparse synthetic link graph (chains
     doc_id—doc_id+1 broken at multiples of 7) via distributed min-label
@@ -2501,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "pack_offsets": q_pack_offsets,
         "warc_roundtrip": q_warc_roundtrip,
+        "bpe_merges": q_bpe_merges,
         "link_components": q_link_components,
         "centroid_per_label": q_centroid_per_label,
         "url_dedup": q_url_dedup,
@@ -2610,6 +2627,7 @@ def _geohash_sql(precision: int) -> str:
 # regressions; the driver compares them like any other oracle.
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_sf0.01")
 _FIXTURE_ORACLES = [
+    "bpe_merges",
     "s2_cells",
     "h3_cells",
     "langid",
