@@ -649,6 +649,53 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_linreg_quality(sf_dir: str):
+    """Exact distributed OLS (ml/linreg.py): regress n_chars on
+    (n_tokens, count of 'e') with intercept — integer sufficient
+    statistics X'X / X'y as one mergeable map-side row per batch + one
+    global Sum, then the shared-expression Cramer solve, bit-equal to the
+    SQL oracle running the identical float64 expressions."""
+    from incubator_sedona_ray.ml.linreg import linear_fit_exact
+    from incubator_sedona_ray.text.packing import count_tokens_batch
+
+    def feats(b: pa.Table) -> pa.Table:
+        b = count_tokens_batch(b, text_col="text")
+        e_cnt = pc.count_substring(b["text"], "e")
+        return pa.table(
+            {
+                "n_tokens": b["n_tokens"],
+                "e_count": e_cnt.cast(pa.int64()),
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["text", "n_chars"]).map_batches(
+        feats, batch_format="pyarrow"
+    )
+    return linear_fit_exact(docs, ["n_tokens", "e_count"], "n_chars")
+
+
+def _linreg_sql() -> str:
+    """The oracle-side twin of q_linreg_quality: identical integer sums,
+    identical (shared-text) Cramer expressions over DOUBLE-cast stats."""
+    from incubator_sedona_ray.ml.linreg import cramer3_sql
+
+    c = cramer3_sql()
+    return (
+        r"WITH w AS (SELECT n_chars AS y, "
+        r"CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS x1, "
+        "len(text) - len(replace(text, 'e', '')) AS x2 FROM documents), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x1) AS DOUBLE) AS sx1, "
+        "CAST(sum(x2) AS DOUBLE) AS sx2, CAST(sum(y) AS DOUBLE) AS sy, "
+        "CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x1*x2) AS DOUBLE) AS s12, "
+        "CAST(sum(x2*x2) AS DOUBLE) AS s22, CAST(sum(x1*y) AS DOUBLE) AS s1y, "
+        "CAST(sum(x2*y) AS DOUBLE) AS s2y FROM w) "
+        f"SELECT 'intercept' AS feature, ({c['det0']}) / ({c['det']}) AS beta FROM s "
+        f"UNION ALL SELECT 'n_tokens', ({c['det1']}) / ({c['det']}) FROM s "
+        f"UNION ALL SELECT 'e_count', ({c['det2']}) / ({c['det']}) FROM s"
+    )
+
+
 BPE_MERGES = 12
 
 
@@ -2518,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": q_pack_offsets,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
+        "linreg_quality": q_linreg_quality,
         "link_components": q_link_components,
         "centroid_per_label": q_centroid_per_label,
         "url_dedup": q_url_dedup,
@@ -3018,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM e WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')"
         ),
         "pagerank": _pagerank_sql(),
+        "linreg_quality": _linreg_sql(),
         "link_components": (
             "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "
             "e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
