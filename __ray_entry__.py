@@ -757,6 +757,29 @@ def q_centroid_per_label(sf_dir: str):
     )
 
 
+BFS_MAX_HOPS = 6
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance (graph/bfs.py) from seed docs
+    (doc_id%97==0) over the pagerank query's synthetic link graph: one
+    frontier-x-edges hash join + one node-keyed groupby-min per hop, early
+    stop on an empty frontier. Oracle: recursive-CTE shortest path."""
+    from incubator_sedona_ray.graph.bfs import hop_distance
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_edges_fn(n), batch_format="pyarrow")
+
+    def seed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids[ids % 97 == 0], type=pa.int64())})
+
+    seeds = docs.map_batches(seed, batch_format="pyarrow")
+    out = hop_distance(edges, seeds, max_hops=BFS_MAX_HOPS)
+    return _rename(out, {"node": "doc_id"})
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC source end-to-end (sources/warc.py): synthesize pages, write a
     gzipped WARC/1.0 archive (one file per block, content-hashed names,
@@ -2563,6 +2586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "pagerank": q_pagerank,
         "pack_offsets": q_pack_offsets,
+        "bfs_hops": q_bfs_hops,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
         "linreg_quality": q_linreg_quality,
@@ -3084,6 +3108,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST(label AS BIGINT) AS label, dim, "
             f"CAST(sum(qv) AS DOUBLE) / (count(*) * CAST({1 << CENTROID_QBITS} AS DOUBLE)) AS centroid, "
             "count(*) AS n FROM q GROUP BY label, dim"
+        ),
+        "bfs_hops": (
+            "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "
+            "e AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % (SELECT cnt FROM n) AS dst "
+            "FROM documents, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 11 <> 0), "
+            "seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0), "
+            "r(node, hop) AS (SELECT node, 0 FROM seeds "
+            f"UNION SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node WHERE r.hop < {BFS_MAX_HOPS}) "
+            "SELECT node AS doc_id, min(hop) AS hop FROM r GROUP BY node"
         ),
         "warc_roundtrip": (
             f"WITH t AS (SELECT doc_id, text, CASE lang {url_tld_case} ELSE 'com' END AS tld, source FROM documents) "

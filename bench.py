@@ -516,6 +516,38 @@ def run_bench() -> dict:
 
     timed("q17_quantiles", q17, rows=3 * n_pages)  # three passes
 
+    # q18: PageRank, 3 damped rounds over a 3-out-regular synthetic link
+    # graph on the page ids — the iterative-shuffle workload class (one
+    # edges-x-ranks hash join + one node-keyed groupby per round).
+    def q18():
+        from incubator_sedona_ray.graph.pagerank import pagerank
+
+        n = n_pages
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            src = np.repeat(ids, 3)
+            j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+            dst = (src * 7 + j * 13) % n
+            return pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                }
+            )
+
+        pages_ids = expanded_pages(ray, n_docs, columns=["doc_id"])
+        edges = pages_ids.map_batches(mk_edges, batch_format="pyarrow", batch_size=BATCH)
+        nodes = pages_ids.map_batches(
+            lambda b: pa.table({"node": b["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+            batch_size=BATCH,
+        )
+        return pagerank(edges, nodes, iters=3, n_nodes=n).count()
+
+    # 3 rounds x (3n edge join rows + n node rows) + the setup passes
+    timed("q18_pagerank", q18, rows=3 * (4 * n_pages))
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

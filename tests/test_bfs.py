@@ -1,0 +1,67 @@
+"""Tests for distributed multi-source BFS (graph/bfs.py) vs a sequential
+reference."""
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from incubator_sedona_ray.graph.bfs import hop_distance
+
+
+def _ref_bfs(edges, seeds, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _run(edges, seeds, max_hops=10):
+    e = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], type=pa.int64()),
+            "dst": pa.array([d for _, d in edges], type=pa.int64()),
+        }
+    )
+    s = pa.table({"node": pa.array(seeds, type=pa.int64())})
+    out = hop_distance(
+        ray.data.from_arrow(e), ray.data.from_arrow(s), max_hops=max_hops, num_partitions=3
+    ).to_pandas()
+    return dict(zip(out["node"].astype(int), out["hop"].astype(int)))
+
+
+def test_bfs_matches_reference(ray_session):
+    rnd = np.random.default_rng(6)
+    edges = [(int(rnd.integers(0, 40)), int(rnd.integers(0, 40))) for _ in range(120)]
+    seeds = [0, 7]
+    assert _run(edges, seeds) == _ref_bfs(edges, seeds, 10)
+
+
+def test_bfs_max_hops_truncates(ray_session):
+    chain = [(i, i + 1) for i in range(10)]
+    got = _run(chain, [0], max_hops=3)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_early_stop_and_unreachable(ray_session):
+    edges = [(0, 1), (1, 2), (5, 6)]  # 5,6 unreachable from seed 0
+    got = _run(edges, [0], max_hops=9)
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_min_hop_wins(ray_session):
+    # two paths to node 3: 0->1->3 (hop 2) and 0->2->4->3 (hop 3)
+    edges = [(0, 1), (1, 3), (0, 2), (2, 4), (4, 3)]
+    got = _run(edges, [0])
+    assert got[3] == 2
