@@ -712,6 +712,18 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(docs, BPE_MERGES)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with the LEARNED merge table (text/bpe.py
+    bpe_encode_counts): train 12 merges, then one stateless streaming map
+    applies them per batch (merge table rides the closure — zero shuffles
+    over the corpus) and emits per-doc BPE token counts."""
+    from incubator_sedona_ray.text.bpe import bpe_encode_counts, bpe_train
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    merges = bpe_train(_docs(sf_dir, columns=["text"]), BPE_MERGES)
+    return bpe_encode_counts(docs, merges)
+
+
 def q_link_components(sf_dir: str):
     """Connected components over a sparse synthetic link graph (chains
     doc_id—doc_id+1 broken at multiples of 7) via distributed min-label
@@ -2589,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "linreg_quality": q_linreg_quality,
         "link_components": q_link_components,
         "centroid_per_label": q_centroid_per_label,
@@ -2700,6 +2713,7 @@ def _geohash_sql(precision: int) -> str:
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_sf0.01")
 _FIXTURE_ORACLES = [
     "bpe_merges",
+    "bpe_encode",
     "s2_cells",
     "h3_cells",
     "langid",

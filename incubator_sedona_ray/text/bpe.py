@@ -231,3 +231,73 @@ def bpe_train(ds, n_merges: int, *, text_col: str = "text"):
     for c in ("left", "right", "merged"):
         df[c] = df[c].str.replace(_EOW, "</w>", regex=False)
     return df
+
+
+# ----------------------------------------------------------------- encode
+
+
+def bpe_encode_counts(ds, merges, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Tokenize the corpus with a LEARNED merge table (the output of
+    :func:`bpe_train`, or any (left, right) string pairs in rank order
+    using ``</w>`` end-of-word notation): per batch, build batch-local
+    symbol ids, apply every merge in rank order with the same vectorized
+    run-parity kernel used in training, and emit (id, n_bpe_tokens).
+
+    Stateless streaming map — the merge table rides each task's closure
+    (merge tables are KBs), so tokenizing 100 TB shuffles nothing.
+    Batch-local symbol ids are sound because the output is counts, not
+    ids; merge strings are interned per batch in rank order, which
+    reproduces the training-time id chains exactly."""
+    try:  # accept the bpe_train DataFrame or an iterable of pairs
+        rules = [(r.left, r.right, r.merged) for r in merges.itertuples()]
+    except AttributeError:
+        rules = [(l, r, l + r) for l, r in merges]
+    rules = [
+        tuple(x.replace("</w>", _EOW) for x in rule) for rule in rules
+    ]
+
+    def encode(t: pa.Table) -> pa.Table:
+        words_per_doc = []
+        flat, offs = [], [0]
+        vocab: dict[str, int] = {}
+
+        def intern(sym: str) -> int:
+            sid = vocab.get(sym)
+            if sid is None:
+                sid = len(vocab)
+                vocab[sym] = sid
+            return sid
+
+        # identical tokenization to word_freqs: RE2 \s+ over the lowered
+        # column (str.split() differs on exotic Unicode whitespace)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+")
+        for row in toks.to_pylist():
+            words = [w for w in (row or []) if w]
+            words_per_doc.append(len(words))
+            for w in words:
+                cs = list(w)
+                cs[-1] = cs[-1] + _EOW
+                flat.extend(intern(c) for c in cs)
+                offs.append(len(flat))
+        f = np.asarray(flat, dtype=np.int64)
+        o = np.asarray(offs, dtype=np.int64)
+        for l_str, r_str, m_str in rules:
+            li, ri = vocab.get(l_str), vocab.get(r_str)
+            mi = intern(m_str)  # intern even on no-match: keeps id chains stable
+            if li is None or ri is None:
+                continue
+            f, o = _apply_merge(f, o, li, ri, mi)
+        per_word = np.diff(o)
+        wpd = np.asarray(words_per_doc, dtype=np.int64)
+        doc_of_word = np.repeat(np.arange(len(wpd)), wpd)
+        counts = np.bincount(doc_of_word, weights=per_word, minlength=len(wpd)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -118,3 +118,68 @@ def test_pack_pairs_word_boundaries():
     packed, rows = _pack_pairs(flat, offs)
     assert packed.tolist() == [(1 << 32) | 2, (3 << 32) | 4]
     assert rows.tolist() == [0, 1]
+
+
+def ref_encode_counts(texts, merges):
+    """Sequential encode with the learned merges (rank order)."""
+    rules = [(l.replace("</w>", _EOW), r.replace("</w>", _EOW)) for _, l, r, *_ in merges]
+    counts = []
+    for t in texts:
+        total = 0
+        for w in t.lower().split():
+            if not w:
+                continue
+            s = list(w[:-1]) + [w[-1] + _EOW]
+            for l, r in rules:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            total += len(s)
+        counts.append(total)
+    return counts
+
+
+def test_bpe_encode_counts_matches_reference(ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "aaaa aaa aa a",
+        "low lower lowest slow slowly",
+        "",
+        "unseen zzz qqq",
+    ]
+    train = ray.data.from_arrow(pa.table({"text": texts[:4]}))
+    merges_df = None
+    from incubator_sedona_ray.text.bpe import bpe_encode_counts, bpe_train
+
+    merges_df = bpe_train(train, 6)
+    merges = list(merges_df.itertuples(index=False))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    ).repartition(3)
+    out = (
+        bpe_encode_counts(ds, merges_df)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_bpe_tokens"].tolist() == ref_encode_counts(texts, merges)
+
+
+def test_bpe_encode_no_merges_is_char_count(ray_session):
+    import pandas as pd
+
+    from incubator_sedona_ray.text.bpe import bpe_encode_counts
+
+    empty = pd.DataFrame(columns=["rank", "left", "right", "merged", "pair_count"])
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()), "text": ["ab cd", "x"]})
+    )
+    out = bpe_encode_counts(ds, empty).to_pandas().sort_values("doc_id")
+    assert out["n_bpe_tokens"].tolist() == [4, 1]  # chars with glued EOW
