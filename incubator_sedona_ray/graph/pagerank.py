@@ -12,24 +12,29 @@ engine; the fixed-point contract makes every iteration bit-equal to the
 unrolled DuckDB oracle on any cluster size. The float ``rank`` column is a
 single deterministic ``rank_fp / scale`` conversion at the end.
 
-Distributed shape, per iteration (everything stays in the object store):
+Distributed shape — per iteration, TWO coarse range-keyed exchanges and
+O(num_ranges) Python group kernels (NOT a hash join + a node-keyed
+groupby: Ray 2.49's generic aggregate over millions of distinct keys is
+~20x slower than a dense in-kernel reduce; same finding as the repo's
+heatmap/sessionize kernels):
 
-  contribs   hash join edges x ranks on src  -> (dst, r // deg)   [edge-sized]
-  base rows  the static (node, deg) table with contrib 0 — unioned in so
-             nodes with no in-links survive the groupby (no outer join)
-  combine    groupby(node): Sum(contrib), Max(deg)  [deg >= 0 and only the
-             base row carries it, so Max recovers it]   [node-sized]
-  damp       map_batches: r' = base + (d_num * (s + dangling // n)) // d_den
+  scatter   union(edge rows, rank rows) -> groupby(range of src):
+            the kernel holds its range's ranks as DENSE arrays (node ids
+            are assumed 0..n_nodes-1 — the crawl-graph normal form after
+            id assignment) and emits (dst, r // deg) contributions
+  gather    union(contributions, static node-degree rows) -> groupby(range
+            of dst): dense np.add.at reduce + the damping formula ->
+            the next (node, deg, r) table, materialized (node-sized)
 
 The dangling mass (rank parked on zero-out-degree nodes) is a one-scalar
-aggregate over the node-sized rank table per iteration, redistributed
-uniformly — the standard PageRank completion. ``ranks`` is materialized
-once per iteration to truncate lineage (node-sized, not edge-sized).
+map+sum over the node-sized rank table per iteration, redistributed
+uniformly — the standard PageRank completion.
 
-Both shuffles are keyed on the node id; skew follows in-degree (the web's
-power law) — at 100 TB the hot-site fix is the same salting used by the
-spatial joins (partial per-partition Sum before the global groupby is
-already what Ray's groupby does map-side).
+PARTITIONING ASSUMPTION (per the project brief): one range's dense rank
+slice (8 bytes x n_nodes / num_ranges) must fit a worker heap — raise
+``num_ranges`` with graph size. In-degree skew (the web's power law)
+lands on the gather kernel as extra ROWS per range, not extra keys;
+ranges are uniform in id space.
 
 No counterpart in the reference repo (Sedona has no graph ops); the
 operator comes from the north rule's Common-Crawl input shape.
@@ -37,8 +42,78 @@ operator comes from the north rule's Common-Crawl input shape.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+
+
+def _rid_of(ids: np.ndarray, n: int, nr: int) -> np.ndarray:
+    return ids * nr // n
+
+
+def _pagerank_dense(
+    edges, iters, dnum, dden, scale, src_col, dst_col, node_col, N, base, r0
+):
+    """Dense-vector mode: deg and rank live as int64 arrays (8N bytes),
+    broadcast once per round; each round is one shuffle-free edges pass
+    with per-task dense accumulators tree-merged via Dataset.aggregate.
+    Integer arithmetic identical to the BSP path — bit-equal results."""
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    edges_slim = edges.select_columns([src_col, dst_col]).materialize()
+
+    def _cols(block):
+        if isinstance(block, pa.Table):
+            s = block[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = block[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # pandas
+            s = block[src_col].to_numpy().astype(np.int64)
+            d = block[dst_col].to_numpy().astype(np.int64)
+        return s, d
+
+    def _vector_agg(accumulate_block, name):
+        return AggregateFn(
+            init=lambda k: np.zeros(N, dtype=np.int64),
+            merge=lambda a, b: a + b,
+            accumulate_block=accumulate_block,
+            name=name,
+        )
+
+    def acc_deg(acc, block):
+        s, _ = _cols(block)
+        return acc + np.bincount(s, minlength=N).astype(np.int64)
+
+    agg = edges_slim.aggregate(_vector_agg(acc_deg, "deg"))
+    deg = agg["deg"] if agg else np.zeros(N, dtype=np.int64)
+    dangling_nodes = deg == 0
+
+    r = np.full(N, r0, dtype=np.int64)
+    for _ in range(iters):
+        redistribute = int(r[dangling_nodes].sum()) // N
+        over_deg = np.zeros(N, dtype=np.int64)
+        nz = deg > 0
+        over_deg[nz] = r[nz] // deg[nz]
+        ref = ray.put(over_deg)  # one broadcast per round, fetched per task
+
+        def acc_contrib(acc, block, _ref=ref):
+            s, d = _cols(block)
+            od = ray.get(_ref)
+            acc = acc.copy()
+            np.add.at(acc, d, od[s])
+            return acc
+
+        agg = edges_slim.aggregate(_vector_agg(acc_contrib, "contrib"))
+        contrib = agg["contrib"] if agg else np.zeros(N, dtype=np.int64)
+        r = base + (dnum * (contrib + redistribute)) // dden
+
+    out = pa.table(
+        {
+            node_col: pa.array(np.arange(N, dtype=np.int64)),
+            "rank_fp": pa.array(r),
+            "rank": pa.array(r.astype(np.float64) / float(scale)),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 def pagerank(
@@ -54,160 +129,229 @@ def pagerank(
     node_col: str = "node",
     num_partitions: int | None = None,
     n_nodes: int | None = None,
+    mode: str = "auto",
+    dense_max_nodes: int = 1 << 22,
 ):
     """Dataset(node, rank_fp:int64, rank:float64) after ``iters`` rounds.
 
-    ``edges``: Dataset(src, dst) int64 — multi-edges count multiply, the
-    same contract as summing over ``regexp_extract_all`` matches.
-    ``nodes``: Dataset(node) int64 — the full node universe (isolated
-    nodes hold base rank and collect the dangling redistribution).
+    ``edges``: Dataset(src, dst) int64 — multi-edges count multiply.
+    ``nodes``: Dataset(node) int64 — the full node universe, ids in
+    [0, n_nodes); isolated nodes hold base rank and collect the dangling
+    redistribution.
+
+    ``mode``: ``"dense"`` holds the rank vector as one int64 array
+    (8 x n_nodes bytes) broadcast per round via ``ray.put`` — each round is
+    ONE shuffle-free pass over the edges with per-task dense accumulators
+    tree-merged through ``Dataset.aggregate`` (the heatmap dense-grid
+    pattern; ~8x faster than the exchange plan at 2M nodes). ``"bsp"`` is
+    the 100 TB path: node state stays sharded in the object store and each
+    round runs the two range-keyed exchanges described in the module
+    docstring. ``"auto"`` picks dense when ``n_nodes <= dense_max_nodes``.
+    Both modes run the identical integer recurrence — results are
+    bit-equal to each other and to the SQL oracle.
     """
     import ray
-    from ray.data.aggregate import Count, Max, Sum
-
-    from ..state.blocks import safe_hash_join
 
     if num_partitions is None:
         try:
-            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
         except Exception:
             num_partitions = 4
     if n_nodes is None:
         n_nodes = nodes.count()
     if n_nodes <= 0:
         raise ValueError("pagerank needs a non-empty node set")
+    R = int(num_partitions)
+    N = int(n_nodes)
 
-    base = ((damping_den - damping_num) * (scale // n_nodes)) // damping_den
-    r0 = scale // n_nodes
+    base = ((damping_den - damping_num) * (scale // N)) // damping_den
+    r0 = scale // N
 
-    deg = (
-        edges.select_columns([src_col])
-        .groupby(src_col)
-        .aggregate(Count(alias_name="deg"))
-    )
+    if mode == "dense" or (mode == "auto" and N <= dense_max_nodes):
+        return _pagerank_dense(
+            edges, iters, damping_num, damping_den, scale, src_col, dst_col,
+            node_col, N, base, r0,
+        )
 
-    def deg_to_node(t: pa.Table) -> pa.Table:
+    def _span(rid: int) -> tuple[int, int]:
+        """[lo, hi) of node ids whose rid == rid (rid = id * R // N)."""
+        lo = -(-rid * N // R)  # ceil(rid * N / R)
+        hi = -(-(rid + 1) * N // R)
+        return lo, min(hi, N)
+
+    # unified row shape for both exchanges: (rid, a, b, v)
+    #   scatter: edge rows (rid(src), src, dst, 0) + rank rows (rid(node), node, -1, r)
+    #   gather:  contrib rows (rid(dst), dst, -2, c) + degree rows (rid(node), node, deg, 0)
+    def edge_rows(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                node_col: t[src_col].cast(pa.int64()),
-                "deg": t["deg"].cast(pa.int64()),
+                "rid": pa.array(_rid_of(s, N, R)),
+                "a": pa.array(s),
+                "b": pa.array(d),
+                "v": pa.array(np.zeros(len(s), dtype=np.int64)),
             }
         )
 
-    def zero_deg(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                node_col: t[node_col].cast(pa.int64()),
-                "deg": pa.array([0] * n, type=pa.int64()),
-            }
-        )
-
-    # node universe with out-degree: deg rows win over the 0-filled
-    # universe rows via Max (deg >= 1 on any node that appears as a src)
-    node_deg = (
-        deg.map_batches(deg_to_node, batch_format="pyarrow")
-        .union(nodes.map_batches(zero_deg, batch_format="pyarrow"))
-        .groupby(node_col)
-        .aggregate(Max("deg", alias_name="deg"))
+    edges_tagged = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(edge_rows, batch_format="pyarrow")
         .materialize()
     )
 
-    def seed(t: pa.Table) -> pa.Table:
-        return t.append_column("r", pa.array([r0] * t.num_rows, type=pa.int64()))
-
-    ranks = node_deg.map_batches(seed, batch_format="pyarrow").materialize()
-
-    edges_slim = edges.select_columns([src_col, dst_col]).materialize()
-
-    def contrib_fn(t: pa.Table) -> pa.Table:
-        c = pc.divide(t["r"].cast(pa.int64()), t["deg"].cast(pa.int64()))
+    # ---- static out-degree + seed ranks in ONE rid exchange -------------
+    # (a generic groupby over n_nodes distinct keys is ~20x slower than a
+    # dense per-range bincount — same rationale as the iteration kernels)
+    def node_rows(t: pa.Table) -> pa.Table:
+        ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                node_col: t[dst_col].cast(pa.int64()),
-                "deg": pa.array([0] * t.num_rows, type=pa.int64()),
-                "c": c.cast(pa.int64()),
+                "rid": pa.array(_rid_of(ids, N, R)),
+                "a": pa.array(ids),
+                "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "v": pa.array(np.zeros(len(ids), dtype=np.int64)),
             }
         )
 
-    def base_rows(t: pa.Table) -> pa.Table:
+    def deg_kernel(g: pa.Table) -> pa.Table:
+        rid = int(g["rid"][0].as_py())
+        lo, hi = _span(rid)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = a[b >= 0]  # edge rows
+        node_ids = a[b == -1]  # this range's node universe
+        deg_dense = np.bincount(src - lo, minlength=hi - lo).astype(np.int64)
         return pa.table(
             {
-                node_col: t[node_col],
-                "deg": t["deg"],
-                "c": pa.array([0] * t.num_rows, type=pa.int64()),
+                node_col: pa.array(node_ids),
+                "deg": pa.array(deg_dense[node_ids - lo]),
+            }
+        )
+
+    node_deg = (
+        edges_tagged.union(nodes.map_batches(node_rows, batch_format="pyarrow"))
+        .groupby("rid")
+        .map_groups(deg_kernel, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "rid": pa.array(_rid_of(ids, N, R)),
+                "a": pa.array(ids),
+                "b": t["deg"].cast(pa.int64()),
+                "v": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            }
+        )
+
+    deg_tagged = node_deg.map_batches(deg_rows, batch_format="pyarrow").materialize()
+
+    # ---- seed ranks: (node, deg, r) ------------------------------------
+    def seed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(t.num_rows, r0, dtype=np.int64))
+        )
+
+    ranks = node_deg.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "rid": pa.array(_rid_of(ids, N, R)),
+                "a": pa.array(ids),
+                "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "v": t["r"].cast(pa.int64()),
+            }
+        )
+
+    def scatter_kernel(g: pa.Table) -> pa.Table:
+        rid = int(g["rid"][0].as_py())
+        lo, hi = _span(rid)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_rank = b == -1
+        r_dense = np.zeros(hi - lo, dtype=np.int64)
+        r_dense[a[is_rank] - lo] = v[is_rank]
+        # degree via counting this range's edge rows per src (multi-edges
+        # count multiply — identical to the Count aggregate)
+        src = a[~is_rank]
+        dst = b[~is_rank]
+        if not len(src):
+            return pa.table(
+                {
+                    "rid": pa.array([], type=pa.int64()),
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                }
+            )
+        deg_dense = np.bincount(src - lo, minlength=hi - lo).astype(np.int64)
+        c = r_dense[src - lo] // deg_dense[src - lo]
+        return pa.table(
+            {
+                "rid": pa.array(_rid_of(dst, N, R)),
+                "a": pa.array(dst),
+                "b": pa.array(np.full(len(dst), -2, dtype=np.int64)),
+                "v": pa.array(c),
             }
         )
 
     for _ in range(iters):
-        dang_rows = ranks.map_batches(
-            lambda t: pa.table(
-                {
-                    "d": pa.array(
-                        [
-                            pc.sum(
-                                pc.if_else(
-                                    pc.equal(t["deg"], 0),
-                                    t["r"],
-                                    pa.scalar(0, type=pa.int64()),
-                                )
-                            ).as_py()
-                            or 0
-                        ],
-                        type=pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        dangling = int(dang_rows.sum("d") or 0)
-        redistribute = dangling // n_nodes
+        # dangling mass: one scalar over the node-sized rank table
+        def dang_partial(t: pa.Table) -> pa.Table:
+            d = t["deg"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"d": pa.array([int(r[d == 0].sum())], type=pa.int64())})
 
-        joined = safe_hash_join(
-            edges_slim,
-            ranks,
-            "inner",
-            num_partitions,
-            on=(src_col,),
-            right_on=(node_col,),
-            # both sides are iteration-reused materialized datasets, so the
-            # empty-block scrub costs one cheap pass and protects against
-            # the Ray 2.49 empty-first-block schema fault on small inputs
-            scrub_left=True,
-            scrub_right=True,
+        dangling = int(
+            ranks.map_batches(dang_partial, batch_format="pyarrow").sum("d") or 0
         )
-        contribs = joined.map_batches(contrib_fn, batch_format="pyarrow").union(
-            node_deg.map_batches(base_rows, batch_format="pyarrow")
-        )
+        redistribute = dangling // N
 
-        def damp(t: pa.Table, _redist=redistribute) -> pa.Table:
-            s = t["s"].cast(pa.int64())
-            r = pc.add(
-                pa.scalar(base, type=pa.int64()),
-                pc.divide(
-                    pc.multiply(
-                        pa.scalar(damping_num, type=pa.int64()),
-                        pc.add(s, pa.scalar(_redist, type=pa.int64())),
-                    ),
-                    pa.scalar(damping_den, type=pa.int64()),
-                ),
+        contribs = (
+            edges_tagged.union(
+                ranks.map_batches(rank_rows, batch_format="pyarrow")
             )
+            .groupby("rid")
+            .map_groups(scatter_kernel, batch_format="pyarrow")
+        )
+
+        def gather_kernel(g: pa.Table, _redist=redistribute) -> pa.Table:
+            rid = int(g["rid"][0].as_py())
+            lo, hi = _span(rid)
+            a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            is_c = b == -2
+            s_dense = np.zeros(hi - lo, dtype=np.int64)
+            np.add.at(s_dense, a[is_c] - lo, v[is_c])
+            node_ids = a[~is_c]
+            deg_vals = b[~is_c]
+            s = s_dense[node_ids - lo]
+            r_new = base + (damping_num * (s + _redist)) // damping_den
             return pa.table(
                 {
-                    node_col: t[node_col].cast(pa.int64()),
-                    "deg": t["deg"].cast(pa.int64()),
-                    "r": r,
+                    node_col: pa.array(node_ids),
+                    "deg": pa.array(deg_vals),
+                    "r": pa.array(r_new),
                 }
             )
 
         ranks = (
-            contribs.groupby(node_col)
-            .aggregate(Sum("c", alias_name="s"), Max("deg", alias_name="deg"))
-            .map_batches(damp, batch_format="pyarrow")
+            contribs.union(deg_tagged)
+            .groupby("rid")
+            .map_groups(gather_kernel, batch_format="pyarrow")
             .materialize()
         )
 
     def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         r = t["r"].cast(pa.int64())
         return pa.table(
             {

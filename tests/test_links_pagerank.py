@@ -81,7 +81,7 @@ def _ref_pagerank_fp(edges, n, iters=5, scale=10**12, dnum=85, dden=100):
     return r
 
 
-def _run_pagerank(edges, n, iters=5):
+def _run_pagerank(edges, n, iters=5, mode="auto"):
     from incubator_sedona_ray.graph.pagerank import pagerank
 
     e = pa.table(
@@ -92,7 +92,11 @@ def _run_pagerank(edges, n, iters=5):
     )
     nodes = pa.table({"node": pa.array(range(n), type=pa.int64())})
     out = pagerank(
-        ray.data.from_arrow(e), ray.data.from_arrow(nodes), iters=iters, num_partitions=3
+        ray.data.from_arrow(e),
+        ray.data.from_arrow(nodes),
+        iters=iters,
+        num_partitions=3,
+        mode=mode,
     ).to_pandas()
     assert len(out) == n
     got = np.zeros(n, dtype=np.int64)
@@ -105,20 +109,22 @@ def test_pagerank_matches_reference(ray_session):
     rnd = np.random.default_rng(3)
     n = 60
     edges = [(int(rnd.integers(0, n)), int(rnd.integers(0, n))) for _ in range(200)]
-    got = _run_pagerank(edges, n)
     want = _ref_pagerank_fp(edges, n)
-    assert np.array_equal(got, want)
+    # both execution plans must be BIT-equal to the sequential recurrence
+    assert np.array_equal(_run_pagerank(edges, n, mode="dense"), want)
+    assert np.array_equal(_run_pagerank(edges, n, mode="bsp"), want)
 
 
 def test_pagerank_dangling_and_isolated(ray_session):
     # node 3 dangles (no out-edges), node 4 is fully isolated
     edges = [(0, 1), (1, 2), (2, 0), (0, 3), (2, 3)]
     n = 5
-    got = _run_pagerank(edges, n, iters=4)
     want = _ref_pagerank_fp(edges, n, iters=4)
-    assert np.array_equal(got, want)
-    # total mass stays ~1 (fixed-point floor loses at most a few units/node)
-    assert abs(got.sum() - 10**12) < 10 * n
+    for mode in ("dense", "bsp"):
+        got = _run_pagerank(edges, n, iters=4, mode=mode)
+        assert np.array_equal(got, want), mode
+        # total mass ~1 (fixed-point floor loses at most a few units/node)
+        assert abs(got.sum() - 10**12) < 10 * n
 
 
 def test_pagerank_multi_edges_count_multiply(ray_session):
