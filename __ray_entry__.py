@@ -769,6 +769,28 @@ def q_centroid_per_label(sf_dir: str):
     )
 
 
+MIX_SEED = 11
+
+
+def q_mixture_sample(sf_dir: str):
+    """Training-mixture rebalancing (dedup/sample.py mixture_rates +
+    sample_stratified): keep rates that give every language an EQUAL token
+    share of a 1/4-of-corpus budget — rates from one tiny token-total
+    groupby, then the deterministic fmix32 hash filter. Two streaming
+    passes, zero corpus shuffles; bit-replayable in SQL."""
+    from incubator_sedona_ray.dedup.sample import mixture_rates, sample_stratified
+    from incubator_sedona_ray.text.packing import count_tokens_batch
+
+    counted = (
+        _docs(sf_dir, columns=["doc_id", "lang", "text"])
+        .map_batches(count_tokens_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "n_tokens"])
+    )
+    rates = mixture_rates(counted, strata_col="lang", tokens_col="n_tokens")
+    out = sample_stratified(counted, rates, strata_col="lang", seed=MIX_SEED)
+    return out.select_columns(["doc_id", "lang"])
+
+
 BFS_MAX_HOPS = 6
 
 
@@ -2599,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "pack_offsets": q_pack_offsets,
         "bfs_hops": q_bfs_hops,
+        "mixture_sample": q_mixture_sample,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -2736,6 +2759,12 @@ _FIXTURE_ORACLES = [
     "image_dedup",
     "hll_domains",
 ]
+
+
+def _mix_h() -> str:
+    from incubator_sedona_ray.dedup.sample import fmix32_sql
+
+    return fmix32_sql("doc_id", seed=MIX_SEED)
 
 
 def _reservoir_h() -> str:
@@ -3122,6 +3151,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST(label AS BIGINT) AS label, dim, "
             f"CAST(sum(qv) AS DOUBLE) / (count(*) * CAST({1 << CENTROID_QBITS} AS DOUBLE)) AS centroid, "
             "count(*) AS n FROM q GROUP BY label, dim"
+        ),
+        "mixture_sample": (
+            r"WITH w AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            r"len(regexp_split_to_array(trim(text), '\s+')) END AS nt FROM documents), "
+            "t AS (SELECT lang, sum(nt) AS tok FROM w GROUP BY lang), "
+            "g AS (SELECT CAST(sum(tok) * 1 // (4 * count(*)) AS BIGINT) AS target FROM t), "
+            "r AS (SELECT lang, least(1.0, CAST((SELECT target FROM g) AS DOUBLE) / CAST(tok AS DOUBLE)) AS rate "
+            "FROM t WHERE tok > 0) "
+            "SELECT w.doc_id, w.lang FROM w JOIN r USING (lang) "
+            f"WHERE CAST({_mix_h()} AS DOUBLE) / 4294967296.0 < r.rate"
         ),
         "bfs_hops": (
             "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "

@@ -75,6 +75,59 @@ def sample_stratified(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def mixture_rates(
+    ds,
+    *,
+    strata_col: str = "lang",
+    tokens_col: str = "n_tokens",
+    budget_num: int = 1,
+    budget_den: int = 4,
+) -> dict[str, float]:
+    """Per-stratum keep rates that rebalance a corpus to EQUAL token share
+    per stratum under a total budget of ``budget_num/budget_den`` of the
+    corpus tokens — the training-mixture step (cf. The Pile / Llama data
+    recipes, expressed as deterministic hash sampling so it is resumable
+    and SQL-replayable).
+
+    One tiny groupby over map-side token partials computes per-stratum
+    totals; the integer target ``total * num // (den * k)`` and the float
+    ``min(1.0, target / tok)`` use one fixed expression each, so the SQL
+    oracle computing the identical formula gets bit-identical rates (and
+    therefore, through the fmix32 threshold, the identical sample)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "s": t[strata_col].to_pylist(),
+                "v": t[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("s", sort=False)["v"].sum().reset_index()
+        return pa.table(
+            {
+                strata_col: pa.array(g["s"], type=pa.string()),
+                "tok": pa.array(g["v"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(strata_col)
+        .aggregate(Sum("tok", alias_name="tok"))
+        .to_pandas()
+    )  # O(strata) rows
+    toks = dict(zip(totals[strata_col], totals["tok"].astype(int)))
+    total = sum(toks.values())
+    k = len(toks)
+    if k == 0:
+        return {}
+    target = total * budget_num // (budget_den * k)  # integer, exact
+    return {s: min(1.0, float(target) / float(t)) for s, t in toks.items() if t > 0}
+
+
 def fmix32_sql(expr: str, seed: int = 0) -> str:
     """The identical fmix32 pipeline as a DuckDB SQL expression over a
     BIGINT ``expr`` (HUGEINT multiplies keep the 32x32-bit products exact,
