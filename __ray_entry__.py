@@ -769,6 +769,28 @@ def q_centroid_per_label(sf_dir: str):
     )
 
 
+def q_text_normalize(sf_dir: str):
+    """Unicode corpus hygiene (text/normalize.py): docs with doc_id%3==0
+    get a deterministic mess appended (a C0 control char + a decomposed
+    e-acute); the stage strips controls and NFC-composes — one RE2 pass +
+    Arrow utf8_normalize, zero shuffles, mirrored by DuckDB
+    regexp_replace + nfc_normalize."""
+    from incubator_sedona_ray.text.normalize import normalize_text
+
+    def mess(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out = [
+            (t or "") + ("\x01cafe" + "e\u0301" if int(i) % 3 == 0 else "")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out, type=pa.string())})
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(mess, batch_format="pyarrow")
+    out = normalize_text(docs)
+    return out.select_columns(["doc_id", "text_norm", "changed"])
+
+
 MIX_SEED = 11
 
 
@@ -2622,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": q_pack_offsets,
         "bfs_hops": q_bfs_hops,
         "mixture_sample": q_mixture_sample,
+        "text_normalize": q_text_normalize,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -3161,6 +3184,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM t WHERE tok > 0) "
             "SELECT w.doc_id, w.lang FROM w JOIN r USING (lang) "
             f"WHERE CAST({_mix_h()} AS DOUBLE) / 4294967296.0 < r.rate"
+        ),
+        "text_normalize": (
+            "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN text || chr(1) || 'cafee' || chr(769) ELSE text END AS text FROM documents) "
+            r"SELECT doc_id, nfc_normalize(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS text_norm, "
+            "doc_id % 3 = 0 AS changed FROM m"
         ),
         "bfs_hops": (
             "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "
