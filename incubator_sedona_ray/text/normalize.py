@@ -57,7 +57,10 @@ def normalize_batch(
             vals[i] = v
         s = pa.array(vals, type=pa.string())
     changed = pc.invert(pc.equal(s, t[text_col]))
-    t = t.append_column(out_col, s)
+    if out_col == text_col:  # in-place replacement
+        t = t.set_column(t.column_names.index(text_col), text_col, s)
+    else:
+        t = t.append_column(out_col, s)
     return t.append_column("changed", changed)
 
 
