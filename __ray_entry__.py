@@ -791,6 +791,37 @@ def q_text_normalize(sf_dir: str):
     return out.select_columns(["doc_id", "text_norm", "changed"])
 
 
+def q_extract_title(sf_dir: str):
+    """Page-title harvest (text/extract.py extract_titles — the WAT-style
+    metadata field): one RE2 extract per batch + whitespace collapse +
+    entity decode; pages without a <title> yield ''. Synth mix: entity-
+    laden titles (doc_id%2==0), messy-whitespace titles, and doc_id%7==0
+    pages with no title at all."""
+    from incubator_sedona_ray.text.extract import extract_titles
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            if i % 7 == 0:
+                body = "<html><head></head><body><p>x</p></body></html>"
+            else:
+                t = (
+                    f"R&amp;D &lt;page {i}&gt;"
+                    if i % 2 == 0
+                    else f"Crawl   report\n{i}"
+                )
+                body = f"<html><head><title>{t}</title></head><body><p>x</p></body></html>"
+            htmls.append(body.encode())
+        return pa.table(
+            {"doc_id": b["doc_id"], "html": pa.array(htmls, type=pa.binary())}
+        )
+
+    pages = _docs(sf_dir, columns=["doc_id"]).map_batches(mk, batch_format="pyarrow")
+    return extract_titles(pages).select_columns(["doc_id", "title"])
+
+
 MIX_SEED = 11
 
 
@@ -2645,6 +2676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "mixture_sample": q_mixture_sample,
         "text_normalize": q_text_normalize,
+        "extract_title": q_extract_title,
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -3190,6 +3222,17 @@ def oracle_sql() -> dict[str, str]:
             "THEN text || chr(1) || 'cafee' || chr(769) ELSE text END AS text FROM documents) "
             r"SELECT doc_id, nfc_normalize(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS text_norm, "
             "doc_id % 3 = 0 AS changed FROM m"
+        ),
+        "extract_title": (
+            "WITH h AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN '<html><head></head><body><p>x</p></body></html>' "
+            "ELSE '<html><head><title>' || CASE WHEN doc_id % 2 = 0 "
+            "THEN 'R&amp;D &lt;page ' || CAST(doc_id AS VARCHAR) || '&gt;' "
+            "ELSE 'Crawl   report' || chr(10) || CAST(doc_id AS VARCHAR) END "
+            "|| '</title></head><body><p>x</p></body></html>' END AS html FROM documents) "
+            "SELECT doc_id, replace(replace(replace(trim(regexp_replace("
+            r"coalesce(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\s*>', 1), ''), "
+            r"'\s+', ' ', 'g')), '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS title FROM h"
         ),
         "bfs_hops": (
             "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "

@@ -123,6 +123,35 @@ def extract_text_array(
     return s
 
 
+TITLE_RE = r"(?is)<title[^>]*>(?P<t>.*?)</title\s*>"
+
+
+def extract_title_batch(
+    batch: pa.Table, *, html_col: str = "html", out_col: str = "title"
+) -> pa.Table:
+    """Append the first ``<title>`` body (entity-decoded, whitespace
+    collapsed+trimmed) — the WAT-style page-metadata harvest. One RE2
+    ``extract_regex`` per batch; pages without a title get ''. Mirrors the
+    SQL oracle's ``regexp_extract(html, ..., 1)`` + trim chain."""
+    s = _decode_utf8(batch[html_col])
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    m = pc.extract_regex(s, TITLE_RE)
+    t = pc.if_else(pc.is_valid(m), m.field("t"), pa.scalar("", type=pa.string()))
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    for ent, rep in NAMED_ENTITIES:  # vectorized, &amp; last (see table note)
+        t = pc.replace_substring(t, pattern=ent, replacement=rep)
+    return batch.append_column(out_col, t)
+
+
+def extract_titles(ds, *, html_col: str = "html", out_col: str = "title"):
+    """Streaming map — Dataset with ``out_col`` appended. Zero shuffles."""
+    return ds.map_batches(
+        lambda b: extract_title_batch(b, html_col=html_col, out_col=out_col),
+        batch_format="pyarrow",
+    )
+
+
 def extract_text_batch(
     batch: pa.Table,
     html_col: str = "html",

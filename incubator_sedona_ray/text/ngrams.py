@@ -36,64 +36,107 @@ from .bm25 import _tokenize
 __all__ = ["ngram_partials", "top_ngrams"]
 
 
-def _batch_ngrams(batch: pa.Table, text_col: str, n: int) -> np.ndarray:
+def _batch_ngrams_arrow(batch: pa.Table, text_col: str, n: int) -> pa.Array:
     """All word n-grams of every row in the batch, space-joined, as one
-    object ndarray (vectorized: one flat token buffer + positional masks,
-    no per-row Python loop)."""
+    Arrow string array — zero Python objects: one flat token buffer,
+    positional masks, and a single ``binary_join_element_wise``."""
+    import pyarrow.compute as pc
+
     flat, parent = _tokenize(batch[text_col])
-    toks = np.asarray(flat.to_pylist(), dtype=object)
-    if len(toks) < n:
-        return np.empty(0, dtype=object)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nt = len(flat)
+    if nt < n:
+        return pa.array([], pa.string())
     # position j starts an n-gram iff positions j..j+n-1 share a row
-    ok = np.ones(len(toks) - n + 1, dtype=bool)
+    ok = np.ones(nt - n + 1, dtype=bool)
     for d in range(1, n):
-        ok &= parent[d : len(parent) - n + 1 + d] == parent[: len(parent) - n + 1]
+        ok &= parent[d : nt - n + 1 + d] == parent[: nt - n + 1]
     starts = np.nonzero(ok)[0]
     if len(starts) == 0:
-        return np.empty(0, dtype=object)
-    grams = toks[starts]
-    for d in range(1, n):
-        grams = grams + " "
-        grams = grams + toks[starts + d]
-    return grams
+        return pa.array([], pa.string())
+    parts = [flat.take(pa.array(starts + d, type=pa.int64())) for d in range(n)]
+    return pc.binary_join_element_wise(*parts, " ")
+
+
+def _batch_ngrams(batch: pa.Table, text_col: str, n: int) -> np.ndarray:
+    """Object-ndarray view of :func:`_batch_ngrams_arrow` (legacy callers)."""
+    return np.asarray(_batch_ngrams_arrow(batch, text_col, n).to_pylist(), dtype=object)
 
 
 def ngram_partials(ds, *, n: int = 2, text_col: str = "text"):
     """Dataset of per-batch (ngram, cnt) partial counts."""
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
-        grams = _batch_ngrams(batch, text_col, n)
+        grams = _batch_ngrams_arrow(batch, text_col, n)
         if len(grams) == 0:
             return pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        vals, cnts = np.unique(grams, return_counts=True)
+        vc = pc.value_counts(grams)
         return pa.table(
-            {"ngram": pa.array(vals, pa.string()), "cnt": pa.array(cnts, pa.int64())}
+            {
+                "ngram": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
         )
 
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
-def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text"):
-    """Exact global top-k (ngram, cnt) Dataset, (count desc, ngram asc)."""
-    summed = (
-        ngram_partials(ds, n=n, text_col=text_col)
-        .groupby("ngram")
-        .sum("cnt")
-    )
+def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text", num_buckets: int | None = None):
+    """Exact global top-k (ngram, cnt) Dataset, (count desc, ngram asc).
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        c = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
-        g = np.asarray(batch["ngram"].to_pylist(), dtype=object)
-        order = np.lexsort((g, -c))[:k]
+    The keyed sum runs as a HASH-BUCKETED exchange: partials are tagged
+    ``fnv(ngram) % num_buckets`` and a ``groupby(bucket).map_groups``
+    kernel (pandas C-speed group-sum + local top-k) finishes each bucket —
+    every n-gram lands wholly in one bucket, so per-bucket counts and
+    top-ks are exact and their merge is the exact global answer. Ray
+    2.49's generic aggregate over millions of distinct STRING keys paid
+    ~40 s at 2M pages / 4M distinct bigrams; the coarse-key sort of the
+    identical partial stream is ~20x cheaper (the same finding as the
+    pagerank/heatmap dense kernels)."""
+    import ray as _ray
+
+    from ..dedup.ngram import fnv_strings
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_buckets = 8
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t["ngram"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        b = (fnv_strings(col) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ngram": g["ngram"].to_pylist(),
+                "cnt": g["cnt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
+        top = agg.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
         return pa.table(
-            {"ngram": pa.array(g[order], pa.string()), "cnt": pa.array(c[order], pa.int64())}
+            {
+                "ngram": pa.array(top["ngram"].to_numpy(), pa.string()),
+                "cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+            }
         )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(["cnt", "ngram"], ascending=[False, True]).head(k)
         return out[["ngram", "cnt"]].reset_index(drop=True)
 
-    local = summed.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+    local = (
+        ngram_partials(ds, n=n, text_col=text_col)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+    )
     return (
         local.add_column("_g", lambda b: pd.Series(np.zeros(len(b), dtype=np.int64)))
         .groupby("_g")
