@@ -548,6 +548,17 @@ def run_bench() -> dict:
     # 3 rounds x (3n edge join rows + n node rows) + the setup passes
     timed("q18_pagerank", q18, rows=3 * (4 * n_pages))
 
+    # q19: distributed BPE training, 5 merges — the iterative vocab-table
+    # workload (one corpus pass for word freqs, then 5 x (pair-count pass
+    # + merge-apply pass) over the ~2M-distinct-word symbol table).
+    def q19():
+        from incubator_sedona_ray.text.bpe import bpe_train
+
+        ds = expanded_pages(ray, n_docs, columns=["text"])
+        return len(bpe_train(ds, 5))
+
+    timed("q19_bpe_train", q19, rows=n_pages)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

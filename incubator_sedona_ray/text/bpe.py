@@ -47,10 +47,23 @@ import pyarrow.compute as pc
 _EOW = " "  # end-of-word marker glued to a word's last character
 
 
-def word_freqs(ds, text_col: str = "text"):
+def word_freqs(ds, text_col: str = "text", num_buckets: int | None = None):
     """Dataset(word, freq): lowercase, \\s+ split, empties dropped —
-    the corpus's single full pass."""
-    from ray.data.aggregate import Sum
+    the corpus's single full pass. The keyed sum is HASH-BUCKETED
+    (fnv(word) % buckets -> groupby(bucket) -> pandas group-sum kernel):
+    a web corpus has an unbounded distinct-word vocabulary, and Ray 2.49's
+    generic aggregate over millions of distinct string keys is ~10-20x
+    slower than the coarse-key sort of the same partial stream (the q16
+    top-ngrams finding)."""
+    import ray as _ray
+
+    from ..dedup.ngram import fnv_strings
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_buckets = 8
 
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+")
@@ -58,20 +71,38 @@ def word_freqs(ds, text_col: str = "text"):
         flat = flat.filter(pc.not_equal(flat, ""))
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        enc = flat.dictionary_encode()
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        vc = pc.value_counts(flat)
+        words = vc.field("values")
+        b = (fnv_strings(words) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table(
             {
-                "word": enc.dictionary,
-                "freq": pa.array(cnt.astype(np.int64)),
+                "word": words,
+                "freq": vc.field("counts").cast(pa.int64()),
+                "_b": pa.array(b),
+            }
+        )
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "word": g["word"].to_pylist(),
+                "freq": g["freq"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("word", sort=False)["freq"].sum().reset_index()
+        return pa.table(
+            {
+                "word": pa.array(agg["word"].to_numpy(), pa.string()),
+                "freq": pa.array(agg["freq"].to_numpy(), pa.int64()),
             }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("freq", alias_name="freq"))
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pyarrow")
     )
 
 
