@@ -822,6 +822,52 @@ def q_extract_title(sf_dir: str):
     return extract_titles(pages).select_columns(["doc_id", "title"])
 
 
+def q_anchor_stats(sf_dir: str):
+    """WAT-style anchor aggregation (text/links.py anchor_stats): harvest
+    (dst_url, anchor text) pairs from the synthetic anchored pages, then
+    one dst-keyed groupby -> in-link count + lexicographically smallest
+    non-empty anchor per destination."""
+    from incubator_sedona_ray.text.links import anchor_stats
+
+    pages = _docs(sf_dir, columns=["doc_id", "lang", "source"]).map_batches(
+        _synth_linked_pages_fn, batch_format="pyarrow"
+    )
+    return anchor_stats(pages)
+
+
+IPGEO_MULT = 2654435761
+
+
+def q_ip_geo_join(sf_dir: str):
+    """Geo-IP-style enrichment (join/interval.py): each doc gets a synthetic
+    uint32 ip (Knuth multiplicative hash of doc_id); a 48-range table (64
+    x 2^26 buckets, every 4th missing) broadcasts once and the corpus
+    streams through a searchsorted probe — the 1-D non-equi join class
+    (SQL: BETWEEN), zero shuffles."""
+    from incubator_sedona_ray.join.interval import interval_join
+
+    def add_ip(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (ids * IPGEO_MULT) % (1 << 32)
+        return pa.table(
+            {"doc_id": b["doc_id"], "ip": pa.array(ip, type=pa.int64())}
+        )
+
+    k = np.arange(64, dtype=np.int64)
+    k = k[k % 4 != 3]
+    ranges = ray.data.from_arrow(
+        pa.table(
+            {
+                "lo": pa.array(k << 26, type=pa.int64()),
+                "hi": pa.array(((k + 1) << 26) - 1, type=pa.int64()),
+                "geo": pa.array([f"cc-{int(x)}" for x in k], type=pa.string()),
+            }
+        )
+    )
+    docs = _docs(sf_dir, columns=["doc_id"]).map_batches(add_ip, batch_format="pyarrow")
+    return interval_join(docs, ranges, point_col="ip", attr_cols=("geo",))
+
+
 MIX_SEED = 11
 
 
@@ -2671,10 +2717,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": q_decontam,
         "dup_spans": q_dup_spans,
         "extract_links": q_extract_links,
+        "anchor_stats": q_anchor_stats,
         "pagerank": q_pagerank,
         "pack_offsets": q_pack_offsets,
         "bfs_hops": q_bfs_hops,
         "mixture_sample": q_mixture_sample,
+        "ip_geo_join": q_ip_geo_join,
         "text_normalize": q_text_normalize,
         "extract_title": q_extract_title,
         "warc_roundtrip": q_warc_roundtrip,
@@ -3186,6 +3234,27 @@ def oracle_sql() -> dict[str, str]:
             "e AS (SELECT url, origin, unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)) AS href FROM h) "
             "SELECT url AS src_url, href, CASE WHEN regexp_matches(href, '^https?://') THEN href ELSE origin || href END AS dst_url "
             "FROM e WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')"
+        ),
+        "anchor_stats": (
+            f"WITH t AS (SELECT doc_id, source, CASE lang {url_tld_case} ELSE 'com' END AS tld FROM documents), "
+            "u AS (SELECT doc_id, 'https://' || source || '-' || CAST(doc_id AS VARCHAR) || '.' || tld AS origin FROM t), "
+            "h AS (SELECT origin, "
+            "'<html><body><a href=\"https://ext-' || CAST((doc_id*7+13) % 101 AS VARCHAR) || '.example/p/' || CAST((doc_id*7+13) % 101 AS VARCHAR) || '\">x</a><p>t</p>' "
+            "|| '<a href=\"/p/' || CAST((doc_id*3+1) % 997 AS VARCHAR) || '\">y</a><a href=\"mailto:admin@example.com\">m</a><a href=\"#top\">t</a><a href=\"about.html\">r</a>' "
+            "|| CASE WHEN doc_id % 4 = 0 THEN '<a href=\"http://mirror.example/' || CAST(doc_id AS VARCHAR) || '\">z</a>' ELSE '' END "
+            "|| '</body></html>' AS html FROM u), "
+            "e AS (SELECT origin, unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"[^>]*>([^<]*)', 1)) AS href, "
+            "unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"[^>]*>([^<]*)', 2)) AS a FROM h), "
+            "r AS (SELECT CASE WHEN regexp_matches(href, '^https?://') THEN href ELSE origin || href END AS dst_url, "
+            r"nullif(trim(regexp_replace(a, '\s+', ' ', 'g')), '') AS anchor FROM e "
+            "WHERE regexp_matches(href, '^https?://') OR (href LIKE '/%' AND href NOT LIKE '//%')) "
+            "SELECT dst_url, count(*) AS n_links, min(anchor) AS top_anchor FROM r GROUP BY dst_url"
+        ),
+        "ip_geo_join": (
+            f"WITH p AS (SELECT doc_id, (doc_id * {IPGEO_MULT}) % 4294967296 AS ip FROM documents), "
+            "r AS (SELECT k * 67108864 AS lo, (k + 1) * 67108864 - 1 AS hi, 'cc-' || CAST(k AS VARCHAR) AS geo "
+            "FROM (SELECT unnest(range(0, 64)) AS k) WHERE k % 4 <> 3) "
+            "SELECT p.doc_id, p.ip, r.geo FROM p JOIN r ON p.ip BETWEEN r.lo AND r.hi"
         ),
         "pagerank": _pagerank_sql(),
         "linreg_quality": _linreg_sql(),

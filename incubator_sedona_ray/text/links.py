@@ -80,3 +80,70 @@ def extract_links(ds, *, html_col: str = "html", url_col: str = "url"):
         lambda b: extract_links_batch(b, html_col=html_col, url_col=url_col),
         batch_format="pyarrow",
     )
+
+
+_ANCHOR_HEAD_RE = r'(?s)(?P<u>^[^"]*)"[^>]*>(?P<t>[^<]*)'
+
+
+def extract_anchors_batch(
+    batch: pa.Table, *, html_col: str = "html", url_col: str = "url"
+) -> pa.Table:
+    """(src_url, dst_url, anchor) — one row per resolvable anchor WITH its
+    visible text (first text run before the next tag, whitespace-squashed).
+    Same split-on-``href="`` explode as :func:`extract_links_batch`; one
+    RE2 pulls the url head and the anchor text from each fragment."""
+    s = _decode_utf8(batch[html_col])
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    frags = pc.split_pattern(s, 'href="')
+    frags = frags.combine_chunks() if isinstance(frags, pa.ChunkedArray) else frags
+    offs = np.asarray(frags.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    flat = frags.flatten()
+    drop = offs[:-1][np.diff(offs) > 0]
+    keep = np.ones(len(flat), dtype=bool)
+    keep[drop] = False
+    idx = np.flatnonzero(keep)
+    row_id = np.searchsorted(offs, idx, side="right") - 1
+    if len(idx):
+        m = pc.extract_regex(flat.take(pa.array(idx)), _ANCHOR_HEAD_RE)
+        valid = pc.is_valid(m)
+        href = pc.if_else(valid, m.field("u"), pa.scalar("", type=pa.string()))
+        anchor = pc.if_else(valid, m.field("t"), pa.scalar("", type=pa.string()))
+    else:
+        href = pa.array([], type=pa.string())
+        anchor = pa.array([], type=pa.string())
+    anchor = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(anchor, pattern=r"\s+", replacement=" ")
+    )
+    src = batch[url_col]
+    src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    src_rep = src.take(pa.array(row_id))
+    is_abs = pc.match_substring_regex(href, r"^https?://")
+    is_root = pc.and_(pc.starts_with(href, "/"), pc.invert(pc.starts_with(href, "//")))
+    origin = pc.extract_regex(src_rep, _ORIGIN_RE).field("o")
+    dst = pc.if_else(is_abs, href, pc.binary_join_element_wise(origin, href, ""))
+    out = pa.table({"src_url": src_rep, "dst_url": dst, "anchor": anchor})
+    return out.filter(pc.or_(is_abs, is_root))
+
+
+def anchor_stats(ds, *, html_col: str = "html", url_col: str = "url"):
+    """Per destination url: in-link count + the lexicographically smallest
+    non-empty anchor text (the WAT-style anchor aggregation feeding link
+    graphs and retrieval anchors). One groupby keyed on dst_url."""
+    from ray.data.aggregate import Count, Min
+
+    anchors = ds.map_batches(
+        lambda b: extract_anchors_batch(b, html_col=html_col, url_col=url_col),
+        batch_format="pyarrow",
+    )
+
+    def nonempty_to_null(t: pa.Table) -> pa.Table:
+        a = t["anchor"]
+        a = pc.if_else(pc.equal(a, ""), pa.scalar(None, type=pa.string()), a)
+        return t.set_column(t.column_names.index("anchor"), "anchor", a)
+
+    return (
+        anchors.map_batches(nonempty_to_null, batch_format="pyarrow")
+        .groupby("dst_url")
+        .aggregate(Count(alias_name="n_links"), Min("anchor", alias_name="top_anchor"))
+    )
