@@ -868,6 +868,45 @@ def q_ip_geo_join(sf_dir: str):
     return interval_join(docs, ranges, point_col="ip", attr_cols=("geo",))
 
 
+def q_degree_hist(sf_dir: str):
+    """In-degree distribution of the synthetic link graph (graph/degrees.py
+    dense-reduce: per-task bincount vectors tree-merged, zero shuffles,
+    one edges pass; degree-0 nodes included)."""
+    from incubator_sedona_ray.graph.degrees import degree_histogram
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_edges_fn(n), batch_format="pyarrow")
+    return degree_histogram(edges, n, direction="in")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round-trip — THE LLM corpus interchange format:
+    write the documents table as JSON-lines (Ray native write_json, one
+    file per block, /tmp cache guarded by a _SUCCESS marker + atomic dir
+    promotion), read it back file-parallel with read_json, return the
+    reconstructed rows — byte-identical to the source table."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha256(("jsonl|" + sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/isr_jsonl_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp_dir = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]).write_json(tmp_dir)
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(tmp_dir, path)
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost a concurrent race
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json")
+    )
+    return ray.data.read_json(files).select_columns(["doc_id", "text", "lang"])
+
+
 MIX_SEED = 11
 
 
@@ -2723,6 +2762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "mixture_sample": q_mixture_sample,
         "ip_geo_join": q_ip_geo_join,
+        "degree_hist": q_degree_hist,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "text_normalize": q_text_normalize,
         "extract_title": q_extract_title,
         "warc_roundtrip": q_warc_roundtrip,
@@ -3256,6 +3297,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest(range(0, 64)) AS k) WHERE k % 4 <> 3) "
             "SELECT p.doc_id, p.ip, r.geo FROM p JOIN r ON p.ip BETWEEN r.lo AND r.hi"
         ),
+        "degree_hist": (
+            "WITH n AS (SELECT count(*) AS cnt FROM documents), "
+            "e AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % (SELECT cnt FROM n) AS dst "
+            "FROM documents, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 11 <> 0), "
+            "d AS (SELECT doc_id AS node, count(e.dst) AS deg FROM documents "
+            "LEFT JOIN e ON e.dst = documents.doc_id GROUP BY doc_id) "
+            "SELECT deg AS degree, count(*) AS n_nodes FROM d GROUP BY deg"
+        ),
+        "jsonl_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "pagerank": _pagerank_sql(),
         "linreg_quality": _linreg_sql(),
         "link_components": (
