@@ -907,6 +907,32 @@ def q_jsonl_roundtrip(sf_dir: str):
     return ray.data.read_json(files).select_columns(["doc_id", "text", "lang"])
 
 
+WIN_LEN, WIN_STRIDE = 64, 48
+
+
+def q_sliding_chunks(sf_dir: str):
+    """Overlapping RAG passage windows (text/packing.py sliding_chunks):
+    window k = tokens [k*48, k*48+64), last window = first to reach the
+    doc end — one vectorized stateless map, zero shuffles."""
+    from incubator_sedona_ray.text.packing import sliding_chunks
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return sliding_chunks(docs, WIN_LEN, WIN_STRIDE)
+
+
+def q_compression_ratio(sf_dir: str):
+    """Gopher-style compressibility signal (text/analysis.py
+    compression_ratio_fn): zlib-deflate ratio per document — boilerplate
+    compresses far below prose. Streaming map; golden-fixture oracle
+    (no SQL engine exposes deflate)."""
+    from incubator_sedona_ray.text.analysis import compression_ratio_fn
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(compression_ratio_fn(), batch_format="pyarrow").select_columns(
+        ["doc_id", "comp_ratio"]
+    )
+
+
 MIX_SEED = 11
 
 
@@ -2777,6 +2803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "seq_chunks": q_seq_chunks,
+        "sliding_chunks": q_sliding_chunks,
+        "compression_ratio": q_compression_ratio,
         "domain_stats": q_domain_stats,
         "corpus_filter": q_corpus_filter,
         "tpch_q1": q_tpch_q1,
@@ -2880,6 +2908,7 @@ def _geohash_sql(precision: int) -> str:
 _FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_sf0.01")
 _FIXTURE_ORACLES = [
     "bpe_merges",
+    "compression_ratio",
     "bpe_encode",
     "s2_cells",
     "h3_cells",
@@ -3306,6 +3335,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT deg AS degree, count(*) AS n_nodes FROM d GROUP BY deg"
         ),
         "jsonl_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "sliding_chunks": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, UNNEST(range(0, 1 + CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS BIGINT))) AS chunk_id "
+            "FROM w WHERE len(ws) > 0) "
+            "SELECT doc_id, chunk_id, least(64, len(ws) - chunk_id * 48) AS n_tokens, "
+            "array_to_string(ws[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(ws))], ' ') AS chunk FROM c"
+        ),
         "pagerank": _pagerank_sql(),
         "linreg_quality": _linreg_sql(),
         "link_components": (

@@ -296,3 +296,24 @@ def script_mix_fn(text_col: str = "text"):
         return out.append_column("dominant_script", pa.array(dom, pa.string()))
 
     return fn
+
+
+def compression_ratio_fn(text_col: str = "text", level: int = 6):
+    """Append ``comp_ratio`` = len(zlib(text)) / len(text) in bytes — the
+    Gopher-style repetitiveness signal (Rae et al. 2021 filter on
+    "documents that compress too well"): boilerplate and template spam
+    compress far below prose. Per-row zlib is a C call; the stage is a
+    stateless streaming map (actor-pool-able at scale). Deterministic for
+    a fixed zlib version/level — pinned by the sf0.01 golden fixture,
+    not a SQL oracle (no SQL engine exposes deflate)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ratios = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            ratios.append(len(zlib.compress(raw, level)) / max(len(raw), 1))
+        return batch.append_column("comp_ratio", pa.array(ratios, type=pa.float64()))
+
+    return fn

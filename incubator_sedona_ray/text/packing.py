@@ -30,8 +30,15 @@ def chunk_batch(
     min_tokens: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stride: int | None = None,
 ) -> pa.Table:
-    """One Arrow batch of docs -> chunk rows (id, chunk_id, n_tokens, chunk)."""
+    """One Arrow batch of docs -> chunk rows (id, chunk_id, n_tokens, chunk).
+
+    ``stride`` < ``seq_len`` yields OVERLAPPING windows (RAG-passage
+    convention: starts 0, stride, 2*stride, ... with the last window the
+    first one reaching the doc end — no fully-redundant tail windows);
+    the default ``stride=None`` means ``seq_len`` (disjoint chunks,
+    original semantics)."""
     toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -41,10 +48,11 @@ def chunk_batch(
     n = batch.num_rows
     ntok = np.bincount(parent, minlength=n)  # tokens per doc
 
-    # chunk counts per doc: full chunks + (partial if >= min_tokens)
-    full = ntok // seq_len
-    rem = ntok % seq_len
-    nchunks = full + ((rem >= min_tokens) & (rem > 0)).astype(np.int64)
+    S = seq_len if stride is None else int(stride)
+    if S < 1:
+        raise ValueError(f"stride must be >= 1, got {S}")
+    # windows per doc: starts 0, S, 2S, ... until one covers the doc end
+    nchunks = np.where(ntok > 0, 1 + (np.maximum(ntok - seq_len, 0) + S - 1) // S, 0).astype(np.int64)
 
     doc_idx = np.repeat(np.arange(n), nchunks)  # one entry per output chunk
     # chunk_id within each doc: 0..nchunks[d]-1
@@ -55,8 +63,8 @@ def chunk_batch(
     else:
         chunk_id = starts
     tok_first = np.r_[0, np.cumsum(ntok)[:-1]]  # each doc's first token in flat
-    c_start = tok_first[doc_idx] + chunk_id * seq_len
-    c_len = np.minimum(seq_len, ntok[doc_idx] - chunk_id * seq_len)
+    c_start = tok_first[doc_idx] + chunk_id * S
+    c_len = np.minimum(seq_len, ntok[doc_idx] - chunk_id * S)
     # drop partial chunks below min_tokens (only possible on the last chunk)
     ok = c_len >= min_tokens
     doc_idx, chunk_id, c_start, c_len = doc_idx[ok], chunk_id[ok], c_start[ok], c_len[ok]
@@ -155,6 +163,33 @@ def seq_chunks(
     return ds.map_batches(
         lambda b: chunk_batch(
             b, seq_len=seq_len, min_tokens=min_tokens, id_col=id_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sliding_chunks(
+    ds,
+    seq_len: int,
+    stride: int,
+    *,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Dataset of docs -> OVERLAPPING token windows (RAG passage prep):
+    window k covers tokens [k*stride, k*stride + seq_len); the last window
+    is the first one reaching the doc end. Stateless streaming map."""
+    if seq_len < 1 or stride < 1:
+        raise ValueError(f"seq_len/stride must be >= 1, got {seq_len}/{stride}")
+    return ds.map_batches(
+        lambda b: chunk_batch(
+            b,
+            seq_len=seq_len,
+            min_tokens=min_tokens,
+            id_col=id_col,
+            text_col=text_col,
+            stride=stride,
         ),
         batch_format="pyarrow",
     )

@@ -100,3 +100,45 @@ def test_pack_offsets_parallelism_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_sliding_chunks_windows(ray_session):
+    from incubator_sedona_ray.text.packing import sliding_chunks
+
+    # doc with 10 tokens, L=4 S=3: starts 0,3,6 (6+4=10 reaches end)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": [" ".join(f"w{i}" for i in range(10)), "a b"],
+        }
+    )
+    out = (
+        sliding_chunks(ray.data.from_arrow(t), 4, 3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    assert d0["chunk"].tolist() == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    assert d0["n_tokens"].tolist() == [4, 4, 4]
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk"].tolist() == ["a b"] and d1["n_tokens"].tolist() == [2]
+
+
+def test_sliding_equals_disjoint_when_stride_is_len(ray_session):
+    from incubator_sedona_ray.text.packing import seq_chunks, sliding_chunks
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": [" ".join("x" * 1 for _ in range(k)) for k in (0, 1, 7, 8, 17)],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = seq_chunks(ds, 8).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    b = sliding_chunks(ds, 8, 8).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert a.equals(b)
