@@ -974,7 +974,7 @@ def q_bfs_hops(sf_dir: str):
         return pa.table({"node": pa.array(ids[ids % 97 == 0], type=pa.int64())})
 
     seeds = docs.map_batches(seed, batch_format="pyarrow")
-    out = hop_distance(edges, seeds, max_hops=BFS_MAX_HOPS)
+    out = hop_distance(edges, seeds, max_hops=BFS_MAX_HOPS, n_nodes=n)
     return _rename(out, {"node": "doc_id"})
 
 

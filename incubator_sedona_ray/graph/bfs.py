@@ -27,7 +27,76 @@ No counterpart in the reference repo (Sedona has no graph ops).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+
+def _hop_distance_dense(edges, seeds, max_hops, src_col, dst_col, node_col, n_nodes):
+    """Dense mode (contiguous ids in [0, n_nodes)): the distance vector is
+    one int64 array; each hop is ONE shuffle-free edges pass — per-task
+    'newly reached' dense masks tree-merge through Dataset.aggregate with
+    the current frontier mask broadcast via ray.put (the pagerank dense
+    pattern). Early-stops when a round reaches nothing new."""
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    N = int(n_nodes)
+    edges_slim = edges.select_columns([src_col, dst_col]).materialize()
+
+    seed_ids = np.unique(
+        np.concatenate(
+            [
+                b[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                for b in seeds.select_columns([node_col]).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    dist = np.full(N, -1, dtype=np.int64)
+    dist[seed_ids] = 0
+    frontier = np.zeros(N, dtype=bool)
+    frontier[seed_ids] = True
+
+    for h in range(1, max_hops + 1):
+        if not frontier.any():
+            break
+        ref = ray.put(frontier)
+
+        def acc(a, block, _ref=ref):
+            if isinstance(block, pa.Table):
+                s = block[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                d = block[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                s = block[src_col].to_numpy().astype(np.int64)
+                d = block[dst_col].to_numpy().astype(np.int64)
+            f = ray.get(_ref)
+            a = a.copy()
+            a[d[f[s]]] = True
+            return a
+
+        agg = edges_slim.aggregate(
+            AggregateFn(
+                init=lambda k: np.zeros(N, dtype=bool),
+                merge=lambda a, b: a | b,
+                accumulate_block=acc,
+                name="reached",
+            )
+        )
+        reached = agg["reached"] if agg else np.zeros(N, dtype=bool)
+        frontier = reached & (dist < 0)
+        dist[frontier] = h
+
+    found = np.flatnonzero(dist >= 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_col: pa.array(found.astype(np.int64)),
+                "hop": pa.array(dist[found]),
+            }
+        )
+    )
 
 
 def hop_distance(
@@ -39,13 +108,25 @@ def hop_distance(
     dst_col: str = "dst",
     node_col: str = "node",
     num_partitions: int | None = None,
+    mode: str = "auto",
+    n_nodes: int | None = None,
+    dense_max_nodes: int = 1 << 22,
 ):
     """Dataset(node, hop): minimal number of directed edges from any seed.
-    Seeds get hop 0; nodes unreachable within ``max_hops`` are absent."""
+    Seeds get hop 0; nodes unreachable within ``max_hops`` are absent.
+
+    ``mode="dense"`` (or auto with ``n_nodes`` <= ``dense_max_nodes`` and
+    contiguous ids in [0, n_nodes)) runs the shuffle-free vector plan;
+    ``"bsp"`` keeps node state sharded — the 100 TB path."""
     import ray
     from ray.data.aggregate import Min
 
     from ..state.blocks import safe_hash_join
+
+    if mode == "dense" or (mode == "auto" and n_nodes is not None and n_nodes <= dense_max_nodes):
+        return _hop_distance_dense(
+            edges, seeds, max_hops, src_col, dst_col, node_col, n_nodes
+        )
 
     if num_partitions is None:
         try:

@@ -27,7 +27,7 @@ def _ref_bfs(edges, seeds, max_hops):
     return dist
 
 
-def _run(edges, seeds, max_hops=10):
+def _run(edges, seeds, max_hops=10, mode="bsp"):
     e = pa.table(
         {
             "src": pa.array([s for s, _ in edges], type=pa.int64()),
@@ -35,8 +35,18 @@ def _run(edges, seeds, max_hops=10):
         }
     )
     s = pa.table({"node": pa.array(seeds, type=pa.int64())})
+    n = 1 + max(
+        max((a for a, _ in edges), default=0),
+        max((b for _, b in edges), default=0),
+        max(seeds, default=0),
+    )
     out = hop_distance(
-        ray.data.from_arrow(e), ray.data.from_arrow(s), max_hops=max_hops, num_partitions=3
+        ray.data.from_arrow(e),
+        ray.data.from_arrow(s),
+        max_hops=max_hops,
+        num_partitions=3,
+        mode=mode,
+        n_nodes=n if mode == "dense" else None,
     ).to_pandas()
     return dict(zip(out["node"].astype(int), out["hop"].astype(int)))
 
@@ -45,7 +55,9 @@ def test_bfs_matches_reference(ray_session):
     rnd = np.random.default_rng(6)
     edges = [(int(rnd.integers(0, 40)), int(rnd.integers(0, 40))) for _ in range(120)]
     seeds = [0, 7]
-    assert _run(edges, seeds) == _ref_bfs(edges, seeds, 10)
+    want = _ref_bfs(edges, seeds, 10)
+    assert _run(edges, seeds, mode="bsp") == want
+    assert _run(edges, seeds, mode="dense") == want
 
 
 def test_bfs_max_hops_truncates(ray_session):
@@ -65,3 +77,9 @@ def test_bfs_min_hop_wins(ray_session):
     edges = [(0, 1), (1, 3), (0, 2), (2, 4), (4, 3)]
     got = _run(edges, [0])
     assert got[3] == 2
+
+
+def test_bfs_dense_truncation_and_unreachable(ray_session):
+    chain = [(i, i + 1) for i in range(10)] + [(20, 21)]
+    got = _run(chain, [0], max_hops=3, mode="dense")
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
