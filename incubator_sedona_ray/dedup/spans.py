@@ -11,23 +11,27 @@ Distributed shape (everything corpus-sized stays in the object store):
   1. explode      map_batches: one vectorized RE2 split per batch, FNV
                   n-gram hashes straight off the Arrow buffers
                   (text.decontam._doc_ngram_hashes), in-batch dedup to
-                  DISTINCT (doc, gram) pairs, and the per-doc distinct
-                  total carried on every pair row (docs never span
-                  batches, so the total is exact map-side — it rides the
-                  pair shuffle instead of costing a second groupby).
-  2. dup grams    groupby(gram hash) count: pairs are distinct per doc, so
-                  the count IS the distinct-document frequency; keep
-                  grams with count >= min_docs.
-  3. attribute    distributed hash join pairs x dup-grams on the hash,
-                  then groupby(doc): Count -> dup_grams, Max -> the
-                  carried total. Docs with zero shared spans are simply
-                  absent (inner join) — at web scale the flagged set is
-                  the small output, the clean corpus is never re-shipped.
+                  DISTINCT (doc, gram) pairs — exact because docs never
+                  span batches — each tagged ``gram_hash % num_buckets``.
+  2. bucket df    ONE coarse exchange: ``groupby(bucket).map_groups``;
+                  every occurrence of a gram lands in one bucket, so the
+                  kernel's np.unique/bincount df counts are exact, and it
+                  collapses its pairs to per-(doc, bucket) partials
+                  (dup_grams, total_grams) — O(docs x buckets) rows out.
+  3. combine      groupby(doc) Sum of the tiny partials; docs with zero
+                  shared spans are filtered (at web scale the flagged set
+                  is the small output).
 
-Both shuffles are keyed on the uint64 FNV gram hash — uniform by
-construction, no skew salting needed. The SQL oracle groups by the gram
-STRING; parity holds up to (astronomically unlikely) FNV-1a collisions,
-the same contract ``text/decontam.py`` ships with.
+This replaces the v1 plan (gram-keyed groupby-count + a pairs x dup-grams
+hash join): Ray 2.49's generic aggregate over millions of distinct gram
+hashes and the extra join cost ~4x the single coarse exchange (measured
+10.1 s -> see BASELINE; the repo-wide "hash-bucket the high-cardinality
+keys" finding). Bucket keys are uniform by FNV construction — no skew
+salting needed.
+
+The SQL oracle groups by the gram STRING; parity holds up to
+(astronomically unlikely) FNV-1a collisions, the same contract
+``text/decontam.py`` ships with.
 
 No counterpart in the reference repo (Sedona has no text dedup); the
 n-gram semantics (lowercase, whitespace split, n-word windows) match
@@ -40,7 +44,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def _explode_fn(n: int, id_col: str, text_col: str):
+def _explode_fn(n: int, id_col: str, text_col: str, num_buckets: int):
     def explode(batch: pa.Table) -> pa.Table:
         # local import: text.decontam itself imports from dedup.ngram, so a
         # module-level import here would be circular via dedup/__init__
@@ -51,19 +55,18 @@ def _explode_fn(n: int, id_col: str, text_col: str):
         if len(h):
             pair = np.unique(np.stack([g_row.astype(np.uint64), h], axis=1), axis=0)
             pr = pair[:, 0].astype(np.int64)
-            out_id = ids[pr]
-            out_h = pair[:, 1].astype(np.int64)  # int64 view: Arrow join key
-            # distinct-gram total per doc, repeated onto its pair rows
-            tot = np.bincount(pr, minlength=batch.num_rows)[pr]
+            out_id = ids[pr].astype(np.int64)
+            out_h = pair[:, 1].astype(np.int64)  # int64 view of the uint64 hash
+            bucket = (pair[:, 1] % np.uint64(num_buckets)).astype(np.int64)
         else:
             out_id = np.empty(0, dtype=np.int64)
             out_h = np.empty(0, dtype=np.int64)
-            tot = np.empty(0, dtype=np.int64)
+            bucket = np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 id_col: pa.array(out_id, type=pa.int64()),
                 "h": pa.array(out_h),
-                "tot": pa.array(tot, type=pa.int64()),
+                "_b": pa.array(bucket),
             }
         )
 
@@ -85,44 +88,43 @@ def dup_span_report(
     DISTINCT grams; ``dup_frac`` is their ratio — the usual removal
     signal (drop or trim docs above a threshold)."""
     import ray
-    from ray.data.aggregate import Count, Max
-
-    from ..state.blocks import safe_hash_join
+    from ray.data.aggregate import Sum
 
     if num_partitions is None:
         try:
-            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
         except Exception:
             num_partitions = 4
 
-    pairs = ds.map_batches(_explode_fn(n, id_col, text_col), batch_format="pyarrow")
-
-    def keep_dup(t: pa.Table) -> pa.Table:
-        m = t["_df"].to_numpy(zero_copy_only=False) >= min_docs
-        return t.filter(pa.array(m)).drop_columns(["_df"])
-
-    dup = (
-        pairs.select_columns(["h"])
-        .groupby("h")
-        .aggregate(Count(alias_name="_df"))
-        .map_batches(keep_dup, batch_format="pyarrow")
+    pairs = ds.map_batches(
+        _explode_fn(n, id_col, text_col, num_partitions), batch_format="pyarrow"
     )
 
-    joined = safe_hash_join(
-        pairs,
-        dup,
-        "inner",
-        num_partitions,
-        on=("h",),
-        scrub_left=False,  # pairs stream straight from map_batches
-        scrub_right=True,  # groupby-derived: may lead with empty blocks
-    )
+    def bucket_kernel(g: pa.Table) -> pa.Table:
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        _, inv, df = np.unique(h, return_inverse=True, return_counts=True)
+        is_dup = df[inv] >= min_docs  # pairs are distinct per doc: count == df
+        ud, dinv = np.unique(doc, return_inverse=True)
+        tot = np.bincount(dinv, minlength=len(ud))
+        dup = np.bincount(dinv[is_dup], minlength=len(ud))
+        return pa.table(
+            {
+                id_col: pa.array(ud.astype(np.int64)),
+                "dup_grams": pa.array(dup.astype(np.int64)),
+                "total_grams": pa.array(tot.astype(np.int64)),
+            }
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
         dg = t["dup_grams"].cast(pa.int64())
         tot = t["total_grams"].cast(pa.int64())
-        frac = dg.to_numpy(zero_copy_only=False) / tot.to_numpy(zero_copy_only=False)
-        return pa.table(
+        dgn = dg.to_numpy(zero_copy_only=False)
+        keep = dgn >= 1
+        frac = np.zeros(len(dgn), dtype=np.float64)
+        totn = tot.to_numpy(zero_copy_only=False)
+        frac[keep] = dgn[keep] / totn[keep]
+        out = pa.table(
             {
                 id_col: t[id_col].cast(pa.int64()),
                 "dup_grams": dg,
@@ -130,9 +132,15 @@ def dup_span_report(
                 "dup_frac": pa.array(frac, type=pa.float64()),
             }
         )
+        return out.filter(pa.array(keep))
 
     return (
-        joined.groupby(id_col)
-        .aggregate(Count(alias_name="dup_grams"), Max("tot", alias_name="total_grams"))
+        pairs.groupby("_b")
+        .map_groups(bucket_kernel, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("dup_grams", alias_name="dup_grams"),
+            Sum("total_grams", alias_name="total_grams"),
+        )
         .map_batches(finalize, batch_format="pyarrow")
     )
