@@ -933,6 +933,30 @@ def q_compression_ratio(sf_dir: str):
     )
 
 
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (Haveliwala 2002; graph/pagerank.py
+    seeds=...): teleport mass restricted to the doc_id%97==0 seed set —
+    same exact int64 fixed-point recurrence, seeds hold the restart mass
+    and collect the dangling redistribution. Bit-equal to the unrolled
+    SQL oracle."""
+    from incubator_sedona_ray.graph.pagerank import pagerank
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_edges_fn(n), batch_format="pyarrow")
+    nodes = _rename(docs, {"doc_id": "node"})
+
+    def seed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids[ids % 97 == 0], type=pa.int64())})
+
+    seeds = docs.map_batches(seed, batch_format="pyarrow")
+    out = pagerank(
+        edges, nodes, iters=PAGERANK_ITERS, scale=PAGERANK_SCALE, n_nodes=n, seeds=seeds
+    )
+    return _rename(out, {"node": "doc_id"})
+
+
 MIX_SEED = 11
 
 
@@ -2784,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "anchor_stats": q_anchor_stats,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "pack_offsets": q_pack_offsets,
         "bfs_hops": q_bfs_hops,
         "mixture_sample": q_mixture_sample,
@@ -2989,6 +3014,47 @@ def _pagerank_sql() -> str:
         ctes.append(
             f"r{i} AS (SELECT nd.node, nd.d, {base} + "
             f"(85 * (coalesce(c{i}.s, 0) + (SELECT dang FROM dg{i}) // {cnt})) // 100 AS r "
+            f"FROM nd LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp, "
+        f"CAST(r AS DOUBLE) / CAST({S} AS DOUBLE) AS rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+def _ppr_sql() -> str:
+    """Personalized-PageRank oracle: the fixed-point recurrence unrolled
+    with the teleport vector uniform over seeds (doc_id%97==0) — seeds
+    carry the base mass and the dangling redistribution; non-seeds get
+    (85 * contrib) // 100 only. BIGINT-exact like _pagerank_sql."""
+    S = PAGERANK_SCALE
+    cnt = "(SELECT cnt FROM sc)"
+    base = f"(15 * ({S} // {cnt})) // 100"
+    ctes = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "sc AS (SELECT count(*) AS cnt FROM documents WHERE doc_id % 97 = 0)",
+        f"edges AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % (SELECT cnt FROM n) AS dst "
+        "FROM documents, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 11 <> 0)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "nd AS (SELECT node, coalesce(d, 0) AS d, CASE WHEN node % 97 = 0 THEN 1 ELSE 0 END AS sd "
+        "FROM nodes LEFT JOIN deg ON node = src)",
+        f"r0 AS (SELECT node, d, sd, CASE WHEN sd = 1 THEN {S} // {cnt} ELSE 0 END AS r FROM nd)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"dg{i} AS (SELECT coalesce(sum(r), 0) AS dang FROM {p} WHERE d = 0)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(p.r // p.d) AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.node, nd.d, nd.sd, "
+            f"CASE WHEN nd.sd = 1 THEN {base} ELSE 0 END + "
+            f"(85 * (coalesce(c{i}.s, 0) + CASE WHEN nd.sd = 1 THEN (SELECT dang FROM dg{i}) // {cnt} ELSE 0 END)) // 100 AS r "
             f"FROM nd LEFT JOIN c{i} ON nd.node = c{i}.node)"
         )
     return (
@@ -3343,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(ws[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(ws))], ' ') AS chunk FROM c"
         ),
         "pagerank": _pagerank_sql(),
+        "pagerank_personalized": _ppr_sql(),
         "linreg_quality": _linreg_sql(),
         "link_components": (
             "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "

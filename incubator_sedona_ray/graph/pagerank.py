@@ -51,7 +51,8 @@ def _rid_of(ids: np.ndarray, n: int, nr: int) -> np.ndarray:
 
 
 def _pagerank_dense(
-    edges, iters, dnum, dden, scale, src_col, dst_col, node_col, N, base, r0
+    edges, iters, dnum, dden, scale, src_col, dst_col, node_col, N, base, r0,
+    seed_ids=None,
 ):
     """Dense-vector mode: deg and rank live as int64 arrays (8N bytes),
     broadcast once per round; each round is one shuffle-free edges pass
@@ -87,9 +88,22 @@ def _pagerank_dense(
     deg = agg["deg"] if agg else np.zeros(N, dtype=np.int64)
     dangling_nodes = deg == 0
 
-    r = np.full(N, r0, dtype=np.int64)
+    if seed_ids is None:
+        r = np.full(N, r0, dtype=np.int64)
+    else:
+        S = len(seed_ids)
+        r = np.zeros(N, dtype=np.int64)
+        r[seed_ids] = scale // S
+        base_vec = np.zeros(N, dtype=np.int64)
+        base_vec[seed_ids] = ((dden - dnum) * (scale // S)) // dden
+        seed_mask = np.zeros(N, dtype=np.int64)
+        seed_mask[seed_ids] = 1
     for _ in range(iters):
-        redistribute = int(r[dangling_nodes].sum()) // N
+        if seed_ids is not None:
+            dang = int(r[dangling_nodes].sum())
+            redist_vec = (dang // len(seed_ids)) * seed_mask
+        else:
+            redistribute = int(r[dangling_nodes].sum()) // N
         over_deg = np.zeros(N, dtype=np.int64)
         nz = deg > 0
         over_deg[nz] = r[nz] // deg[nz]
@@ -104,7 +118,10 @@ def _pagerank_dense(
 
         agg = edges_slim.aggregate(_vector_agg(acc_contrib, "contrib"))
         contrib = agg["contrib"] if agg else np.zeros(N, dtype=np.int64)
-        r = base + (dnum * (contrib + redistribute)) // dden
+        if seed_ids is None:
+            r = base + (dnum * (contrib + redistribute)) // dden
+        else:
+            r = base_vec + (dnum * (contrib + redist_vec)) // dden
 
     out = pa.table(
         {
@@ -131,8 +148,16 @@ def pagerank(
     n_nodes: int | None = None,
     mode: str = "auto",
     dense_max_nodes: int = 1 << 22,
+    seeds=None,
 ):
     """Dataset(node, rank_fp:int64, rank:float64) after ``iters`` rounds.
+
+    ``seeds``: optional Dataset(node) — PERSONALIZED PageRank (Haveliwala
+    2002): the teleport distribution is uniform over the seed set instead
+    of all nodes (seeds hold the base/restart mass and collect the
+    dangling redistribution; non-seeds only receive propagated mass).
+    Seed sets are small-side by contract (collected + broadcast); dense
+    mode only — raise the dense cap or pre-aggregate for larger graphs.
 
     ``edges``: Dataset(src, dst) int64 — multi-edges count multiply.
     ``nodes``: Dataset(node) int64 — the full node universe, ids in
@@ -167,10 +192,30 @@ def pagerank(
     base = ((damping_den - damping_num) * (scale // N)) // damping_den
     r0 = scale // N
 
+    seed_ids = None
+    if seeds is not None:
+        seed_ids = np.unique(
+            np.concatenate(
+                [
+                    b[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                    for b in seeds.select_columns([node_col]).iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        if len(seed_ids) == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        if not (mode == "dense" or (mode == "auto" and N <= dense_max_nodes)):
+            raise NotImplementedError(
+                "personalized pagerank is dense-mode only; raise dense_max_nodes"
+            )
+
     if mode == "dense" or (mode == "auto" and N <= dense_max_nodes):
         return _pagerank_dense(
             edges, iters, damping_num, damping_den, scale, src_col, dst_col,
-            node_col, N, base, r0,
+            node_col, N, base, r0, seed_ids=seed_ids,
         )
 
     def _span(rid: int) -> tuple[int, int]:

@@ -132,3 +132,69 @@ def test_pagerank_multi_edges_count_multiply(ray_session):
     got = _run_pagerank(edges, 2, iters=3)
     want = _ref_pagerank_fp(edges, 2, iters=3)
     assert np.array_equal(got, want)
+
+
+def _ref_ppr_fp(edges, n, seeds, iters=5, scale=10**12, dnum=85, dden=100):
+    deg = np.zeros(n, dtype=np.int64)
+    for s, _ in edges:
+        deg[s] += 1
+    S = len(seeds)
+    r = np.zeros(n, dtype=np.int64)
+    r[list(seeds)] = scale // S
+    base = np.zeros(n, dtype=np.int64)
+    base[list(seeds)] = ((dden - dnum) * (scale // S)) // dden
+    sm = np.zeros(n, dtype=np.int64)
+    sm[list(seeds)] = 1
+    for _ in range(iters):
+        dang = int(r[deg == 0].sum())
+        contrib = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            contrib[d] += r[s] // deg[s]
+        r = base + (dnum * (contrib + (dang // S) * sm)) // dden
+    return r
+
+
+def test_personalized_pagerank_matches_reference(ray_session):
+    from incubator_sedona_ray.graph.pagerank import pagerank
+
+    rnd = np.random.default_rng(17)
+    n = 50
+    edges = [(int(rnd.integers(0, n)), int(rnd.integers(0, n))) for _ in range(150)]
+    seeds = [0, 13, 31]
+    e = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], type=pa.int64()),
+            "dst": pa.array([d for _, d in edges], type=pa.int64()),
+        }
+    )
+    nodes = pa.table({"node": pa.array(range(n), type=pa.int64())})
+    sd = pa.table({"node": pa.array(seeds, type=pa.int64())})
+    out = pagerank(
+        ray.data.from_arrow(e),
+        ray.data.from_arrow(nodes),
+        iters=4,
+        seeds=ray.data.from_arrow(sd),
+    ).to_pandas()
+    got = np.zeros(n, dtype=np.int64)
+    got[out["node"].to_numpy()] = out["rank_fp"].to_numpy()
+    want = _ref_ppr_fp(edges, n, seeds, iters=4)
+    assert np.array_equal(got, want)
+    # restart mass concentrates at/around seeds
+    assert got[seeds].sum() > got.sum() * 0.2
+
+
+def test_personalized_pagerank_bsp_raises(ray_session):
+    from incubator_sedona_ray.graph.pagerank import pagerank
+
+    e = pa.table({"src": pa.array([0], type=pa.int64()), "dst": pa.array([1], type=pa.int64())})
+    nodes = pa.table({"node": pa.array([0, 1], type=pa.int64())})
+    sd = pa.table({"node": pa.array([0], type=pa.int64())})
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        pagerank(
+            ray.data.from_arrow(e),
+            ray.data.from_arrow(nodes),
+            seeds=ray.data.from_arrow(sd),
+            mode="bsp",
+        )
