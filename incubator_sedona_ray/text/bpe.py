@@ -109,15 +109,19 @@ def word_freqs(ds, text_col: str = "text", num_buckets: int | None = None):
 # ---------------------------------------------------------------- kernels
 
 
+def _row_ids(n: int, offs: np.ndarray) -> np.ndarray:
+    """Word index of every flat symbol — robust to EMPTY words (duplicate
+    offsets), unlike the boundary-cumsum trick (hypothesis-caught)."""
+    return np.searchsorted(offs, np.arange(n, dtype=np.int64), side="right") - 1
+
+
 def _pack_pairs(flat: np.ndarray, offs: np.ndarray):
     """Adjacent same-word symbol pairs packed into int64 (left<<32)|right,
     plus each pair's word row."""
     n = len(flat)
     if n < 2:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    row = np.zeros(n, dtype=np.int64)
-    row[offs[1:-1]] = 1
-    row = np.cumsum(row)
+    row = _row_ids(n, offs)
     i0 = np.flatnonzero(row[:-1] == row[1:])
     packed = (flat[i0] << 32) | flat[i0 + 1]
     return packed, row[i0]
@@ -130,9 +134,7 @@ def _apply_merge(flat, offs, left: int, right: int, new_id: int):
     n = len(flat)
     if n < 2:
         return flat, offs
-    row = np.zeros(n, dtype=np.int64)
-    row[offs[1:-1]] = 1
-    row = np.cumsum(row)
+    row = _row_ids(n, offs)
     m = np.zeros(n, dtype=bool)
     m[:-1] = (flat[:-1] == left) & (flat[1:] == right) & (row[:-1] == row[1:])
     if not m.any():
