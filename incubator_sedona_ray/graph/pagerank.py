@@ -156,8 +156,9 @@ def pagerank(
     2002): the teleport distribution is uniform over the seed set instead
     of all nodes (seeds hold the base/restart mass and collect the
     dangling redistribution; non-seeds only receive propagated mass).
-    Seed sets are small-side by contract (collected + broadcast); dense
-    mode only — raise the dense cap or pre-aggregate for larger graphs.
+    Seed sets are small-side by contract (collected once, broadcast by
+    closure); works in BOTH modes — in BSP the flag rides the degree rows
+    through the gather exchange. Bit-equal across modes.
 
     ``edges``: Dataset(src, dst) int64 — multi-edges count multiply.
     ``nodes``: Dataset(node) int64 — the full node universe, ids in
@@ -207,10 +208,6 @@ def pagerank(
         )
         if len(seed_ids) == 0:
             raise ValueError("personalized pagerank needs a non-empty seed set")
-        if not (mode == "dense" or (mode == "auto" and N <= dense_max_nodes)):
-            raise NotImplementedError(
-                "personalized pagerank is dense-mode only; raise dense_max_nodes"
-            )
 
     if mode == "dense" or (mode == "auto" and N <= dense_max_nodes):
         return _pagerank_dense(
@@ -250,12 +247,17 @@ def pagerank(
     # dense per-range bincount — same rationale as the iteration kernels)
     def node_rows(t: pa.Table) -> pa.Table:
         ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (
+            np.isin(ids, seed_ids).astype(np.int64)
+            if seed_ids is not None
+            else np.zeros(len(ids), dtype=np.int64)
+        )
         return pa.table(
             {
                 "rid": pa.array(_rid_of(ids, N, R)),
                 "a": pa.array(ids),
                 "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-                "v": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "v": pa.array(sd),  # seed flag (personalized teleport)
             }
         )
 
@@ -265,12 +267,15 @@ def pagerank(
         a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = a[b >= 0]  # edge rows
-        node_ids = a[b == -1]  # this range's node universe
+        is_node = b == -1
+        node_ids = a[is_node]  # this range's node universe
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         deg_dense = np.bincount(src - lo, minlength=hi - lo).astype(np.int64)
         return pa.table(
             {
                 node_col: pa.array(node_ids),
                 "deg": pa.array(deg_dense[node_ids - lo]),
+                "seed": pa.array(v[is_node]),
             }
         )
 
@@ -288,17 +293,22 @@ def pagerank(
                 "rid": pa.array(_rid_of(ids, N, R)),
                 "a": pa.array(ids),
                 "b": t["deg"].cast(pa.int64()),
-                "v": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "v": t["seed"].cast(pa.int64()),
             }
         )
 
     deg_tagged = node_deg.map_batches(deg_rows, batch_format="pyarrow").materialize()
 
-    # ---- seed ranks: (node, deg, r) ------------------------------------
+    # ---- seed ranks: (node, deg, seed, r) -------------------------------
+    n_seeds = len(seed_ids) if seed_ids is not None else 0
+
     def seed(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "r", pa.array(np.full(t.num_rows, r0, dtype=np.int64))
-        )
+        if seed_ids is None:
+            r_init = np.full(t.num_rows, r0, dtype=np.int64)
+        else:
+            sd = t["seed"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r_init = sd * (scale // n_seeds)
+        return t.append_column("r", pa.array(r_init))
 
     ranks = node_deg.map_batches(seed, batch_format="pyarrow").materialize()
 
@@ -356,7 +366,7 @@ def pagerank(
         dangling = int(
             ranks.map_batches(dang_partial, batch_format="pyarrow").sum("d") or 0
         )
-        redistribute = dangling // N
+        redistribute = dangling // (n_seeds if seed_ids is not None else N)
 
         contribs = (
             edges_tagged.union(
@@ -377,12 +387,18 @@ def pagerank(
             np.add.at(s_dense, a[is_c] - lo, v[is_c])
             node_ids = a[~is_c]
             deg_vals = b[~is_c]
+            sd = v[~is_c]  # deg rows carry the seed flag in v
             s = s_dense[node_ids - lo]
-            r_new = base + (damping_num * (s + _redist)) // damping_den
+            if seed_ids is None:
+                r_new = base + (damping_num * (s + _redist)) // damping_den
+            else:
+                base_s = ((damping_den - damping_num) * (scale // n_seeds)) // damping_den
+                r_new = sd * base_s + (damping_num * (s + _redist * sd)) // damping_den
             return pa.table(
                 {
                     node_col: pa.array(node_ids),
                     "deg": pa.array(deg_vals),
+                    "seed": pa.array(sd),
                     "r": pa.array(r_new),
                 }
             )

@@ -183,18 +183,31 @@ def test_personalized_pagerank_matches_reference(ray_session):
     assert got[seeds].sum() > got.sum() * 0.2
 
 
-def test_personalized_pagerank_bsp_raises(ray_session):
+def test_personalized_pagerank_bsp_bit_equal(ray_session):
     from incubator_sedona_ray.graph.pagerank import pagerank
 
-    e = pa.table({"src": pa.array([0], type=pa.int64()), "dst": pa.array([1], type=pa.int64())})
-    nodes = pa.table({"node": pa.array([0, 1], type=pa.int64())})
-    sd = pa.table({"node": pa.array([0], type=pa.int64())})
-    import pytest as _pt
-
-    with _pt.raises(NotImplementedError):
-        pagerank(
+    rnd = np.random.default_rng(21)
+    n = 30
+    edges = [(int(rnd.integers(0, n)), int(rnd.integers(0, n))) for _ in range(90)]
+    seeds = [2, 17]
+    e = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], type=pa.int64()),
+            "dst": pa.array([d for _, d in edges], type=pa.int64()),
+        }
+    )
+    nodes = pa.table({"node": pa.array(range(n), type=pa.int64())})
+    sd = pa.table({"node": pa.array(seeds, type=pa.int64())})
+    want = _ref_ppr_fp(edges, n, seeds, iters=3)
+    for mode in ("dense", "bsp"):
+        out = pagerank(
             ray.data.from_arrow(e),
             ray.data.from_arrow(nodes),
+            iters=3,
             seeds=ray.data.from_arrow(sd),
-            mode="bsp",
-        )
+            mode=mode,
+            num_partitions=4,
+        ).to_pandas()
+        got = np.zeros(n, dtype=np.int64)
+        got[out["node"].to_numpy()] = out["rank_fp"].to_numpy()
+        assert np.array_equal(got, want), mode
