@@ -146,6 +146,24 @@ class CorpusDataset:
 
         return seq_chunks(self.ds, seq_len, id_col=self.id_col, text_col=self.text_col, **kw)
 
+    def sliding(self, seq_len: int, stride: int, **kw):
+        """Terminal: overlapping RAG passage windows per doc."""
+        from .text.packing import sliding_chunks
+
+        return sliding_chunks(
+            self.ds, seq_len, stride, id_col=self.id_col, text_col=self.text_col, **kw
+        )
+
+    def compression_ratio(self) -> "CorpusDataset":
+        """Append the zlib compressibility signal (Gopher filter)."""
+        from .text.analysis import compression_ratio_fn
+
+        return self._wrap(
+            self.ds.map_batches(
+                compression_ratio_fn(text_col=self.text_col), batch_format="pyarrow"
+            )
+        )
+
     # ------------------------------------------------------------ tokenizer
     def bpe_train(self, n_merges: int):
         from .text.bpe import bpe_train
@@ -169,3 +187,15 @@ class CorpusDataset:
         from .text.links import extract_links
 
         return extract_links(self.ds, html_col=html_col, url_col=url_col)
+
+    def anchors(self, *, html_col: str = "html", url_col: str = "url"):
+        """Terminal: per-destination in-link count + best anchor text."""
+        from .text.links import anchor_stats
+
+        return anchor_stats(self.ds, html_col=html_col, url_col=url_col)
+
+    def titles(self, *, html_col: str = "html") -> "CorpusDataset":
+        """Append the <title> metadata column."""
+        from .text.extract import extract_titles
+
+        return self._wrap(extract_titles(self.ds, html_col=html_col))

@@ -61,3 +61,27 @@ def test_dup_spans_terminal(ray_session):
     rep = CorpusDataset(_docs()).dup_spans(n=3).to_pandas()
     assert set(rep["doc_id"]) == {0, 1}  # only the exact-dup pair shares spans
     assert (rep["dup_frac"] == 1.0).all()
+
+
+def test_facade_new_methods(ray_session):
+    pages = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "url": ["https://a.com/", "https://b.com/"],
+            "html": [
+                b"<title>A</title><a href=\"https://b.com/\">to b</a>",
+                b"<title>B</title>",
+            ],
+            "text": ["one two three four five six", "repeat repeat repeat repeat"],
+        }
+    )
+    c = CorpusDataset(ray.data.from_arrow(pages))
+    t = c.titles()
+    assert t.ds.to_pandas()["title"].tolist() == ["A", "B"]
+    a = c.anchors().to_pandas()
+    assert a["dst_url"].tolist() == ["https://b.com/"] and a["n_links"].tolist() == [1]
+    w = c.sliding(3, 2).to_pandas().sort_values(["doc_id", "chunk_id"])
+    # 6 tokens, L=3 S=2 -> starts 0,2,4 (the last window reaches the end)
+    assert w[w["doc_id"] == 0]["chunk_id"].tolist() == [0, 1, 2]
+    r = c.compression_ratio().ds.to_pandas()
+    assert r["comp_ratio"].iloc[1] < r["comp_ratio"].iloc[0]  # repetition compresses better
