@@ -120,19 +120,51 @@ def _df_rank_table(sigs_ds, max_entries: int = 5_000_000):
     entry, ordered by value. Any fixed total order keeps prefix filtering
     exact, so capping changes group sizes only, never results."""
 
+    import ray as _ray
+
+    try:
+        n_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        n_buckets = 8
+
     def toks(batch: pa.Table) -> pa.Table:
+        # in-batch combine + coarse bucket tag: Ray 2.49's generic
+        # aggregate over millions of distinct token keys is ~10-20x
+        # slower than a bucket-keyed sort + np.unique kernels (the
+        # repo-wide high-cardinality-groupby finding)
         _, sigs = _unpack_sigs(batch)
         allt = np.concatenate(sigs) if sigs else np.empty(0, dtype=np.int64)
-        return pa.table({"token": pa.array(allt, type=pa.int64())})
+        u, c = np.unique(allt, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u, type=pa.int64()),
+                "cnt": pa.array(c.astype(np.int64)),
+                "_b": pa.array((u % n_buckets).astype(np.int64)),
+            }
+        )
 
-    counts = sigs_ds.map_batches(toks, batch_format="pyarrow").groupby("token").count()
-
-    def keep_repeated(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
+    def bucket_df(g: pa.Table) -> pa.Table:
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(tok, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, cnt)
+        keep = acc >= 2
+        return pa.table(
+            {
+                "token": pa.array(u[keep], type=pa.int64()),
+                "count()": pa.array(acc[keep]),
+            }
+        )
 
     # materialize: count() and the pull below would otherwise EACH re-run
-    # the token-groupby shuffle (Datasets re-execute per consumption)
-    rep_ds = counts.map_batches(keep_repeated, batch_format="pyarrow").materialize()
+    # the bucket shuffle (Datasets re-execute per consumption)
+    rep_ds = (
+        sigs_ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_df, batch_format="pyarrow")
+        .materialize()
+    )
     n_rep = rep_ds.count()
     if n_rep > max_entries:
         # keep only the heavy hitters: mergeable per-block top-M by df
