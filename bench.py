@@ -149,6 +149,89 @@ def run_bench() -> dict:
     )
     _warm.count()
 
+    import threading
+
+    import ray.data as _rd
+
+    qstats: dict[str, dict] = {}
+
+    def _consume(x):
+        """Execute a query result: Datasets are streamed to exhaustion on
+        THEIR OWN plan (ref bundles only — no block fetch to the driver;
+        ``count()`` would execute a copied plan and leave ``x``'s stats
+        empty) and kept for stats extraction; ints pass through."""
+        if isinstance(x, _rd.Dataset):
+            for _ in x.iter_internal_ref_bundles():
+                pass
+            return x
+        return None
+
+    def _ds_stats(ds) -> dict:
+        """Per-stage output bytes from Ray Data's structured stats:
+        total output MB, per-shuffle-operator output MB (the all-to-all
+        exchanges: Aggregate/Sort/Shuffle/Repartition), and spill."""
+        try:
+            summ = ds._plan.stats().to_summary()
+        except Exception:
+            return {}
+        ops = []
+
+        def walk(s):
+            ops.extend(s.operators_stats)
+            for p in s.parents:
+                walk(p)
+
+        walk(summ)
+        shuffle: dict[str, float] = {}
+        total_b = 0
+        for o in ops:
+            try:
+                b = int((o.output_size_bytes or {}).get("sum") or 0)
+            except Exception:
+                b = 0
+            total_b += b
+            nm = o.operator_name
+            if any(k in nm for k in ("Aggregate", "Sort", "Shuffle", "Repartition")):
+                shuffle[nm] = round(shuffle.get(nm, 0.0) + b / 1e6, 2)
+        out = {"out_mb": round(total_b / 1e6, 2)}
+        if shuffle:
+            out["shuffle_out_mb"] = shuffle
+        spilled = getattr(summ, "dataset_bytes_spilled", 0) or 0
+        if spilled:
+            out["spilled_mb"] = round(spilled / 1e6, 2)
+        return out
+
+    class _StorePeak:
+        """Samples cluster object-store availability during a timed run;
+        peak usage = capacity - min(available)."""
+
+        def __init__(self):
+            self.total = ray.cluster_resources().get("object_store_memory", 0.0)
+            self.min_avail = self.total
+            self._stop = threading.Event()
+            self._t = threading.Thread(target=self._run, daemon=True)
+
+        def _run(self):
+            while not self._stop.wait(0.05):
+                try:
+                    a = ray.available_resources().get("object_store_memory")
+                except Exception:
+                    continue
+                if a is not None and a < self.min_avail:
+                    self.min_avail = a
+
+        def __enter__(self):
+            self._t.start()
+            return self
+
+        def __exit__(self, *exc):
+            self._stop.set()
+            self._t.join(timeout=1.0)
+
+        @property
+        def peak_mb(self) -> float:
+            return round((self.total - self.min_avail) / 1e6, 2)
+
     def timed(name, fn, rows=None, warm_fn_=None):
         if ONLY and name not in ONLY:
             return None
@@ -158,16 +241,24 @@ def run_bench() -> dict:
         if warm_fn_ is not None:
             warm_fn_()
         else:
-            fn()
+            _consume(fn())
         dt = None
-        for _ in range(max(1, REPEAT)):
-            t0 = time.perf_counter()
-            fn()
-            d = time.perf_counter() - t0
-            dt = d if dt is None else min(dt, d)
+        last_ds = None
+        with _StorePeak() as peak:
+            for _ in range(max(1, REPEAT)):
+                t0 = time.perf_counter()
+                ds = _consume(fn())
+                d = time.perf_counter() - t0
+                if dt is None or d < dt:
+                    dt = d
+                if ds is not None:
+                    last_ds = ds
         results[name] = round(dt, 3)
         if rows:
             rates[name + "_rows_per_s"] = round(rows / dt)
+        st = _ds_stats(last_ds) if last_ds is not None else {}
+        st["store_peak_mb"] = peak.peak_mb
+        qstats[name] = st
         return dt
 
     WORLD = (-180.0, -90.0, 180.0, 90.0)
@@ -193,7 +284,7 @@ def run_bench() -> dict:
 
     timed(
         "q1_flagship_pages",
-        lambda: _q1_ds().count(),
+        lambda: _q1_ds(),
         rows=n_pages,
         warm_fn_=lambda: _q1_ds(limit=NCPU * BATCH).count(),
     )
@@ -214,21 +305,21 @@ def run_bench() -> dict:
             zones, pts, "covers", left_geom="geom", right_geom=("lon", "lat"),
             num_partitions=max(8, NCPU), boundary=WORLD,  # known boundary -> block-sample fit, no full summary pass
         )
-        return joined.count()
+        return joined
 
     timed("q2_partitioned_pip_join", q2, rows=n_pages)
 
     # q3: tile assignment rate (the north-rule tile metric, isolated)
     def q3():
         pts = expanded_pages(ray, n_docs, columns=["doc_id", "url"]).map_batches(geocode_batch, batch_format="pyarrow")
-        return pts.map_batches(tile_assign_batch_fn(WORLD, 1024, 512, 8, 8), batch_format="pyarrow").count()
+        return pts.map_batches(tile_assign_batch_fn(WORLD, 1024, 512, 8, 8), batch_format="pyarrow")
 
     timed("q3_tile_assign", q3, rows=n_pages)
 
     # q4: heatmap per-pixel aggregation (partial-aggregate + small shuffle)
     def q4():
         pts = expanded_pages(ray, n_docs, columns=["doc_id", "url"]).map_batches(geocode_batch, batch_format="pyarrow")
-        return heatmap_counts(pts, WORLD, 256, 128, 4, 4).count()
+        return heatmap_counts(pts, WORLD, 256, 128, 4, 4)
 
     timed("q4_heatmap", q4, rows=n_pages)
 
@@ -236,7 +327,7 @@ def run_bench() -> dict:
     def q5():
         from incubator_sedona_ray.dedup import dedup_exact
 
-        return dedup_exact(ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])).count()
+        return dedup_exact(ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]))
 
     timed("q5_dedup_exact", q5, rows=n_docs)
 
@@ -245,8 +336,15 @@ def run_bench() -> dict:
         from incubator_sedona_ray.ann import topk_cosine
 
         ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
-        qdf = ds.to_pandas().sort_values("vec_id").head(8).rename(columns={"vec_id": "query_id", "embedding": "qvec"})
-        return topk_cosine(ds, qdf, k=10).count()
+        # pick the 8 query vectors WITHOUT materializing the table on the
+        # driver: sort+limit streams and ships only 8 rows back
+        qdf = (
+            ds.sort("vec_id")
+            .limit(8)
+            .to_pandas()
+            .rename(columns={"vec_id": "query_id", "embedding": "qvec"})
+        )
+        return topk_cosine(ds, qdf, k=10)
 
     timed("q6_ann_topk", q6)
 
@@ -275,7 +373,7 @@ def run_bench() -> dict:
             thinned, thinned, radius=0.1, left_geom=("lon", "lat"), right_geom=("lon", "lat"),
             num_partitions=max(8, NCPU), boundary=WORLD,
         )
-        return joined.count()
+        return joined
 
     timed("q7_distance_join", q7, rows=n_pages // 50)
 
@@ -285,7 +383,7 @@ def run_bench() -> dict:
         from incubator_sedona_ray.dedup import jaccard_self_join
 
         docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-        return jaccard_self_join(docs, threshold=0.35, order="df").count()
+        return jaccard_self_join(docs, threshold=0.35, order="df")
 
     timed("q8_jaccard_pairs", q8, rows=n_docs)
 
@@ -310,7 +408,7 @@ def run_bench() -> dict:
             boxes, country_zones_table(), "intersects",
             big_geom="geom", small_geom="geom", how="inner", small_columns=["zone_cc"],
         )
-        return joined.count()
+        return joined
 
     timed("q9_wkb_poly_broadcast", q9, rows=n_pages)
 
@@ -329,7 +427,7 @@ def run_bench() -> dict:
             lambda t: t.filter(pa.compute.less(t["vec_id"], 8)), batch_format="pyarrow"
         ).to_pandas()
         queries = head.sort_values("vec_id").rename(columns={"vec_id": "query_id", "embedding": "qvec"})
-        return pq_topk(enc, queries, books, k=10, rerank_ds=ds, expand=5).count()
+        return pq_topk(enc, queries, books, k=10, rerank_ds=ds, expand=5)
 
     timed("q10_pq_ann", q10, rows=2000)
 
@@ -375,7 +473,7 @@ def run_bench() -> dict:
             batch_size=128,
             concurrency=NCPU // 2,
             num_cpus=2,
-        ).count()
+        )
 
     timed("q11_jpeg_decode", q11, rows=n_imgs)
 
@@ -419,7 +517,7 @@ def run_bench() -> dict:
             batch_size=256,
             concurrency=NCPU // 2,
             num_cpus=2,
-        ).count()
+        )
 
     timed("q12_wav_decode", q12, rows=n_wavs)
 
@@ -446,7 +544,7 @@ def run_bench() -> dict:
             ts = base + (ids % 86400).astype("timedelta64[s]").astype("timedelta64[us]")
             return b.append_column("warc_ts", pa.array(ts))
 
-        return dedup_urls(scored.map_batches(add_ts, batch_format="pyarrow"), num_parts=NCPU * 2).count()
+        return dedup_urls(scored.map_batches(add_ts, batch_format="pyarrow"), num_parts=NCPU * 2)
 
     timed("q13_textprep", q13, rows=n_pages)
 
@@ -473,7 +571,6 @@ def run_bench() -> dict:
         return (
             expanded_pages(ray, n_docs, columns=["doc_id", "text"])
             .map_batches(wrap_and_extract, batch_format="pyarrow", batch_size=BATCH)
-            .count()
         )
 
     timed("q14_html_extract", q14, rows=n_pages)
@@ -485,7 +582,7 @@ def run_bench() -> dict:
         from incubator_sedona_ray.text.bm25 import bm25_topk
 
         ds = expanded_pages(ray, n_docs, columns=["doc_id", "text"])
-        return bm25_topk(ds, ["lorem", "synthetic", "body"], 25).count()
+        return bm25_topk(ds, ["lorem", "synthetic", "body"], 25)
 
     timed("q15_bm25", q15, rows=2 * n_pages)  # two passes over the corpus
 
@@ -495,7 +592,7 @@ def run_bench() -> dict:
         from incubator_sedona_ray.text.ngrams import top_ngrams
 
         ds = expanded_pages(ray, n_docs, columns=["text"])
-        return top_ngrams(ds, n=2, k=20).count()
+        return top_ngrams(ds, n=2, k=20)
 
     timed("q16_top_bigrams", q16, rows=n_pages)
 
@@ -543,21 +640,51 @@ def run_bench() -> dict:
             batch_format="pyarrow",
             batch_size=BATCH,
         )
-        return pagerank(edges, nodes, iters=3, n_nodes=n).count()
+        return pagerank(edges, nodes, iters=3, n_nodes=n)
 
     # 3 rounds x (3n edge join rows + n node rows) + the setup passes
     timed("q18_pagerank", q18, rows=3 * (4 * n_pages))
 
     # q19: distributed BPE training, 5 merges — the iterative vocab-table
-    # workload (one corpus pass for word freqs, then 5 x (pair-count pass
-    # + merge-apply pass) over the ~2M-distinct-word symbol table).
+    # workload in OVERFLOW (distributed) mode: one corpus pass for word
+    # freqs, then 5 x (pair-count pass + merge-apply pass) over the
+    # ~2M-distinct-word symbol table.
     def q19():
         from incubator_sedona_ray.text.bpe import bpe_train
 
         ds = expanded_pages(ray, n_docs, columns=["text"])
-        return len(bpe_train(ds, 5))
+        return len(bpe_train(ds, 5, mode="distributed"))
 
     timed("q19_bpe_train", q19, rows=n_pages)
+
+    # q19b: DEEP BPE training, 1000 merges, memory mode (the production
+    # path for real 30k-vocab tokenizers): one distributed word-freq pass,
+    # then the incremental in-driver merge loop. The documents table's
+    # word inventory is tiny (31 words), so the word stream is the
+    # deterministic 8-char shingle decomposition of the real text — a
+    # 12k-distinct-word table that supports 1000+ genuine merges.
+    def q19b():
+        from incubator_sedona_ray.text.bpe import bpe_train
+
+        docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+
+        def shingle(t: pa.Table) -> pa.Table:
+            out = []
+            for s in t["text"].to_pylist():
+                s = s.lower()
+                out.append(
+                    " ".join(
+                        s[i : i + 8].replace(" ", "_")
+                        for i in range(0, max(1, len(s) - 7), 4)
+                    )
+                )
+            return pa.table({"text": out})
+
+        df = bpe_train(docs.map_batches(shingle, batch_format="pyarrow"), 1000, mode="memory")
+        assert len(df) == 1000
+        return len(df)
+
+    timed("q19b_bpe_deep_train", q19b, rows=1000)  # rows = merges learned
 
     total = round(sum(results.values()), 3)
     out = {
@@ -566,6 +693,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": results,
         "rates": rates,
+        "stats": qstats,
         "pages_rows": n_pages,
         "total_sec": total,
         "sf": SF_DIR,

@@ -9,21 +9,30 @@ the WORD-FREQUENCY table, not the corpus):
                   ``map_batches`` (one vectorized split + dictionary
                   encode), then one groupby-sum. The corpus is touched
                   exactly ONCE.
-  2. merge loop   ``n_merges`` rounds over the vocab-sized word table,
-                  kept distributed (at web scale the distinct-word table
-                  is itself huge). Words are flat int64 symbol-id arrays +
-                  offsets inside each Arrow batch; per round:
-                    a. per-batch partial pair counts (vectorized: adjacent
-                       symbol pairs packed into one int64, np.unique with
-                       freq weights) -> tiny groupby-sum -> global max +
-                       tie filter (DETERMINISTIC tie-break: count desc,
-                       then lexicographically smallest (left, right))
-                    b. broadcast the winning pair ids in the task closure;
-                       every batch applies the merge vectorized
-                       (run-parity overlap resolution — 'aaa' under merge
-                       (a,a) -> ('aa','a'), exactly the sequential
-                       left-to-right single-pass semantics)
-                  The word table is re-materialized per round (it shrinks).
+  2. merge loop   ``n_merges`` rounds over the vocab-sized word table.
+                  Two modes (``mode=`` auto/memory/distributed):
+
+                  * **memory** (default for vocabularies up to
+                    ``memory_max_words`` distinct words — even a 100 TB
+                    corpus's distinct-word table is ~1e8 rows ≈ a few GB,
+                    so this is the 30k-merge production path): collect
+                    the (word, freq) table to the driver ONCE and run the
+                    classic incremental trainer — global pair-count dict
+                    + lazy-deletion heap keyed (count desc, left, right),
+                    per merge touching ONLY the words that contain the
+                    winning pair (gathered and re-counted as one
+                    vectorized numpy batch). No per-round dataset passes.
+                  * **distributed** (overflow mode for vocabularies that
+                    don't fit a driver): words stay a Dataset of flat
+                    int64 symbol-id arrays; per round one partial
+                    pair-count pass + one vectorized merge-apply pass
+                    (run-parity overlap resolution — 'aaa' under merge
+                    (a,a) -> ('aa','a'), exactly the sequential
+                    left-to-right single-pass semantics), re-materialized
+                    per round (it shrinks).
+
+                  Both modes share the same kernels, tie-break and merge
+                  semantics and are bit-identical (tested).
 
 Symbol ids are GLOBALLY consistent without coordination: the character
 inventory is collected once up front (alphabet-sized) and every merge
@@ -172,45 +181,211 @@ def _flat_offs(t: pa.Table):
     return flat, offs
 
 
+_EOW_FLAG = np.int64(1) << np.int64(32)  # bit 32 marks "last char of word"
+
+
+def _codepoint_keys(joined: str, offs: np.ndarray) -> np.ndarray:
+    """int64 symbol key per character of ``joined`` (the concatenation of
+    all words): the Unicode codepoint, with bit 32 set on each word's
+    last character (the ``</w>`` glue). Fully vectorized — no per-char
+    Python objects (utf-32-le gives the codepoint array zero-loop)."""
+    if not joined:
+        return np.empty(0, dtype=np.int64)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    cps[offs[1:] - 1] |= _EOW_FLAG
+    return cps
+
+
+def _key_str(k: int) -> str:
+    return chr(k & 0xFFFFFFFF) + (_EOW if k >> 32 else "")
+
+
+def _word_offs(words: list, lens: np.ndarray | None = None) -> np.ndarray:
+    if lens is None:
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+    return np.concatenate([[0], np.cumsum(lens)])
+
+
 # ------------------------------------------------------------------ train
 
 
-def bpe_train(ds, n_merges: int, *, text_col: str = "text"):
+def bpe_train(
+    ds,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    mode: str = "auto",
+    memory_max_words: int = 50_000_000,
+):
     """Learn ``n_merges`` BPE merges over the corpus. Returns a pandas
     DataFrame (rank, left, right, merged, pair_count) — merge-table-sized
-    (tiny) by contract. ``</w>`` in a symbol marks end-of-word."""
+    (tiny) by contract. ``</w>`` in a symbol marks end-of-word.
+
+    ``mode``: ``"memory"`` (in-driver incremental trainer over the
+    collected word-frequency table — the production path for real 30k+
+    merge vocabularies; the distinct-word table is vocabulary-bounded,
+    not corpus-bounded), ``"distributed"`` (per-round dataset passes;
+    overflow mode for vocabularies beyond ``memory_max_words``), or
+    ``"auto"`` (memory iff the distinct-word count fits). Both modes are
+    bit-identical (same kernels, same tie-break; tested)."""
+    wf = word_freqs(ds, text_col=text_col).materialize()
+    if mode == "auto":
+        mode = "memory" if wf.count() <= memory_max_words else "distributed"
+    if mode == "memory":
+        pdf = wf.to_pandas()  # vocabulary-bounded by the mode contract
+        merges = _bpe_train_memory(
+            pdf["word"].tolist(),
+            pdf["freq"].to_numpy().astype(np.int64),
+            n_merges,
+        )
+    elif mode == "distributed":
+        merges = _bpe_train_distributed(wf, n_merges)
+    else:
+        raise ValueError(f"unknown bpe_train mode {mode!r}")
+
+    import pandas as pd
+
+    df = pd.DataFrame(merges, columns=["rank", "left", "right", "merged", "pair_count"])
+    for c in ("left", "right", "merged"):
+        df[c] = df[c].str.replace(_EOW, "</w>", regex=False)
+    return df
+
+
+def _bpe_train_memory(words: list, freqs: np.ndarray, n_merges: int):
+    """Classic incremental BPE over the in-driver word table: pair-count
+    dict + lazy-deletion heap ordered (count desc, left, right) — the
+    same total order as the distributed tie-break — and per merge a
+    single vectorized numpy pass over ONLY the words that contain the
+    winning pair (membership tracked per pair, maintained lazily: stale
+    entries are no-ops in the re-count). Complexity is the textbook
+    sum-of-affected-word-sizes, not rounds × vocabulary."""
+    import heapq
+
+    merges = []
+    if not words:
+        return merges
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    keys = _codepoint_keys("".join(words), offs)
+    uniq = np.unique(keys)
+    rev = [_key_str(int(k)) for k in uniq]
+    flat = np.searchsorted(uniq, keys).astype(np.int64)
+    word_arrs = np.split(flat, offs[1:-1])  # per-word views, replaced on merge
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+
+    packed, prow = _pack_pairs(flat, offs)
+    u, inv = np.unique(packed, return_inverse=True)
+    cnt = np.zeros(len(u), dtype=np.int64)
+    np.add.at(cnt, inv, freqs[prow])
+    pair_counts = dict(zip(u.tolist(), cnt.tolist()))
+
+    # pair -> word ids containing it (append-only; verified on use)
+    order = np.lexsort((prow, packed))
+    sp, sr = packed[order], prow[order]
+    dedup = np.concatenate([[True], (sp[1:] != sp[:-1]) | (sr[1:] != sr[:-1])])
+    dp, dr = sp[dedup], sr[dedup]
+    bounds = np.concatenate([[0], np.flatnonzero(dp[1:] != dp[:-1]) + 1, [len(dp)]])
+    pair_words = {
+        int(dp[bounds[i]]): dr[bounds[i] : bounds[i + 1]].tolist()
+        for i in range(len(bounds) - 1)
+    }
+
+    heap = [(-c, rev[p >> 32], rev[p & 0xFFFFFFFF], p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    for rank in range(n_merges):
+        # pop to the live max (lazy deletion: entry must match the dict)
+        while heap:
+            negc, l_str, r_str, p = heap[0]
+            if pair_counts.get(p) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        heapq.heappop(heap)
+        top = -negc
+        left_id, right_id = p >> 32, p & 0xFFFFFFFF
+        new_id = len(rev)
+        merged_str = l_str + r_str
+        rev.append(merged_str)
+        merges.append((rank, l_str, r_str, merged_str, int(top)))
+        del pair_counts[p]
+
+        aw = np.unique(np.asarray(pair_words.pop(p, []), dtype=np.int64))
+        sub_list = [word_arrs[i] for i in aw]
+        sub_flat = np.concatenate(sub_list) if sub_list else np.empty(0, np.int64)
+        sub_lens = np.fromiter((len(a) for a in sub_list), np.int64, count=len(sub_list))
+        sub_offs = np.concatenate([[0], np.cumsum(sub_lens)])
+        w = freqs[aw]
+
+        pre_packed, pre_row = _pack_pairs(sub_flat, sub_offs)
+        new_flat, new_offs = _apply_merge(sub_flat, sub_offs, left_id, right_id, new_id)
+        post_packed, post_row = _pack_pairs(new_flat, new_offs)
+
+        allp = np.concatenate([pre_packed, post_packed])
+        allw = np.concatenate([-w[pre_row], w[post_row]])
+        du, dinv = np.unique(allp, return_inverse=True)
+        delta = np.zeros(len(du), dtype=np.int64)
+        np.add.at(delta, dinv, allw)
+        for pair, d in zip(du.tolist(), delta.tolist()):
+            if d == 0 or pair == p:
+                continue
+            c = pair_counts.get(pair, 0) + d
+            if c <= 0:
+                pair_counts.pop(pair, None)
+            else:
+                pair_counts[pair] = c
+                heapq.heappush(
+                    heap, (-c, rev[pair >> 32], rev[pair & 0xFFFFFFFF], pair)
+                )
+        if len(post_packed):
+            o2 = np.lexsort((post_row, post_packed))
+            pp, pr = post_packed[o2], post_row[o2]
+            k2 = np.concatenate([[True], (pp[1:] != pp[:-1]) | (pr[1:] != pr[:-1])])
+            aw_list = aw.tolist()
+            for pair, r in zip(pp[k2].tolist(), pr[k2].tolist()):
+                lst = pair_words.get(pair)
+                if lst is None:
+                    pair_words[pair] = [aw_list[r]]
+                else:
+                    lst.append(aw_list[r])
+        for j, r in enumerate(np.split(new_flat, new_offs[1:-1])):
+            word_arrs[aw[j]] = r
+    return merges
+
+
+def _bpe_train_distributed(wf, n_merges: int):
+    """Per-round dataset passes over the Dataset word table — the
+    overflow mode for vocabularies too large to collect. One partial
+    pair-count pass + groupby-sum + one vectorized merge-apply pass per
+    round; the winning pair ids ride each task's closure."""
     from ray.data.aggregate import Sum
 
-    wf = word_freqs(ds, text_col=text_col).materialize()
+    # symbol inventory: alphabet-sized int64 codepoint keys, collected once;
+    # defines the globally consistent symbol-id space workers share read-only
+    def keys_partial(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        lens = pc.utf8_length(t["word"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = _codepoint_keys("".join(words), _word_offs(words, lens))
+        return pa.table({"c": pa.array(np.unique(ks))})
 
-    # character inventory: alphabet-sized, collected once; defines the
-    # globally consistent symbol-id space every worker shares read-only
-    def chars_partial(t: pa.Table) -> pa.Table:
-        seen = set()
-        for w in t["word"].to_pylist():
-            if not w:
-                continue
-            seen.update(w[:-1])
-            seen.add(w[-1] + _EOW)
-        return pa.table({"c": pa.array(sorted(seen), type=pa.string())})
+    uniq = np.sort(
+        np.asarray(
+            list(wf.map_batches(keys_partial, batch_format="pyarrow").unique("c")),
+            dtype=np.int64,
+        )
+    )
+    rev = [_key_str(int(k)) for k in uniq]
 
-    chars = sorted(wf.map_batches(chars_partial, batch_format="pyarrow").unique("c"))
-    vocab = {c: i for i, c in enumerate(chars)}
-    rev = list(chars)
-
-    def to_syms(t: pa.Table, _vocab=vocab) -> pa.Table:
+    def to_syms(t: pa.Table, _uniq=uniq) -> pa.Table:
         words = t["word"].to_pylist()
         freqs = t["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        flat, offs = [], [0]
-        for w in words:
-            cs = list(w)
-            if cs:
-                cs[-1] = cs[-1] + _EOW
-            flat.extend(_vocab[c] for c in cs)  # lookup-only: never interns
-            offs.append(len(flat))
-        return _sym_table(
-            np.asarray(flat, dtype=np.int64), np.asarray(offs, dtype=np.int64), freqs
+        lens = pc.utf8_length(t["word"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = _word_offs(words, lens)
+        ids = np.searchsorted(_uniq, _codepoint_keys("".join(words), offs)).astype(
+            np.int64
         )
+        return _sym_table(ids, offs, freqs)
 
     syms = wf.map_batches(to_syms, batch_format="pyarrow").materialize()
 
@@ -238,15 +413,17 @@ def bpe_train(ds, n_merges: int, *, text_col: str = "text"):
         if counts.count() == 0:
             break
         top = counts.max("cnt")
-        tied = counts.filter(lambda r, _t=top: r["cnt"] == _t).to_pandas()
+        tied = counts.map_batches(
+            lambda t, _t=top: t.filter(pc.equal(t["cnt"], _t)),
+            batch_format="pyarrow",
+        ).to_pandas()
         pairs = [
             (rev[int(p) >> 32], rev[int(p) & 0xFFFFFFFF], int(p)) for p in tied["p"]
         ]
-        l_str, r_str, packed_win = min(pairs, key=lambda x: (x[0], x[1]))
+        l_str, r_str, packed_win = min(pairs)
         left_id, right_id = packed_win >> 32, packed_win & 0xFFFFFFFF
         new_id = len(rev)
         merged_str = l_str + r_str
-        vocab[merged_str] = new_id
         rev.append(merged_str)
         merges.append((rank, l_str, r_str, merged_str, int(top)))
 
@@ -257,13 +434,7 @@ def bpe_train(ds, n_merges: int, *, text_col: str = "text"):
             return _sym_table(nf, no, fr)
 
         syms = syms.map_batches(apply_fn, batch_format="pyarrow").materialize()
-
-    import pandas as pd
-
-    df = pd.DataFrame(merges, columns=["rank", "left", "right", "merged", "pair_count"])
-    for c in ("left", "right", "merged"):
-        df[c] = df[c].str.replace(_EOW, "</w>", regex=False)
-    return df
+    return merges
 
 
 # ----------------------------------------------------------------- encode

@@ -53,9 +53,9 @@ def ref_bpe(texts, k):
     ]
 
 
-def _train(texts, k, parts=3):
+def _train(texts, k, parts=3, **kw):
     ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(parts)
-    return [tuple(r) for r in bpe_train(ds, k).itertuples(index=False)]
+    return [tuple(r) for r in bpe_train(ds, k, **kw).itertuples(index=False)]
 
 
 def test_bpe_matches_reference(ray_session):
@@ -90,6 +90,54 @@ def test_bpe_exhausts_small_corpus(ray_session):
     # 'ab' alone: merges (a,b</w>) then nothing pairs -> early stop
     got = _train(["ab"], 5, parts=1)
     assert got == [(0, "a", "b</w>", "ab</w>", 1)]
+
+
+def test_bpe_memory_equals_distributed(ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "aaaa aaa aa a",
+        "low lower lowest slow slowly",
+        "résumé naïve café résumé",
+    ]
+    mem = _train(texts, 12, mode="memory")
+    dist = _train(texts, 12, mode="distributed")
+    assert mem == dist == ref_bpe(texts, 12)
+
+
+def test_bpe_memory_equals_distributed_fuzz(ray_session):
+    rnd = np.random.default_rng(41)
+    alpha = list("abc")
+    texts = [
+        " ".join(
+            "".join(rnd.choice(alpha) for _ in range(int(rnd.integers(1, 7))))
+            for _ in range(int(rnd.integers(1, 12)))
+        )
+        for _ in range(40)
+    ]
+    assert (
+        _train(texts, 15, mode="memory")
+        == _train(texts, 15, mode="distributed")
+        == ref_bpe(texts, 15)
+    )
+
+
+def test_bpe_memory_deep_merges(ray_session):
+    # run far past pair exhaustion on a real-ish corpus: the incremental
+    # trainer's heap/membership bookkeeping must stay consistent deep in
+    # (this is the 30k-vocab production path at miniature scale)
+    texts = ["the quick brown fox jumps over the lazy dog " * 3] * 4 + [
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    got = _train(texts, 200, mode="memory")
+    ref = ref_bpe(texts, 200)
+    assert got == ref
+
+
+def test_bpe_auto_mode_threshold(ray_session):
+    texts = ["aa bb aa cc"]
+    # 3 distinct words: memory_max_words=2 forces the distributed path
+    assert _train(texts, 4, memory_max_words=2) == _train(texts, 4, mode="memory")
 
 
 def test_word_freqs(ray_session):
