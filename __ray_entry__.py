@@ -1274,6 +1274,17 @@ def q_collocations(sf_dir: str):
     return top_collocations(docs, k=COLLOC_K, min_count=COLLOC_MIN)
 
 
+def q_collocations_join(sf_dir: str):
+    """Same collocations, FORCED join path: the min_count-surviving bigram
+    table hash-joins the distributed unigram table twice (no driver
+    unigram broadcast anywhere) — the 100 TB shape for vocabularies too
+    large to ship (text/ngrams.py mode='join')."""
+    from incubator_sedona_ray.text.ngrams import top_collocations
+
+    docs = _docs(sf_dir, columns=["text"])
+    return top_collocations(docs, k=COLLOC_K, min_count=COLLOC_MIN, mode="join")
+
+
 TPCH_Q14_LO, TPCH_Q14_HI = "1996-03-01", "1996-04-01"
 
 
@@ -2844,6 +2855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "postings_lookup": q_postings_lookup,
         "collocations": q_collocations,
+        "collocations_join": q_collocations_join,
         "tpch_q14": q_tpch_q14,
         "script_mix": q_script_mix,
         "lang_moments": q_lang_moments,
@@ -3843,6 +3855,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 AS BIGINT) AS img_channels FROM h"
         ),
     }
+    # the join-path scorer is exact and identical to the broadcast path —
+    # one SQL oracle serves both
+    out["collocations_join"] = out["collocations"]
     fs = _flagship_sql()
     if fs is not None:
         out["flagship_pages"] = fs

@@ -144,7 +144,16 @@ def top_ngrams(ds, *, n: int = 2, k: int = 20, text_col: str = "text", num_bucke
     )
 
 
-def top_collocations(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+def top_collocations(
+    ds,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    mode: str = "auto",
+    broadcast_max_words: int = 5_000_000,
+    num_partitions: int | None = None,
+):
     """Top-k word-pair collocations by LIFT — PMI's argument without the
     log: lift(a,b) = P(ab) / (P(a) P(b)) computed as
     ``(c_ab * N_uni * N_uni) / (c_a * c_b * N_bi)`` from EXACT integer
@@ -152,9 +161,23 @@ def top_collocations(ds, *, k: int = 20, min_count: int = 5, text_col: str = "te
     rounding differences across engines; the ordering is identical).
 
     Three count layers, each map-side combined: unigram counts and bigram
-    counts are distinct-key groupby sums; the tiny unigram table for the
-    surviving (count >= min_count) bigrams broadcasts into the scoring
-    stage. Output: (ngram, cnt, lift), ties (lift desc, ngram asc).
+    counts are distinct-key groupby sums. The per-bigram unigram lookup
+    has two shapes (``mode``):
+
+    * ``broadcast`` — the (word, count) table collects to the driver,
+      sorts once, ships via ``ray.put`` and every bigram batch probes it
+      with ``np.searchsorted``. Right for vocabularies up to
+      ``broadcast_max_words``.
+    * ``join`` — NO driver collection: the min_count-surviving bigram
+      table splits its two words into columns and hash-joins the unigram
+      table twice (left word, then right word) — the 100 TB path where
+      the distinct-unigram table is itself tens of GB (same shape as
+      text/decontam.py join mode).
+    * ``auto`` — join iff ``uni.count() > broadcast_max_words``.
+
+    Both shapes are exact and identical (inner joins drop nothing: every
+    bigram word IS a corpus unigram). Output: (ngram, cnt, lift), ties
+    (lift desc, ngram asc).
     """
     import ray
 
@@ -182,31 +205,10 @@ def top_collocations(ds, *, k: int = 20, min_count: int = 5, text_col: str = "te
 
     n_uni, n_bi = total_of(uni), total_of(bi)
 
-    # unigram lookup for scoring: the bigram vocabulary that survives
-    # min_count references far fewer unigrams than the corpus holds, but
-    # any unigram can appear — broadcast the whole (word, count) table
-    # sorted for searchsorted (documented cap: vocabularies beyond driver
-    # memory need the join path, same trade as text/decontam.py)
-    uni_df = uni.to_pandas().sort_values("ngram")
-    uref = ray.put(
-        {
-            "w": uni_df["ngram"].to_numpy(dtype=object).astype("U"),
-            "c": uni_df["sum(cnt)"].to_numpy().astype(np.int64),
-        }
-    )
+    if mode == "auto":
+        mode = "broadcast" if uni.count() <= broadcast_max_words else "join"
 
-    def score(batch: pa.Table, u) -> pa.Table:
-        cnt = batch["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        grams = np.asarray(batch["ngram"].to_pylist(), dtype=object)
-        keep = cnt >= min_count
-        grams, cnt = grams[keep], cnt[keep]
-        if len(grams) == 0:
-            return pa.table(
-                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()), "lift": pa.array([], pa.float64())}
-            )
-        splits = np.char.partition(grams.astype("U"), " ")
-        ca = u["c"][np.searchsorted(u["w"], splits[:, 0])]
-        cb = u["c"][np.searchsorted(u["w"], splits[:, 2])]
+    def topk_table(grams: np.ndarray, cnt: np.ndarray, ca: np.ndarray, cb: np.ndarray) -> pa.Table:
         lift = (
             cnt.astype(np.float64) * np.float64(n_uni) * np.float64(n_uni)
         ) / (ca.astype(np.float64) * cb.astype(np.float64) * np.float64(n_bi))
@@ -219,9 +221,97 @@ def top_collocations(ds, *, k: int = 20, min_count: int = 5, text_col: str = "te
             }
         )
 
-    from ..partition.assign import broadcast_map_batches
+    _EMPTY = pa.table(
+        {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()), "lift": pa.array([], pa.float64())}
+    )
 
-    local = broadcast_map_batches(bi, score, {"u": uref}, batch_size=None)
+    if mode == "broadcast":
+        uni_df = uni.to_pandas().sort_values("ngram")
+        uref = ray.put(
+            {
+                "w": uni_df["ngram"].to_numpy(dtype=object).astype("U"),
+                "c": uni_df["sum(cnt)"].to_numpy().astype(np.int64),
+            }
+        )
+
+        def score(batch: pa.Table, u) -> pa.Table:
+            cnt = batch["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+            grams = np.asarray(batch["ngram"].to_pylist(), dtype=object)
+            keep = cnt >= min_count
+            grams, cnt = grams[keep], cnt[keep]
+            if len(grams) == 0:
+                return _EMPTY
+            splits = np.char.partition(grams.astype("U"), " ")
+            ca = u["c"][np.searchsorted(u["w"], splits[:, 0])]
+            cb = u["c"][np.searchsorted(u["w"], splits[:, 2])]
+            return topk_table(grams, cnt, ca, cb)
+
+        from ..partition.assign import broadcast_map_batches
+
+        local = broadcast_map_batches(bi, score, {"u": uref}, batch_size=None)
+    elif mode == "join":
+        from ..state.blocks import safe_hash_join
+
+        if num_partitions is None:
+            try:
+                num_partitions = max(4, int(ray.cluster_resources().get("CPU", 4)))
+            except Exception:
+                num_partitions = 8
+
+        def split_words(t: pa.Table) -> pa.Table:
+            cnt = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = cnt >= min_count
+            grams = np.asarray(t["ngram"].to_pylist(), dtype=object)[keep]
+            if len(grams) == 0:
+                return pa.table(
+                    {
+                        "ngram": pa.array([], pa.string()),
+                        "cnt": pa.array([], pa.int64()),
+                        "wa": pa.array([], pa.string()),
+                        "wb": pa.array([], pa.string()),
+                    }
+                )
+            splits = np.char.partition(grams.astype("U"), " ")
+            return pa.table(
+                {
+                    "ngram": pa.array(grams, pa.string()),
+                    "cnt": pa.array(cnt[keep], pa.int64()),
+                    "wa": pa.array(splits[:, 0], pa.string()),
+                    "wb": pa.array(splits[:, 2], pa.string()),
+                }
+            )
+
+        def uni_as(word_col: str, cnt_col: str):
+            return uni.map_batches(
+                lambda t, _w=word_col, _c=cnt_col: pa.table(
+                    {_w: t["ngram"], _c: t["sum(cnt)"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+
+        joined = safe_hash_join(
+            bi.map_batches(split_words, batch_format="pyarrow"),
+            uni_as("wa", "ca"),
+            "inner",
+            num_partitions,
+            on=("wa",),
+        )
+        joined = safe_hash_join(
+            joined, uni_as("wb", "cb"), "inner", num_partitions, on=("wb",)
+        )
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY
+            grams = np.asarray(batch["ngram"].to_pylist(), dtype=object)
+            cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ca = batch["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return topk_table(grams, cnt, ca, cb)
+
+        local = joined.map_batches(score_joined, batch_format="pyarrow", batch_size=None)
+    else:
+        raise ValueError(f"unknown top_collocations mode {mode!r}")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(["lift", "ngram"], ascending=[False, True]).head(k)

@@ -196,6 +196,13 @@ def test_top_collocations_vs_naive():
     exp = sorted(scored, key=lambda x: (-x[2], x[0]))[:4]
     assert list(zip(got["ngram"], got["cnt"], got["lift"])) == exp
 
+    # join path (no driver unigram broadcast): bit-identical to broadcast
+    got_j = top_collocations(ds, k=4, min_count=3, mode="join").to_pandas()
+    assert list(zip(got_j["ngram"], got_j["cnt"], got_j["lift"])) == exp
+    # auto must pick join when the vocabulary exceeds the broadcast cap
+    got_a = top_collocations(ds, k=4, min_count=3, broadcast_max_words=1).to_pandas()
+    assert list(zip(got_a["ngram"], got_a["cnt"], got_a["lift"])) == exp
+
 
 def test_hll_grouped_matches_global_per_group():
     from incubator_sedona_ray.sketch import hll_count_distinct, hll_count_distinct_by_group
