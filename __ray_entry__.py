@@ -28,6 +28,7 @@ import ray
 
 from incubator_sedona_ray.conf import SpatialConf
 from incubator_sedona_ray.geom import Geometry
+from incubator_sedona_ray.geom.core import GeometryType
 from incubator_sedona_ray.geom import ops as _gops
 from incubator_sedona_ray.geom import wkb as _wkb
 from incubator_sedona_ray.encoders import geohash as _geohash, grid as _grid, h3lite as _h3, s2 as _s2
@@ -157,6 +158,45 @@ def q_pip_join_broadcast(sf_dir: str):
         small_prefix="z_",
     )
     return _rename(out.select_columns(["z_zone_id", "doc_id"]), {"z_zone_id": "zone_id"})
+
+
+def q_pip_join_gc(sf_dir: str):
+    """Partitioned PIP join with GEOMETRYCOLLECTION windows — the checker
+    world's collection variant (VERDICT r03 #3): each zone square becomes
+    a collection of its SW and NE quadrant boxes (odd zones additionally
+    NESTED one level), so every candidate pair exercises the vectorized
+    explode path (join/spatial_join.py fast path E) — no per-row generic
+    fallback. Oracle: point in either quadrant box (closed form)."""
+    ids, wkbs = [], []
+    h = ZN_SIDE / 2.0
+    for xi in range(ZN_X):
+        for yi in range(ZN_Y):
+            x0 = -180.0 + ZN_STEP * xi
+            y0 = -90.0 + ZN_STEP * yi
+            zid = xi * ZN_Y + yi
+            sw = Geometry.box(x0, y0, x0 + h, y0 + h)
+            ne = Geometry.box(x0 + h, y0 + h, x0 + ZN_SIDE, y0 + ZN_SIDE)
+            gcol = GeometryType.GEOMETRYCOLLECTION
+            g = (
+                Geometry(gcol, [sw, ne], 0)
+                if zid % 2 == 0
+                else Geometry(gcol, [Geometry(gcol, [sw], 0), ne], 0)
+            )
+            ids.append(zid)
+            wkbs.append(_wkb.to_wkb(g))
+    zones = ray.data.from_arrow(
+        pa.table({"zone_id": pa.array(ids, type=pa.int64()), "geom": pa.array(wkbs, type=pa.binary())})
+    )
+    joined = spatial_join(
+        zones,
+        _geo_docs(sf_dir),
+        "covers",
+        left_geom="geom",
+        right_geom=("lon", "lat"),
+        num_partitions=8,
+        conf=SpatialConf(grid_type="quadtree"),
+    )
+    return _rename(joined.select_columns(["l_zone_id", "r_doc_id"]), {"l_zone_id": "zone_id", "r_doc_id": "doc_id"})
 
 
 def q_poly_join(sf_dir: str):
@@ -2789,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_cells": q_grid_cells,
         "range_query": q_range_query,
         "pip_join": q_pip_join,
+        "pip_join_gc": q_pip_join_gc,
         "pip_join_broadcast": q_pip_join_broadcast,
         "poly_join": q_poly_join,
         "pip_join_salted": q_pip_join_salted,
@@ -3199,6 +3240,12 @@ def oracle_sql() -> dict[str, str]:
             f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
             f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
             f"p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE}"
+        ),
+        "pip_join_gc": (
+            f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}) "
+            f"SELECT z.zone_id AS zone_id, p.doc_id AS doc_id FROM zones z JOIN pts p ON "
+            f"(p.lon >= z.x0 AND p.lon <= z.x0 + {ZN_SIDE / 2.0} AND p.lat >= z.y0 AND p.lat <= z.y0 + {ZN_SIDE / 2.0}) "
+            f"OR (p.lon >= z.x0 + {ZN_SIDE / 2.0} AND p.lon <= z.x0 + {ZN_SIDE} AND p.lat >= z.y0 + {ZN_SIDE / 2.0} AND p.lat <= z.y0 + {ZN_SIDE})"
         ),
         "poly_join": (
             f"WITH zones AS ({_ZONES_SQL}), pts AS ({_PTS_SQL}), "

@@ -187,6 +187,29 @@ def _dim(g: Geometry) -> int:
     return max((_dim(s) for s in g.coords), default=-1)
 
 
+_GC = GeometryType.GEOMETRYCOLLECTION
+
+
+def _flatten_gc(g: Geometry) -> list:
+    """Direct parts of a GeometryCollection with NESTED collections
+    flattened; Multi* children stay whole (same decomposition the
+    vectorized join refine uses — the two paths must agree exactly).
+    Non-collections return ``[g]``."""
+    if g.kind != _GC:
+        return [g]
+    out: list = []
+    for child in g.coords:
+        if child.kind == _GC:
+            out.extend(_flatten_gc(child))
+        else:
+            out.append(child)
+    return out
+
+
+def _any_gc(a: Geometry, b: Geometry) -> bool:
+    return a.kind == _GC or b.kind == _GC
+
+
 # ---------------------------------------------------------------------------
 # pairwise predicates
 # ---------------------------------------------------------------------------
@@ -200,6 +223,12 @@ def envelopes_intersect(a: Geometry, b: Geometry) -> bool:
 def intersects(a: Geometry, b: Geometry) -> bool:
     if not envelopes_intersect(a, b):
         return False
+    if _any_gc(a, b):
+        # JTS Geometry.intersects decomposes GeometryCollections: true iff
+        # any part pair intersects
+        return any(
+            intersects(x, y) for x in _flatten_gc(a) for y in _flatten_gc(b)
+        )
     da, db = _dim(a), _dim(b)
     if da > db or (da == db and a.kind in _PUNTAL):
         a, b = b, a
@@ -280,6 +309,18 @@ def covers(a: Geometry, b: Geometry) -> bool:
     """Every point of b lies in the closure of a."""
     if not envelopes_intersect(a, b):
         return False
+    if _any_gc(a, b):
+        # decomposition formula (shared verbatim with the vectorized join
+        # refine): every b-part covered by SOME single a-part. Exact for
+        # puntal b-parts (a point is in the union iff in some part) and
+        # whenever a b-part lies within one a-part; a b-part spanning two
+        # ADJACENT a-parts reports False where true union semantics would
+        # say True (JTS relate throws for GC operands, so this is an
+        # extension, not a deviation)
+        ap, bp = _flatten_gc(a), _flatten_gc(b)
+        return bool(ap) and bool(bp) and all(
+            any(covers(x, y) for x in ap) for y in bp
+        )
     if a.kind in _POLYGONAL:
         pts = _vertices(b)
         if (_locate_pts(pts, a) == EXTERIOR).any():
@@ -323,10 +364,22 @@ def contains(a: Geometry, b: Geometry) -> bool:
     NOT contain a point on its own boundary — ``Predicates.java:19``)."""
     if not covers(a, b):
         return False
+    if _any_gc(a, b):
+        # covers already holds; interiors intersect iff some part pair
+        # fully contains (covers + interior) — shared with the join refine
+        return any(
+            contains(x, y) for x in _flatten_gc(a) for y in _flatten_gc(b)
+        )
     return _interior_intersects(a, b)
 
 
 def _interior_intersects(a: Geometry, b: Geometry) -> bool:
+    if _any_gc(a, b):
+        return any(
+            _interior_intersects(x, y)
+            for x in _flatten_gc(a)
+            for y in _flatten_gc(b)
+        )
     if a.kind in _POLYGONAL and b.kind in _POLYGONAL:
         # only reached when covers(a, b) already holds: a positive-area b
         # inside closure(a) always shares interior (boundaries are
@@ -388,6 +441,12 @@ def touches(a: Geometry, b: Geometry) -> bool:
 
 
 def _interiors_overlap(a: Geometry, b: Geometry) -> bool:
+    if _any_gc(a, b):
+        return any(
+            _interiors_overlap(x, y)
+            for x in _flatten_gc(a)
+            for y in _flatten_gc(b)
+        )
     da, db = _dim(a), _dim(b)
     if da > db:
         a, b, da, db = b, a, db, da
@@ -436,6 +495,10 @@ def _interiors_overlap(a: Geometry, b: Geometry) -> bool:
 def crosses(a: Geometry, b: Geometry) -> bool:
     """Interiors intersect, neither contains the other, dim(intersection) <
     max dim (JTS crosses)."""
+    if _any_gc(a, b):
+        # extension (JTS relate throws for GC operands): any part pair
+        # crosses
+        return any(crosses(x, y) for x in _flatten_gc(a) for y in _flatten_gc(b))
     da, db = _dim(a), _dim(b)
     if da == db and da != 1:
         return False
@@ -463,7 +526,10 @@ def crosses(a: Geometry, b: Geometry) -> bool:
 
 
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    """Same dimension, interiors intersect, neither covers the other."""
+    """Same dimension, interiors intersect, neither covers the other.
+    GeometryCollection operands decompose through the GC-aware
+    intersects/covers/_interiors_overlap components (extension — JTS
+    relate throws for GC)."""
     if _dim(a) != _dim(b):
         return False
     if not intersects(a, b):

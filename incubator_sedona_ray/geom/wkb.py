@@ -687,6 +687,36 @@ def envelopes_from_wkb(wkb_col) -> np.ndarray:
     return out
 
 
+def collection_parts_wkb(blob: bytes) -> list[bytes]:
+    """Standalone WKB blobs of a GeometryCollection's parts, with NESTED
+    collections flattened (Multi* children stay whole — the join kernel's
+    fast paths handle kinds 1-6 directly). A non-collection blob returns
+    ``[blob]``. One structure walk per row — called once per distinct
+    collection row per batch by the vectorized join refine, never per
+    pair."""
+    mv = memoryview(blob)
+    out: list[bytes] = []
+
+    def walk(off: int) -> int:
+        bo = "<" if mv[off] == 1 else ">"
+        (raw,) = struct.unpack_from(bo + "I", mv, off + 1)
+        if (raw & 0x0FFFFFFF) % 1000 == 7:
+            pos = off + 5
+            if raw & _EWKB_SRID:
+                pos += 4
+            (nparts,) = struct.unpack_from(bo + "I", mv, pos)
+            pos += 4
+            for _ in range(nparts):
+                pos = walk(pos)
+            return pos
+        end = _env_scan(mv, off)[4]
+        out.append(bytes(mv[off:end]))
+        return end
+
+    walk(0)
+    return out
+
+
 def _env_scan(mv: memoryview, off: int) -> tuple[float, float, float, float, int]:
     """Envelope of the geometry at ``off`` without building Geometry objects.
 

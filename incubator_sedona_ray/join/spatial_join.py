@@ -556,6 +556,165 @@ def _wkb_kinds(blobs, n: int | None = None):
     return _wkb.kinds_from_wkb(blobs)
 
 
+_GC_DECOMPOSABLE = {
+    "intersects",
+    "disjoint",
+    "covers",
+    "contains",
+    "within",
+    "covered_by",
+    "coveredby",
+    "touches",
+    "equals",
+}
+
+
+def _gc_parts(side, row: int) -> list:
+    """Flattened part blobs of a collection row — parsed ONCE per distinct
+    row per batch (cached on the side dict), never per candidate pair."""
+    cache = side.setdefault("_gcparts", {})
+    parts = cache.get(row)
+    if parts is None:
+        parts = _wkb.collection_parts_wkb(side["wkb"][row])
+        cache[row] = parts
+    return parts
+
+
+def _exploded_side(side, uniq_rows: np.ndarray):
+    """Virtual side table over the PARTS of the given rows: collection
+    rows (kind 7) contribute one row per flattened part, every other row
+    contributes itself. Returns (sub_side, starts, counts) where row j of
+    ``uniq_rows`` owns sub-side rows ``starts[j] : starts[j]+counts[j]``."""
+    kinds = side["kind"]
+    wkb = side["wkb"]
+    none_mask = _wkb_none(side)
+    blob_list: list = []
+    owner: list = []
+    for r in uniq_rows.tolist():
+        if kinds[r] == 7:
+            ps = _gc_parts(side, r)
+            blob_list.extend(ps)
+            owner.extend([r] * len(ps))
+        else:
+            blob_list.append(None if none_mask[r] else wkb[r])
+            owner.append(r)
+    owner_a = np.asarray(owner, dtype=np.int64)
+    n2 = len(blob_list)
+    have = np.fromiter((b is not None for b in blob_list), dtype=bool, count=n2)
+    env = np.zeros((n2, 4), dtype=np.float64)
+    x = np.full(n2, np.nan)
+    y = np.full(n2, np.nan)
+    ispt = np.zeros(n2, dtype=bool)
+    kind = np.full(n2, -1, dtype=np.int64)
+    if have.any():
+        comp = pa.array([b for b in blob_list if b is not None], type=pa.binary())
+        e2 = _wkb.envelopes_from_wkb(comp)
+        k2 = _wkb.kinds_from_wkb(comp)
+        ln2 = pc.binary_length(comp).to_numpy(zero_copy_only=False).astype(np.int64)
+        at = np.nonzero(have)[0]
+        env[at] = e2
+        kind[at] = k2
+        p2 = ln2 == 21
+        ispt[at] = p2
+        x[at] = np.where(p2, e2[:, 0], np.nan)
+        y[at] = np.where(p2, e2[:, 1], np.nan)
+    miss = ~have
+    if miss.any():
+        rows = owner_a[miss]
+        env[miss] = side["e"][rows]
+        x[miss] = side["x"][rows]
+        y[miss] = side["y"][rows]
+        ispt[miss] = side["ispt"][rows]
+    sub = {
+        "x": x,
+        "y": y,
+        "e": env,
+        "ispt": ispt,
+        "wkb": _wkb.LazyBlobs(pa.array(blob_list, type=pa.binary())),
+        "rad": np.zeros(n2),
+        "kind": kind,
+    }
+    pos = np.searchsorted(uniq_rows, owner_a)
+    counts = np.bincount(pos, minlength=len(uniq_rows)).astype(np.int64)
+    starts = np.cumsum(counts) - counts
+    return sub, starts, counts
+
+
+def _collection_pairs(lt, rt, li, ri, predicate) -> np.ndarray:
+    """Vectorized predicate evaluation for pairs where at least one side
+    is a GeometryCollection: explode both sides into parts, run THIS
+    kernel on the exploded part pairs (parts are never collections, so
+    the recursion bottoms out in the poly/line/point fast paths), and
+    reduce with exactly the decomposition formulas of the GC branches in
+    geom/predicates.py — the per-row generic path and this path agree by
+    construction."""
+    lu, linv = np.unique(li, return_inverse=True)
+    ru, rinv = np.unique(ri, return_inverse=True)
+    lsub, lst, lct = _exploded_side(lt, lu)
+    rsub, rst, rct = _exploded_side(rt, ru)
+    npairs = len(li)
+    nl = lct[linv]
+    nr = rct[rinv]
+    m = nl * nr
+    tot = int(m.sum())
+    if tot == 0:
+        # a side with zero parts (empty collection): nothing intersects
+        return np.full(npairs, predicate == "disjoint")
+    pair_of = np.repeat(np.arange(npairs), m)
+    offs = np.cumsum(m) - m
+    k = np.arange(tot, dtype=np.int64) - offs[pair_of]
+    nr_p = nr[pair_of]
+    pli = lst[linv][pair_of] + k // nr_p
+    pri = rst[rinv][pair_of] + k % nr_p
+
+    def any_reduce(mask: np.ndarray) -> np.ndarray:
+        return np.bincount(pair_of, weights=mask, minlength=npairs) > 0
+
+    def covered_all(cov_mask: np.ndarray, cnt_idx: np.ndarray, cnt_counts: np.ndarray) -> np.ndarray:
+        """All contained-side parts covered by SOME container part (the
+        predicates.py covers formula); False when either part set is
+        empty."""
+        coffs = np.cumsum(cnt_counts) - cnt_counts
+        ck = coffs[pair_of] + cnt_idx
+        nck = int(cnt_counts.sum())
+        if nck == 0:
+            return np.zeros(npairs, dtype=bool)
+        any_c = np.bincount(ck, weights=cov_mask, minlength=nck) > 0
+        pair_of_ck = np.repeat(np.arange(npairs), cnt_counts)
+        miss = np.bincount(pair_of_ck, weights=~any_c, minlength=npairs) > 0
+        return ~miss & (cnt_counts > 0) & (m > 0)
+
+    if predicate == "intersects":
+        return any_reduce(_pair_mask_predicate(lsub, rsub, pli, pri, "intersects"))
+    if predicate == "disjoint":
+        return ~any_reduce(_pair_mask_predicate(lsub, rsub, pli, pri, "intersects"))
+    if predicate == "touches":
+        t = _pair_mask_predicate(lsub, rsub, pli, pri, "touches")
+        i = _pair_mask_predicate(lsub, rsub, pli, pri, "intersects")
+        return any_reduce(i) & ~any_reduce(i & ~t)
+    if predicate in ("covers", "contains"):
+        cov = _pair_mask_predicate(lsub, rsub, pli, pri, "covers")
+        res = covered_all(cov, k % nr_p, nr)
+        if predicate == "contains":
+            res &= any_reduce(_pair_mask_predicate(lsub, rsub, pli, pri, "contains"))
+        return res
+    if predicate in ("within", "covered_by", "coveredby"):
+        cov = _pair_mask_predicate(rsub, lsub, pri, pli, "covers")
+        res = covered_all(cov, k // nr_p, nl)
+        if predicate == "within":
+            res &= any_reduce(_pair_mask_predicate(rsub, lsub, pri, pli, "contains"))
+        return res
+    if predicate == "equals":
+        c1 = covered_all(
+            _pair_mask_predicate(lsub, rsub, pli, pri, "covers"), k % nr_p, nr
+        )
+        c2 = covered_all(
+            _pair_mask_predicate(rsub, lsub, pri, pli, "covers"), k // nr_p, nl
+        )
+        return c1 & c2
+    raise AssertionError(predicate)
+
+
 def _pair_mask_predicate(lt, rt, li, ri, predicate):
     n = len(li)
     out = np.zeros(n, dtype=bool)
@@ -613,7 +772,23 @@ def _pair_mask_predicate(lt, rt, li, ri, predicate):
             out[done] = res_d if predicate == "intersects" else ~res_d
             fd_done[done] = True
 
-    rest = ~fa_done & ~fb_done & ~fc_done & ~fd_done
+    # fast path E: GeometryCollection operands — explode parts once per
+    # distinct row, evaluate through this same kernel (parts are never
+    # collections, so recursion bottoms out in paths A-D), reduce with
+    # the decomposition formulas shared with geom/predicates.py. Only
+    # crosses/overlaps still take the per-row generic evaluator.
+    fe_done = np.zeros(n, dtype=bool)
+    if predicate in _GC_DECOMPOSABLE:
+        ge = (
+            ~fa_done & ~fb_done & ~fc_done & ~fd_done
+            & ((l_kind == 7) | (r_kind == 7))
+        )
+        if ge.any():
+            idx = np.nonzero(ge)[0]
+            out[idx] = _collection_pairs(lt, rt, li[idx], ri[idx], predicate)
+            fe_done[idx] = True
+
+    rest = ~fa_done & ~fb_done & ~fc_done & ~fd_done & ~fe_done
     if rest.any():
         # point-vs-non-point combos where the predicate is trivially False
         if predicate in _POINT_FALSE:
