@@ -51,8 +51,9 @@ def dedup_incremental(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    mode: str = "broadcast",
+    mode: str = "auto",
     num_partitions: int | None = None,
+    broadcast_max_hashes: int = 100_000_000,
 ):
     """Recrawl/incremental exact dedup: drop rows whose sha256(text) already
     exists in a prior corpus snapshot.
@@ -60,17 +61,25 @@ def dedup_incremental(
     ``seen_hashes`` is either a Dataset with a ``text_hash`` column (the
     prior snapshot's hash manifest) or any iterable of hex digests.
 
-    ``mode="broadcast"`` (default): the seen set collapses to ONE sorted
-    numpy array of hex digests shipped once (``ray.put``) and membership is
-    a vectorized ``searchsorted`` per batch — the new corpus streams with
-    ZERO shuffles. Right up to ~10^9 seen hashes (32 GB of digests); past
-    that use ``mode="join"``: a distributed left-anti hash join on the
-    hash column (one shuffle each side, unbounded seen set). Same pattern
-    pair as text/decontam.py.
+    ``mode="broadcast"``: the seen set collapses to ONE sorted numpy array
+    of hex digests shipped once (``ray.put``) and membership is a
+    vectorized ``searchsorted`` per batch — the new corpus streams with
+    ZERO shuffles. Right up to ~10^8-10^9 seen hashes (GBs of digests);
+    past that use ``mode="join"``: a distributed left-anti hash join on
+    the hash column (one shuffle each side, unbounded seen set). Same
+    pattern pair as text/decontam.py. ``mode="auto"`` (default) picks by
+    the seen snapshot's size: broadcast iff ``seen.count()`` (one cheap
+    metadata pass) is at most ``broadcast_max_hashes`` — the same shape
+    as the join auto-broadcast heuristic (VERDICT r03 #5).
     """
     import numpy as np
 
     hashed = ds.map_batches(add_text_hash_fn(text_col), batch_format="pyarrow")
+    if mode == "auto":
+        if hasattr(seen_hashes, "map_batches"):
+            mode = "broadcast" if seen_hashes.count() <= broadcast_max_hashes else "join"
+        else:
+            mode = "broadcast"  # an in-memory iterable is already driver-sized
     if mode == "join":
         from ..state.blocks import safe_hash_join
 

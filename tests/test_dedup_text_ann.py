@@ -73,6 +73,37 @@ def test_dedup_incremental_broadcast_and_join_agree():
     out_j = dedup_incremental(ds, seen, mode="join").to_pandas()
     assert set(out_j.doc_id) == expected
     assert sorted(out_j.columns) == sorted(out_b.columns)
+    # auto mode: snapshot under the cap -> broadcast; over the cap -> join
+    out_a = dedup_incremental(ds, seen).to_pandas()  # default auto
+    assert set(out_a.doc_id) == expected
+    out_a2 = dedup_incremental(ds, seen, mode="auto", broadcast_max_hashes=1).to_pandas()
+    assert set(out_a2.doc_id) == expected
+
+
+def test_dedup_incremental_auto_picks_join_over_cap(monkeypatch):
+    """Pin the auto switch itself: a seen snapshot larger than the cap must
+    take the join path (no driver collection of the snapshot)."""
+    from incubator_sedona_ray.dedup import dedup_incremental
+    from incubator_sedona_ray.dedup.exact import add_text_hash_fn
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "cc", "dd"]})
+    ds = ray.data.from_pandas(df)
+    seen = ray.data.from_pandas(df[df.doc_id <= 2]).map_batches(
+        add_text_hash_fn(), batch_format="pyarrow"
+    )
+    called = []
+    from incubator_sedona_ray.state import blocks as BL
+
+    real = BL.safe_hash_join
+
+    def spy(*a, **k):
+        called.append(a[2] if len(a) > 2 else k.get("join_type"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(BL, "safe_hash_join", spy)
+    out = dedup_incremental(ds, seen, mode="auto", broadcast_max_hashes=1).to_pandas()
+    assert set(out.doc_id) == {3, 4}
+    assert called, "auto with snapshot over the cap must route to the join path"
 
 
 def test_dedup_incremental_iterable_seen_and_empty():
