@@ -124,6 +124,21 @@ def hop_distance(
     from ..state.blocks import safe_hash_join
 
     if mode == "dense" or (mode == "auto" and n_nodes is not None and n_nodes <= dense_max_nodes):
+        if n_nodes is None:
+            # explicit dense without n_nodes: derive the id-space bound the
+            # same way pagerank falls back to nodes.count() — one cheap
+            # max() pass over the edge endpoints and seed ids
+            hi = -1
+            for d, cols in ((edges, (src_col, dst_col)), (seeds, (node_col,))):
+                for c in cols:
+                    m = d.max(c)
+                    if m is not None:
+                        hi = max(hi, int(m))
+            if hi < 0:
+                raise ValueError(
+                    "hop_distance(mode='dense'): empty graph and no n_nodes given"
+                )
+            n_nodes = hi + 1
         return _hop_distance_dense(
             edges, seeds, max_hops, src_col, dst_col, node_col, n_nodes
         )

@@ -42,8 +42,12 @@ CRAMER3 = {
 def suffstats_int(ds, x_cols: list[str], y_col: str) -> dict[str, int]:
     """Exact int64 sufficient statistics {n, sxi, sij (i<=j), siy, sy, syy}
     for OLS with intercept. Columns must be integer-valued; raises on
-    int64 overflow in any partial (the merge of exact partials cannot
-    overflow silently: Ray's Sum is checked the same way below)."""
+    int64 overflow in any PARTIAL, and — because the global Sum of many
+    near-bound partials can still wrap silently — a float64 magnitude
+    estimate of every statistic is aggregated alongside the exact int64
+    and compared POST-MERGE: a merged total whose estimate exceeds 2^62 or
+    disagrees with the wrapped integer raises instead of returning
+    garbage."""
     from ray.data.aggregate import Sum
 
     p = len(x_cols)
@@ -74,12 +78,31 @@ def suffstats_int(ds, x_cols: list[str], y_col: str) -> dict[str, int]:
         for k, (_, est) in vals.items():
             if abs(est) > float(1 << 62):
                 raise OverflowError(f"sufficient statistic {k} near int64 range")
-        return pa.table({k: pa.array([int(vals[k][0])], type=pa.int64()) for k in names})
+        cols_out = {k: pa.array([int(vals[k][0])], type=pa.int64()) for k in names}
+        cols_out.update(
+            {f"{k}__f": pa.array([vals[k][1]], type=pa.float64()) for k in names}
+        )
+        return pa.table(cols_out)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
-        *[Sum(k, alias_name=k) for k in names]
+        *[Sum(k, alias_name=k) for k in names],
+        *[Sum(f"{k}__f", alias_name=f"{k}__f") for k in names],
     )
-    return {k: int(agg[k]) for k in names}
+    out = {}
+    for k in names:
+        exact = int(agg[k])
+        est = float(agg[f"{k}__f"])
+        if abs(est) > float(1 << 62):
+            raise OverflowError(f"merged sufficient statistic {k} near int64 range")
+        # wrap detection: float64 carries ~15.9 significant digits, so a
+        # genuine int64 wrap (error >= 2^64) dwarfs the estimate's rounding
+        if abs(est - float(exact)) > max(1.0, abs(est)) * 1e-6:
+            raise OverflowError(
+                f"merged sufficient statistic {k} overflowed int64 "
+                f"(exact={exact}, float-estimate={est!r})"
+            )
+        out[k] = exact
+    return out
 
 
 def linear_fit_exact(ds, x_cols: list[str], y_col: str):

@@ -155,17 +155,25 @@ def write_warc(
     payload_col: str = "payload",
     content_type: str = "text/html",
     compress: bool = False,
+    overwrite: bool = False,
 ):
     """Write one ``.warc``/``.warc.gz`` file per input block under ``path``
-    (distributed, resumable: finishing stamps a ``_SUCCESS`` marker; a
-    directory already carrying one is left untouched and the write
-    short-circuits). File names are content-hashed so retries of the same
-    block are idempotent."""
+    (distributed, resumable: finishing stamps a ``_SUCCESS`` marker
+    recording the row count; a directory already carrying one is left
+    untouched and the write short-circuits, returning the RECORDED count —
+    so a resumed call is distinguishable from an empty write and a stale
+    directory cannot silently swallow new data. Pass ``overwrite=True`` to
+    discard the marker and rewrite). File names are content-hashed so
+    retries of the same block are idempotent."""
     import hashlib
 
     done = os.path.join(path, "_SUCCESS")
     if os.path.exists(done):
-        return 0
+        if not overwrite:
+            with open(done) as fh:
+                txt = fh.read().strip()
+            return int(txt) if txt.isdigit() else 0
+        os.remove(done)
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 

@@ -47,15 +47,17 @@ def normalize_batch(
     mask_np = mask.to_numpy(zero_copy_only=False)
     mask_np = np.asarray(mask_np, dtype=object) == True  # noqa: E712 — nulls -> False
     if mask_np.any():
+        # patch ONLY the non-ASCII rows: gather them, normalize, splice
+        # back with replace_with_mask — ASCII rows never leave Arrow
         idx = np.flatnonzero(mask_np)
-        fixed = [
-            unicodedata.normalize(form, v)
-            for v in s.take(pa.array(idx, type=pa.int64())).to_pylist()
-        ]
-        vals = s.to_pylist()
-        for i, v in zip(idx, fixed):
-            vals[i] = v
-        s = pa.array(vals, type=pa.string())
+        fixed = pa.array(
+            [
+                unicodedata.normalize(form, v)
+                for v in s.take(pa.array(idx, type=pa.int64())).to_pylist()
+            ],
+            type=pa.string(),
+        )
+        s = pc.replace_with_mask(s, pa.array(mask_np, type=pa.bool_()), fixed)
     changed = pc.invert(pc.equal(s, t[text_col]))
     if out_col == text_col:  # in-place replacement
         t = t.set_column(t.column_names.index(text_col), text_col, s)

@@ -81,9 +81,13 @@ def test_write_read_distributed(ray_session, tmp_path):
         assert out["url"].tolist() == [r[0] for r in RECS]
         assert out["payload"].tolist() == [r[2] for r in RECS]
         assert out["warc_date"].tolist() == [r[1] for r in RECS]
-        # resume: a second write is a no-op short-circuit
+        # resume: a second write short-circuits and reports the RECORDED
+        # count (distinguishable from an empty write)
         t = pa.table({"url": ["x"], "warc_date": ["d"], "payload": pa.array([b"y"], type=pa.binary())})
-        assert write_warc(ray.data.from_arrow(t), path) == 0
+        assert write_warc(ray.data.from_arrow(t), path) == len(RECS)
+        # overwrite discards the stale marker and writes the new data
+        n2 = write_warc(ray.data.from_arrow(t), path, overwrite=True)
+        assert n2 == 1
 
 
 def test_gzip_file_bytes_are_gzip(ray_session, tmp_path):
