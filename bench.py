@@ -645,6 +645,42 @@ def run_bench() -> dict:
     # 3 rounds x (3n edge join rows + n node rows) + the setup passes
     timed("q18_pagerank", q18, rows=3 * (4 * n_pages))
 
+    # q18b: PageRank with the BSP two-range-exchange mode FORCED — the
+    # 100 TB path (node state sharded, no dense driver vector); the
+    # scaling protocol runs this to evidence the SHUFFLED path's N-vs-4N
+    # efficiency, not just the shuffle-free flagship.
+    def q18b():
+        from incubator_sedona_ray.graph.pagerank import pagerank
+
+        n = n_pages
+
+        def mk_edges(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            src = np.repeat(ids, 3)
+            j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+            dst = (src * 7 + j * 13) % n
+            return pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                }
+            )
+
+        pages_ids = expanded_pages(ray, n_docs, columns=["doc_id"])
+        edges = pages_ids.map_batches(mk_edges, batch_format="pyarrow", batch_size=BATCH)
+        nodes = pages_ids.map_batches(
+            lambda b: pa.table({"node": b["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+            batch_size=BATCH,
+        )
+        return pagerank(edges, nodes, iters=3, n_nodes=n, mode="bsp")
+
+    # BSP at this node count is the deliberately-oversized exchange (the
+    # dense mode exists precisely to avoid it below 4M nodes), so it runs
+    # only when explicitly requested (the scaling protocol asks for it)
+    if "q18b_pagerank_bsp" in ONLY:
+        timed("q18b_pagerank_bsp", q18b, rows=3 * (4 * n_pages))
+
     # q19: distributed BPE training, 5 merges — the iterative vocab-table
     # workload in OVERFLOW (distributed) mode: one corpus pass for word
     # freqs, then 5 x (pair-count pass + merge-apply pass) over the
@@ -747,13 +783,19 @@ def run_scaling():
     trials = int(os.environ.get("BENCH_SCALING_TRIALS", "4"))
     lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
     hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
+    # BENCH_SCALING_ONLY picks the query set; the FIRST name is the
+    # primary whose wall time defines the efficiency (default: the
+    # flagship; set e.g. "q2_partitioned_pip_join" or
+    # "q18b_pagerank_bsp" to measure the shuffled paths)
+    only = os.environ.get("BENCH_SCALING_ONLY", "q1_flagship_pages,q3_tile_assign")
+    primary = only.split(",")[0]
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_EXPAND=scaling_expand,
-            BENCH_ONLY="q1_flagship_pages,q3_tile_assign",
+            BENCH_ONLY=only,
             BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "2"),
             # same block layout at both levels: only the worker count
             # varies between the runs. 8 blocks/CPU at the high level —
@@ -778,18 +820,18 @@ def run_scaling():
     r_lo = r_hi = None
     for _ in range(max(1, trials)):
         a, b = run(lo), run(hi)
-        if r_lo is None or a["queries"]["q1_flagship_pages"] < r_lo["queries"]["q1_flagship_pages"]:
+        if r_lo is None or a["queries"][primary] < r_lo["queries"][primary]:
             r_lo = a
-        if r_hi is None or b["queries"]["q1_flagship_pages"] < r_hi["queries"]["q1_flagship_pages"]:
+        if r_hi is None or b["queries"][primary] < r_hi["queries"][primary]:
             r_hi = b
-    t_lo = r_lo["queries"]["q1_flagship_pages"]
-    t_hi = r_hi["queries"]["q1_flagship_pages"]
+    t_lo = r_lo["queries"][primary]
+    t_hi = r_hi["queries"][primary]
     eff = (t_lo / t_hi) / (hi / lo)
     ctrl_eff, ctrl_lo, ctrl_hi = control_efficiency(lo, hi)
     print(
         json.dumps(
             {
-                "metric": f"scaling efficiency (flagship q1 sec, {lo} vs {hi} CPUs, same input)",
+                "metric": f"scaling efficiency ({primary} sec, {lo} vs {hi} CPUs, same input)",
                 "value": round(eff, 3),
                 "unit": "efficiency",
                 "sec_8": t_lo,

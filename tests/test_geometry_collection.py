@@ -204,3 +204,20 @@ def test_join_with_collection_windows(ray_session):
         if P.covers(gw, Geometry.point(xs[p], ys[p]))
     )
     assert got == want and len(want) > 0
+
+
+def test_boolean_ops_on_collections():
+    """intersection/union/difference accept GeometryCollection operands
+    (the reference's Functions.java:466,641 overlay semantics) — exact
+    areas on disjoint-part collections."""
+    import incubator_sedona_ray.geom.ops as OPS
+    import incubator_sedona_ray.geom.triangulate as T
+
+    sq = Geometry.polygon([(0, 0), (4, 0), (4, 4), (0, 4)])
+    east = Geometry.polygon([(6, 0), (9, 0), (9, 3), (6, 3)])
+    coll = gc(sq, east)
+    other = Geometry.polygon([(2, 2), (8, 2), (8, 8), (2, 8)])
+    assert OPS.area(T.intersection(coll, other)) == 6.0
+    assert OPS.area(T.union(coll, other)) == 55.0
+    assert OPS.area(T.difference(coll, other)) == 19.0
+    assert OPS.area(coll) == 25.0
