@@ -461,9 +461,30 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text", id_col: str = "doc_
     ]
 
     def encode(t: pa.Table) -> pa.Table:
-        words_per_doc = []
-        flat, offs = [], [0]
-        vocab: dict[str, int] = {}
+        # identical tokenization to word_freqs: RE2 \s+ over the lowered
+        # column (str.split() differs on exotic Unicode whitespace)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_words = toks.flatten()
+        row_of_word = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64),
+            np.diff(np.asarray(toks.offsets, dtype=np.int64)),
+        )
+        nonempty = pc.not_equal(flat_words, "").to_numpy(zero_copy_only=False)
+        nonempty = np.asarray(nonempty, dtype=object) == True  # noqa: E712 — null-safe
+        words = flat_words.filter(pa.array(nonempty))
+        row_of_word = row_of_word[nonempty]
+        wpd = np.bincount(row_of_word, minlength=t.num_rows).astype(np.int64)
+
+        # batch-local symbol ids, fully vectorized (utf-32 codepoint keys
+        # with the EOW flag on each word's last char — no per-word loop)
+        lens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.concatenate([[0], np.cumsum(lens)])
+        keys = _codepoint_keys("".join(words.to_pylist()), o)
+        uniq = np.unique(keys)
+        f = np.searchsorted(uniq, keys).astype(np.int64)
+        vocab: dict[str, int] = {_key_str(int(k)): i for i, k in enumerate(uniq)}
 
         def intern(sym: str) -> int:
             sid = vocab.get(sym)
@@ -472,19 +493,6 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text", id_col: str = "doc_
                 vocab[sym] = sid
             return sid
 
-        # identical tokenization to word_freqs: RE2 \s+ over the lowered
-        # column (str.split() differs on exotic Unicode whitespace)
-        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern=r"\s+")
-        for row in toks.to_pylist():
-            words = [w for w in (row or []) if w]
-            words_per_doc.append(len(words))
-            for w in words:
-                cs = list(w)
-                cs[-1] = cs[-1] + _EOW
-                flat.extend(intern(c) for c in cs)
-                offs.append(len(flat))
-        f = np.asarray(flat, dtype=np.int64)
-        o = np.asarray(offs, dtype=np.int64)
         for l_str, r_str, m_str in rules:
             li, ri = vocab.get(l_str), vocab.get(r_str)
             mi = intern(m_str)  # intern even on no-match: keeps id chains stable
@@ -492,11 +500,9 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text", id_col: str = "doc_
                 continue
             f, o = _apply_merge(f, o, li, ri, mi)
         per_word = np.diff(o)
-        wpd = np.asarray(words_per_doc, dtype=np.int64)
-        doc_of_word = np.repeat(np.arange(len(wpd)), wpd)
-        counts = np.bincount(doc_of_word, weights=per_word, minlength=len(wpd)).astype(
-            np.int64
-        )
+        counts = np.bincount(
+            row_of_word, weights=per_word, minlength=t.num_rows
+        ).astype(np.int64)
         return pa.table(
             {
                 id_col: t[id_col].cast(pa.int64()),
