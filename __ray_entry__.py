@@ -2624,6 +2624,42 @@ def q_transform_national_grids(sf_dir: str):
     return _geo_docs(sf_dir).map_batches(stage, batch_format="pyarrow")
 
 
+def q_transform_world_grids(sf_dir: str):
+    """Round-4 projection families through ST_Transform (golden-fixture
+    oracle — no DuckDB closed form): oblique stereographic (EPSG:28992 RD
+    New), Swiss oblique Mercator (EPSG:2056 LV95), Krovak (EPSG:5514),
+    polar stereographic variant B (EPSG:3031), Lambert cylindrical equal
+    area (EPSG:6933 EASE-Grid 2.0) and NZTM (EPSG:2193). Each family gets
+    the geocoded doc points squeezed into its own valid window, then one
+    vectorized pass. Reference parity: ST_Transform accepts any EPSG via
+    GeoTools (common/.../Functions.java:184-212)."""
+    from incubator_sedona_ray.functions.transform import transform_xy
+
+    # (name, code, lon window, lat window)
+    grids = (
+        ("rd", "EPSG:28992", (3.5, 7.0), (50.8, 53.5)),
+        ("lv95", "EPSG:2056", (6.0, 10.5), (45.9, 47.8)),
+        ("krovak", "EPSG:5514", (12.2, 22.5), (47.8, 51.0)),
+        ("aps", "EPSG:3031", (-180.0, 180.0), (-89.0, -61.0)),
+        ("ease", "EPSG:6933", (-179.0, 179.0), (-84.0, 84.0)),
+        ("nztm", "EPSG:2193", (166.5, 178.5), (-47.2, -34.4)),
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cols = {"doc_id": batch["doc_id"]}
+        for name, code, (lo, hi), (la, lb) in grids:
+            glon = lo + (lon + 180.0) / 360.0 * (hi - lo)
+            glat = la + (lat + 90.0) / 180.0 * (lb - la)
+            x, y = transform_xy("EPSG:4326", code, glon, glat)
+            cols[f"{name}_x"] = pa.array(np.round(x, 6))
+            cols[f"{name}_y"] = pa.array(np.round(y, 6))
+        return pa.table(cols)
+
+    return _geo_docs(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
 def q_union_aggr_zones(sf_dir: str):
     """ST_Union_Aggr of the (disjoint) zone squares per lon column
     (canonical part order -> deterministic WKB, golden-fixture oracle)."""
@@ -2924,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only checks (non-SQL-expressible)
         "transform_mercator": q_transform_mercator,
         "transform_national_grids": q_transform_national_grids,
+        "transform_world_grids": q_transform_world_grids,
         "union_aggr_zones": q_union_aggr_zones,
         "tile_render": q_tile_render,
         "heatmap_stitched": q_heatmap_stitched,
@@ -3000,6 +3037,7 @@ _FIXTURE_ORACLES = [
     "ann_topk_ivf",
     "transform_mercator",
     "transform_national_grids",
+    "transform_world_grids",
     "union_aggr_zones",
     "tile_render",
     "heatmap_stitched",

@@ -454,6 +454,435 @@ class MercatorEllipsoidal:
 
 
 @dataclass(frozen=True)
+class ObliqueStereographic:
+    """EPSG method 9809 (Oblique and Equatorial Stereographic) — the
+    double-projection via the conformal sphere used by the Dutch RD New
+    grid (EPSG:28992). Formulas from EPSG Guidance Note 7-2 §3.2.3.2."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    k0: float
+    fe: float
+    fn: float
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            p0 = math.radians(self.lat0)
+            s0 = math.sin(p0)
+            rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+            nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+            R = math.sqrt(rho0 * nu0)
+            n = math.sqrt(1.0 + e2 * math.cos(p0) ** 4 / (1.0 - e2))
+            S1 = (1.0 + s0) / (1.0 - s0)
+            S2 = (1.0 - e * s0) / (1.0 + e * s0)
+            w1 = (S1 * S2**e) ** n
+            sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+            cc = (n + s0) * (1.0 - sin_chi00) / ((n - s0) * (1.0 + sin_chi00))
+            w2 = cc * w1
+            chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+            c = (R, n, cc, chi0, e)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        R, n, cc, chi0, e = self._consts()
+        lam0 = math.radians(self.lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        dL = n * (lam - lam0)
+        sphi = np.sin(phi)
+        Sa = (1.0 + sphi) / (1.0 - sphi)
+        Sb = (1.0 - e * sphi) / (1.0 + e * sphi)
+        w = cc * (Sa * Sb**e) ** n
+        chi = np.arcsin(np.clip((w - 1.0) / (w + 1.0), -1.0, 1.0))
+        B = 1.0 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dL)
+        E = self.fe + 2.0 * R * self.k0 * np.cos(chi) * np.sin(dL) / B
+        N = self.fn + 2.0 * R * self.k0 * (np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dL)) / B
+        return E, N
+
+    def inverse(self, E, N):
+        R, n, cc, chi0, e = self._consts()
+        e2 = self.ell.e2
+        lam0 = math.radians(self.lon0)
+        dE = np.asarray(E, dtype=np.float64) - self.fe
+        dN = np.asarray(N, dtype=np.float64) - self.fn
+        g = 2.0 * R * self.k0 * math.tan(math.pi / 4.0 - chi0 / 2.0)
+        h = 4.0 * R * self.k0 * math.tan(chi0) + g
+        i = np.arctan2(dE, h + dN)
+        j = np.arctan2(dE, g - dN) - i
+        chi = chi0 + 2.0 * np.arctan((dN - dE * np.tan(j / 2.0)) / (2.0 * R * self.k0))
+        dL = j + 2.0 * i
+        lam = dL / n + lam0
+        psi = 0.5 * np.log((1.0 + np.sin(chi)) / (cc * (1.0 - np.sin(chi)))) / n
+        phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2.0
+        for _ in range(8):
+            esin = e * np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2.0 + math.pi / 4.0) * ((1.0 - esin) / (1.0 + esin)) ** (e / 2.0))
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - esin * esin) / (1.0 - e2)
+        return np.degrees(lam), np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class PolarStereographic:
+    """EPSG method 9810 (variant A, ``k0`` at the pole — UPS) / 9829
+    (variant B, ``lat_ts`` standard parallel — EPSG:3031/3413). Set
+    ``south=True`` for the south-pole aspect."""
+
+    ell: Ellipsoid
+    lon0: float
+    fe: float
+    fn: float
+    south: bool = False
+    k0: float = 1.0
+    lat_ts: float | None = None
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            root = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+            if self.lat_ts is not None:
+                # variant B: scale is true at lat_ts
+                pF = math.radians(-self.lat_ts if self.south else self.lat_ts)
+                mF = math.cos(pF) / math.sqrt(1.0 - e2 * math.sin(pF) ** 2)
+                tF = float(_t_conformal(e, np.float64(pF)))
+                k0 = mF * root / (2.0 * tF)
+            else:
+                k0 = self.k0
+            c = (a, e, root, k0)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        a, e, root, k0 = self._consts()
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(-lat if self.south else lat)
+        theta = np.radians(lon - self.lon0)
+        t = _t_conformal(e, phi)
+        rho = 2.0 * a * k0 * t / root
+        E = self.fe + rho * np.sin(theta)
+        N = self.fn + (rho * np.cos(theta) if self.south else -rho * np.cos(theta))
+        return E, N
+
+    def inverse(self, E, N):
+        a, e, root, k0 = self._consts()
+        dE = np.asarray(E, dtype=np.float64) - self.fe
+        dN = np.asarray(N, dtype=np.float64) - self.fn
+        rho = np.hypot(dE, dN)
+        t = rho * root / (2.0 * a * k0)
+        phi = _phi_from_t(e, t)
+        lam = np.arctan2(dE, dN) if self.south else np.arctan2(dE, -dN)
+        # the polar aspect spans all longitudes: wrap lon0-shifted output
+        # back into (-180, 180]
+        lon = np.degrees(lam) + self.lon0
+        lon = lon - 360.0 * np.ceil((lon - 180.0) / 360.0)
+        return lon, -np.degrees(phi) if self.south else np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class SwissObliqueMercator:
+    """EPSG method 9814 (Swiss Oblique Cylindrical / ``somerc``): conformal
+    sphere at the centre, pole rotation, equatorial Mercator — the CH1903
+    LV03 (EPSG:21781) and CH1903+ LV95 (EPSG:2056) grids."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    k0: float
+    fe: float
+    fn: float
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            p0 = math.radians(self.lat0)
+            s0 = math.sin(p0)
+            cc = math.sqrt(1.0 + e2 * math.cos(p0) ** 4 / (1.0 - e2))
+            b0 = math.asin(s0 / cc)
+            R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+            K = math.log(math.tan(math.pi / 4.0 + b0 / 2.0)) - cc * (
+                math.log(math.tan(math.pi / 4.0 + p0 / 2.0))
+                - (e / 2.0) * math.log((1.0 + e * s0) / (1.0 - e * s0))
+            )
+            c = (cc, b0, R * self.k0, K, e)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        cc, b0, kR, K, e = self._consts()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = cc * (np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(self.lon0))
+        esin = e * np.sin(phi)
+        # ellipsoid -> conformal sphere latitude
+        phi_s = 2.0 * np.arctan(
+            np.exp(cc * (np.log(np.tan(math.pi / 4.0 + phi / 2.0)) - (e / 2.0) * np.log((1.0 + esin) / (1.0 - esin))) + K)
+        ) - math.pi / 2.0
+        # rotate the sphere so the centre lands on the equator
+        sb, cb = math.sin(b0), math.cos(b0)
+        sp, cp = np.sin(phi_s), np.cos(phi_s)
+        sphi2 = cb * sp - sb * cp * np.cos(lam)
+        lam2 = np.arctan2(cp * np.sin(lam), sb * sp + cb * cp * np.cos(lam))
+        E = self.fe + kR * lam2
+        N = self.fn + kR / 2.0 * np.log((1.0 + sphi2) / (1.0 - sphi2))
+        return E, N
+
+    def inverse(self, E, N):
+        cc, b0, kR, K, e = self._consts()
+        lam2 = (np.asarray(E, dtype=np.float64) - self.fe) / kR
+        phi2 = 2.0 * np.arctan(np.exp((np.asarray(N, dtype=np.float64) - self.fn) / kR)) - math.pi / 2.0
+        sb, cb = math.sin(b0), math.cos(b0)
+        sp, cp = np.sin(phi2), np.cos(phi2)
+        phi_s = np.arcsin(np.clip(cb * sp + sb * cp * np.cos(lam2), -1.0, 1.0))
+        lam_s = np.arctan2(cp * np.sin(lam2), -sb * sp + cb * cp * np.cos(lam2))
+        # conformal sphere -> ellipsoid latitude (fixed point)
+        base = (np.log(np.tan(math.pi / 4.0 + phi_s / 2.0)) - K) / cc
+        phi = phi_s
+        for _ in range(8):
+            esin = e * np.sin(phi)
+            phi = 2.0 * np.arctan(np.exp(base + (e / 2.0) * np.log((1.0 + esin) / (1.0 - esin)))) - math.pi / 2.0
+        lam = lam_s / cc + math.radians(self.lon0)
+        return np.degrees(lam), np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class Krovak:
+    """EPSG method 9819 (Krovak oblique conformal conic) oriented as
+    *Krovak East North* (EPSG:5514): E = -westing, N = -southing. ``czech``
+    flips back to positive southing/westing axes (the +czech proj flag)."""
+
+    ell: Ellipsoid
+    lon0: float  # longitude of origin, Greenwich degrees (24d50' E for S-JTSK)
+    latc: float = 49.5  # latitude of projection centre
+    alphac: float = 30.28813972222222  # azimuth of centre line, degrees
+    latp: float = 78.5  # latitude of pseudo standard parallel
+    k0: float = 0.9999
+    fe: float = 0.0
+    fn: float = 0.0
+    czech: bool = False
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+            pC = math.radians(self.latc)
+            sC = math.sin(pC)
+            A = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sC * sC)
+            B = math.sqrt(1.0 + e2 * math.cos(pC) ** 4 / (1.0 - e2))
+            g0 = math.asin(sC / B)
+            t0 = (
+                math.tan(math.pi / 4.0 + g0 / 2.0)
+                * ((1.0 + e * sC) / (1.0 - e * sC)) ** (e * B / 2.0)
+                / math.tan(math.pi / 4.0 + pC / 2.0) ** B
+            )
+            n = math.sin(math.radians(self.latp))
+            r0 = self.k0 * A / math.tan(math.radians(self.latp))
+            tanP = math.tan(math.pi / 4.0 + math.radians(self.latp) / 2.0)
+            c = (e, B, t0, n, r0, tanP, math.radians(self.alphac))
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        e, B, t0, n, r0, tanP, aC = self._consts()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        esin = e * np.sin(phi)
+        U = 2.0 * (
+            np.arctan(t0 * np.tan(phi / 2.0 + math.pi / 4.0) ** B * ((1.0 - esin) / (1.0 + esin)) ** (e * B / 2.0))
+            - math.pi / 4.0
+        )
+        V = B * (math.radians(self.lon0) - lam)
+        T = np.arcsin(np.clip(math.cos(aC) * np.sin(U) + math.sin(aC) * np.cos(U) * np.cos(V), -1.0, 1.0))
+        D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T), -1.0, 1.0))
+        r = r0 * tanP**n / np.tan(T / 2.0 + math.pi / 4.0) ** n
+        southing = r * np.cos(n * D)
+        westing = r * np.sin(n * D)
+        if self.czech:
+            return southing + self.fe, westing + self.fn
+        return self.fe - westing, self.fn - southing
+
+    def inverse(self, E, N):
+        e, B, t0, n, r0, tanP, aC = self._consts()
+        e2 = self.ell.e2
+        if self.czech:
+            southing = np.asarray(E, dtype=np.float64) - self.fe
+            westing = np.asarray(N, dtype=np.float64) - self.fn
+        else:
+            westing = self.fe - np.asarray(E, dtype=np.float64)
+            southing = self.fn - np.asarray(N, dtype=np.float64)
+        r = np.hypot(southing, westing)
+        theta = np.arctan2(westing, southing)
+        D = theta / n
+        T = 2.0 * (np.arctan((r0 / r) ** (1.0 / n) * tanP) - math.pi / 4.0)
+        U = np.arcsin(np.clip(math.cos(aC) * np.sin(T) - math.sin(aC) * np.cos(T) * np.cos(D), -1.0, 1.0))
+        V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U), -1.0, 1.0))
+        lam = math.radians(self.lon0) - V / B
+        tU = np.tan(U / 2.0 + math.pi / 4.0) ** (1.0 / B) * t0 ** (-1.0 / B)
+        phi = U
+        for _ in range(8):
+            esin = e * np.sin(phi)
+            phi = 2.0 * (np.arctan(tU * ((1.0 + esin) / (1.0 - esin)) ** (e / 2.0)) - math.pi / 4.0)
+        return np.degrees(lam), np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class LambertCylindricalEqualArea:
+    """EPSG method 9835 (ellipsoidal Lambert cylindrical equal area) — the
+    EASE-Grid 2.0 global grid (EPSG:6933, ``lat_ts=30``)."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat_ts: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    def _k(self) -> float:
+        pF = math.radians(self.lat_ts)
+        return math.cos(pF) / math.sqrt(1.0 - self.ell.e2 * math.sin(pF) ** 2)
+
+    def forward(self, lon, lat):
+        e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+        k = self._k()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        E = self.fe + a * k * lam
+        N = self.fn + a * _q_authalic(e, e2, phi) / (2.0 * k)
+        return E, N
+
+    def inverse(self, E, N):
+        e, e2, a = self.ell.e, self.ell.e2, self.ell.a
+        k = self._k()
+        q = 2.0 * k * (np.asarray(N, dtype=np.float64) - self.fn) / a
+        lam = (np.asarray(E, dtype=np.float64) - self.fe) / (a * k)
+        return np.degrees(lam) + self.lon0, np.degrees(_phi_from_q(e, e2, q))
+
+
+def _merid_arc_coeffs(n: float):
+    """Meridian-arc series in the third flattening (public Helmert/Karney
+    series): returns (rectifying radius factor, sin(2k phi) coeffs forward,
+    inverse coeffs)."""
+    fwd = (
+        -1.5 * n + 9.0 / 16.0 * n**3,
+        15.0 / 16.0 * n**2 - 15.0 / 32.0 * n**4,
+        -35.0 / 48.0 * n**3,
+        315.0 / 512.0 * n**4,
+    )
+    inv = (
+        1.5 * n - 27.0 / 32.0 * n**3,
+        21.0 / 16.0 * n**2 - 55.0 / 32.0 * n**4,
+        151.0 / 96.0 * n**3,
+        1097.0 / 512.0 * n**4,
+    )
+    return fwd, inv
+
+
+@dataclass(frozen=True)
+class EquidistantCylindrical:
+    """EPSG method 1028 (ellipsoidal equidistant cylindrical) — EPSG:4087
+    World Equidistant Cylindrical / EPSG:32662 Plate Carree."""
+
+    ell: Ellipsoid
+    lon0: float = 0.0
+    lat_ts: float = 0.0
+    fe: float = 0.0
+    fn: float = 0.0
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            a, e2, n3 = self.ell.a, self.ell.e2, self.ell.n3
+            pF = math.radians(self.lat_ts)
+            nu1_cos = a * math.cos(pF) / math.sqrt(1.0 - e2 * math.sin(pF) ** 2)
+            A = a / (1.0 + n3) * (1.0 + n3**2 / 4.0 + n3**4 / 64.0)
+            fwd, inv = _merid_arc_coeffs(n3)
+            c = (nu1_cos, A, fwd, inv)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        nu1_cos, A, fwd, _ = self._consts()
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        M = A * (phi + sum(ck * np.sin(2.0 * (k + 1) * phi) for k, ck in enumerate(fwd)))
+        return self.fe + nu1_cos * lam, self.fn + M
+
+    def inverse(self, E, N):
+        nu1_cos, A, _, inv = self._consts()
+        mu = (np.asarray(N, dtype=np.float64) - self.fn) / A
+        phi = mu + sum(dk * np.sin(2.0 * (k + 1) * mu) for k, dk in enumerate(inv))
+        lam = (np.asarray(E, dtype=np.float64) - self.fe) / nu1_cos
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class CassiniSoldner:
+    """EPSG method 9806 (Cassini-Soldner) — the Singapore SVY21 grid
+    (EPSG:3414) and several Caribbean cadastral grids. Snyder/EPSG series
+    formulas; exact to << 1 mm within the narrow bands the method is
+    designed for."""
+
+    ell: Ellipsoid
+    lon0: float
+    lat0: float
+    fe: float = 0.0
+    fn: float = 0.0
+    _cache: dict = field(default_factory=dict, compare=False)
+
+    def _consts(self):
+        c = self._cache.get("c")
+        if c is None:
+            a, e2, n3 = self.ell.a, self.ell.e2, self.ell.n3
+            A = a / (1.0 + n3) * (1.0 + n3**2 / 4.0 + n3**4 / 64.0)
+            fwd, inv = _merid_arc_coeffs(n3)
+            p0 = math.radians(self.lat0)
+            M0 = A * (p0 + sum(ck * math.sin(2.0 * (k + 1) * p0) for k, ck in enumerate(fwd)))
+            c = (A, fwd, inv, M0)
+            self._cache["c"] = c
+        return c
+
+    def forward(self, lon, lat):
+        A_r, fwd, _, M0 = self._consts()
+        a, e2 = self.ell.a, self.ell.e2
+        ep2 = e2 / (1.0 - e2)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        sphi, cphi = np.sin(phi), np.cos(phi)
+        nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        T = np.tan(phi) ** 2
+        C = ep2 * cphi * cphi
+        Aq = dlam * cphi
+        M = A_r * (phi + sum(ck * np.sin(2.0 * (k + 1) * phi) for k, ck in enumerate(fwd)))
+        E = self.fe + nu * (Aq - T * Aq**3 / 6.0 - (8.0 - T + 8.0 * C) * T * Aq**5 / 120.0)
+        N = self.fn + M - M0 + nu * np.tan(phi) * (Aq**2 / 2.0 + (5.0 - T + 6.0 * C) * Aq**4 / 24.0)
+        return E, N
+
+    def inverse(self, E, N):
+        A_r, _, inv, M0 = self._consts()
+        a, e2 = self.ell.a, self.ell.e2
+        M1 = M0 + (np.asarray(N, dtype=np.float64) - self.fn)
+        mu = M1 / A_r
+        phi1 = mu + sum(dk * np.sin(2.0 * (k + 1) * mu) for k, dk in enumerate(inv))
+        s1 = np.sin(phi1)
+        w1 = 1.0 - e2 * s1 * s1
+        nu1 = a / np.sqrt(w1)
+        rho1 = a * (1.0 - e2) / w1**1.5
+        T1 = np.tan(phi1) ** 2
+        D = (np.asarray(E, dtype=np.float64) - self.fe) / nu1
+        phi = phi1 - (nu1 * np.tan(phi1) / rho1) * (D**2 / 2.0 - (1.0 + 3.0 * T1) * D**4 / 24.0)
+        lam = (D - T1 * D**3 / 3.0 + (1.0 + 3.0 * T1) * T1 * D**5 / 15.0) / np.cos(phi1)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+@dataclass(frozen=True)
 class Geographic:
     """Identity projection: grid coords ARE lon/lat degrees on the datum."""
 
@@ -505,6 +934,19 @@ _ED50_TO_WGS84 = Helmert(-87.0, -98.0, -121.0)
 _PULKOVO42_TO_WGS84 = Helmert(28.0, -130.0, -95.0)
 # DHDN (Bessel, Germany) -> WGS84 (EPSG 1777 position-vector)
 _DHDN_TO_WGS84 = Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+# Amersfoort (Bessel, Netherlands) -> WGS84 (published position-vector set,
+# ~1 m class; RDNAPTRANS grid correction is out of scope)
+_AMERSFOORT_TO_WGS84 = Helmert(565.417, 50.3319, 465.552, -0.406857, 0.350733, -1.87035, 4.0812)
+# CH1903+ -> WGS84 geocentric translation (swisstopo published values)
+_CH1903P_TO_WGS84 = Helmert(674.374, 15.056, 405.346)
+# CH1903 (LV03) -> WGS84 mean translation
+_CH1903_TO_WGS84 = Helmert(674.4, 15.1, 405.3)
+# S-JTSK (Bessel, CZ/SK) -> WGS84 mean translation (~1 m class)
+_SJTSK_TO_WGS84 = Helmert(589.0, 76.0, 480.0)
+# MGI (Bessel, Austria) -> WGS84 position-vector (published Austrian set)
+_MGI_TO_WGS84 = Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+# GGRS87 (GRS80, Greece) -> WGS84 translation
+_GGRS87_TO_WGS84 = Helmert(-199.87, 74.79, 246.62)
 
 
 _REGISTRY: dict[int, CRS] = {}
@@ -590,6 +1032,217 @@ def _populate() -> None:
     # France legacy Lambert zone II (NTF datum, Clarke 1880 IGN) omitted:
     # Clarke 1880 IGN + NTF grid shift is gridded, not Helmert-clean.
 
+    # geographic datums for the round-4 grid additions
+    reg(CRS(4289, Geographic(BESSEL1841), _AMERSFOORT_TO_WGS84, "Amersfoort"))
+    reg(CRS(4150, Geographic(BESSEL1841), _CH1903P_TO_WGS84, "CH1903+"))
+    reg(CRS(4149, Geographic(BESSEL1841), _CH1903_TO_WGS84, "CH1903"))
+    reg(CRS(4156, Geographic(BESSEL1841), _SJTSK_TO_WGS84, "S-JTSK"))
+    reg(CRS(4312, Geographic(BESSEL1841), _MGI_TO_WGS84, "MGI"))
+    reg(CRS(4121, Geographic(GRS80), _GGRS87_TO_WGS84, "GGRS87"))
+    reg(CRS(4167, Geographic(GRS80), None, "NZGD2000"))
+    reg(CRS(4612, Geographic(GRS80), None, "JGD2000"))
+    reg(CRS(6668, Geographic(GRS80), None, "JGD2011"))
+
+    # oblique stereographic: Dutch RD New (EPSG method 9809)
+    reg(
+        CRS(
+            28992,
+            ObliqueStereographic(
+                BESSEL1841,
+                lon0=5.387638888888889,  # 5d23'15.500"E
+                lat0=52.15616055555555,  # 52d09'22.178"N
+                k0=0.9999079,
+                fe=155000.0,
+                fn=463000.0,
+            ),
+            _AMERSFOORT_TO_WGS84,
+            "Amersfoort / RD New",
+        )
+    )
+    # Swiss oblique Mercator (EPSG method 9814)
+    _swiss = dict(lon0=7.439583333333333, lat0=46.952405555555565, k0=1.0)  # Bern
+    reg(
+        CRS(
+            2056,
+            SwissObliqueMercator(BESSEL1841, fe=2600000.0, fn=1200000.0, **_swiss),
+            _CH1903P_TO_WGS84,
+            "CH1903+ / LV95",
+        )
+    )
+    reg(
+        CRS(
+            21781,
+            SwissObliqueMercator(BESSEL1841, fe=600000.0, fn=200000.0, **_swiss),
+            _CH1903_TO_WGS84,
+            "CH1903 / LV03",
+        )
+    )
+    # Krovak East North (EPSG method 9819); lon0 = 24d50' E of Greenwich
+    # (42d30' E of Ferro)
+    reg(
+        CRS(
+            5514,
+            Krovak(BESSEL1841, lon0=24.833333333333332),
+            _SJTSK_TO_WGS84,
+            "S-JTSK / Krovak East North",
+        )
+    )
+    # polar stereographic
+    reg(
+        CRS(
+            3031,
+            PolarStereographic(WGS84, lon0=0.0, fe=0.0, fn=0.0, south=True, lat_ts=-71.0),
+            None,
+            "WGS 84 / Antarctic Polar Stereographic",
+        )
+    )
+    reg(
+        CRS(
+            3976,
+            PolarStereographic(WGS84, lon0=0.0, fe=0.0, fn=0.0, south=True, lat_ts=-70.0),
+            None,
+            "WGS 84 / NSIDC Sea Ice Polar Stereographic South",
+        )
+    )
+    reg(
+        CRS(
+            3413,
+            PolarStereographic(WGS84, lon0=-45.0, fe=0.0, fn=0.0, lat_ts=70.0),
+            None,
+            "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+        )
+    )
+    reg(
+        CRS(
+            3995,
+            PolarStereographic(WGS84, lon0=0.0, fe=0.0, fn=0.0, lat_ts=71.0),
+            None,
+            "WGS 84 / Arctic Polar Stereographic",
+        )
+    )
+    reg(
+        CRS(
+            32661,
+            PolarStereographic(WGS84, lon0=0.0, fe=2000000.0, fn=2000000.0, k0=0.994),
+            None,
+            "WGS 84 / UPS North",
+        )
+    )
+    reg(
+        CRS(
+            32761,
+            PolarStereographic(WGS84, lon0=0.0, fe=2000000.0, fn=2000000.0, south=True, k0=0.994),
+            None,
+            "WGS 84 / UPS South",
+        )
+    )
+    # cylindrical equal area / equidistant cylindrical world grids
+    reg(
+        CRS(
+            6933,
+            LambertCylindricalEqualArea(WGS84, lon0=0.0, lat_ts=30.0),
+            None,
+            "WGS 84 / NSIDC EASE-Grid 2.0 Global",
+        )
+    )
+    reg(CRS(4087, EquidistantCylindrical(WGS84), None, "WGS 84 / World Equidistant Cylindrical"))
+    reg(CRS(32662, EquidistantCylindrical(WGS84), None, "WGS 84 / Plate Carree"))
+
+    # additional Transverse-Mercator national grids (parameters are the
+    # published EPSG projection values; null-shift modern datums)
+    reg(
+        CRS(
+            2193,
+            TransverseMercator(GRS80, lon0=173.0, lat0=0.0, k0=0.9996, fe=1600000.0, fn=10000000.0),
+            None,
+            "NZGD2000 / New Zealand Transverse Mercator",
+        )
+    )
+    reg(
+        CRS(
+            3067,
+            TransverseMercator(GRS80, lon0=27.0, lat0=0.0, k0=0.9996, fe=500000.0, fn=0.0),
+            None,
+            "ETRS89 / TM35FIN",
+        )
+    )
+    reg(
+        CRS(
+            2180,
+            TransverseMercator(GRS80, lon0=19.0, lat0=0.0, k0=0.9993, fe=500000.0, fn=-5300000.0),
+            None,
+            "ETRS89 / Poland CS92",
+        )
+    )
+    for z, (lon0, fe) in enumerate(((15.0, 5500000.0), (18.0, 6500000.0), (21.0, 7500000.0), (24.0, 8500000.0))):
+        reg(
+            CRS(
+                2176 + z,
+                TransverseMercator(GRS80, lon0=lon0, lat0=0.0, k0=0.999923, fe=fe, fn=0.0),
+                None,
+                f"ETRS89 / Poland CS2000 zone {z + 5}",
+            )
+        )
+    reg(
+        CRS(
+            2100,
+            TransverseMercator(GRS80, lon0=24.0, lat0=0.0, k0=0.9996, fe=500000.0, fn=0.0),
+            _GGRS87_TO_WGS84,
+            "GGRS87 / Greek Grid",
+        )
+    )
+    reg(
+        CRS(
+            3826,
+            TransverseMercator(GRS80, lon0=121.0, lat0=0.0, k0=0.9999, fe=250000.0, fn=0.0),
+            None,
+            "TWD97 / TM2 zone 121",
+        )
+    )
+    reg(
+        CRS(
+            5186,
+            TransverseMercator(GRS80, lon0=127.0, lat0=38.0, k0=1.0, fe=200000.0, fn=600000.0),
+            None,
+            "Korea 2000 / Central Belt 2010",
+        )
+    )
+    reg(
+        CRS(
+            3414,
+            TransverseMercator(
+                WGS84, lon0=103.83333333333333, lat0=1.3666666666666667, k0=1.0, fe=28001.642, fn=38744.572
+            ),
+            None,
+            "SVY21 / Singapore TM",
+        )
+    )
+    # additional conic national/continental grids on the existing families
+    reg(
+        CRS(
+            3577,
+            AlbersEqualArea(GRS80, lon0=132.0, lat0=0.0, sp1=-18.0, sp2=-36.0, fe=0.0, fn=0.0),
+            None,
+            "GDA94 / Australian Albers",
+        )
+    )
+    reg(
+        CRS(
+            3112,
+            LambertConformal(GRS80, lon0=134.0, lat0=0.0, sp1=-18.0, sp2=-36.0, fe=0.0, fn=0.0),
+            None,
+            "GDA94 / Geoscience Australia Lambert",
+        )
+    )
+    reg(
+        CRS(
+            31287,
+            LambertConformal(BESSEL1841, lon0=13.333333333333334, lat0=47.5, sp1=49.0, sp2=46.0, fe=400000.0, fn=400000.0),
+            _MGI_TO_WGS84,
+            "MGI / Austria Lambert",
+        )
+    )
+
     # UTM families
     for z in range(1, 61):
         reg(CRS(32600 + z, _utm(WGS84, z, False), None, f"WGS 84 / UTM {z}N"))
@@ -612,7 +1265,14 @@ SUPPORTED_HINT = (
     "EPSG:4326/3857, WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, "
     "NAD27 UTM 267xx, ED50 UTM 230xx, GDA94 MGA 283xx, 27700 (OSGB), 2154 "
     "(Lambert-93), 3035 (LAEA Europe), 5070 (Conus Albers), 31370 (Belgian "
-    "Lambert 72), 3395 (World Mercator), geographic 4258/4269/4267/4277/4171/4283/4490/4230/4314/4284"
+    "Lambert 72), 3395 (World Mercator), 28992 (RD New), 2056/21781 (Swiss "
+    "LV95/LV03), 5514 (Krovak), 3031/3413/3976/3995 + 32661/32761 (polar "
+    "stereographic/UPS), 6933 (EASE-Grid 2.0), 4087/32662 (equidistant "
+    "cylindrical), 2193 (NZTM), 3067 (TM35FIN), 2180/2176-2179 (Poland), "
+    "2100 (Greek Grid), 3826 (TWD97), 5186 (Korea 2000), 3577/3112 "
+    "(Australian Albers/Lambert), 31287 (Austria Lambert), geographic "
+    "4258/4269/4267/4277/4171/4283/4490/4230/4314/4284/4289/4150/4149/4156/"
+    "4312/4121/4167/4612/6668 — or any proj4 string via crs_from_proj4"
 )
 
 
@@ -668,7 +1328,7 @@ def crs_from_proj4(s: str) -> CRS:
     # keys each branch consumes and reject leftovers at the end.
     consumed: set[str] = set()
     harmless = {"no_defs", "wktext", "type", "over"}
-    bad_flags = flags - harmless - {"south"}
+    bad_flags = flags - harmless - {"south", "czech"}
     if bad_flags:
         raise NotImplementedError(f"unsupported proj flags: {sorted(bad_flags)}")
     if kv.get("units", "m") != "m":
@@ -760,9 +1420,51 @@ def crs_from_proj4(s: str) -> CRS:
         else:
             k0 = num("k", num("k_0", 1.0))
         proj = MercatorEllipsoidal(ell, lon0=num("lon_0"), k0=k0, fe=num("x_0"), fn=num("y_0"))
+    elif name == "sterea":
+        proj = ObliqueStereographic(
+            ell, lon0=num("lon_0"), lat0=num("lat_0"),
+            k0=num("k", num("k_0", 1.0)), fe=num("x_0"), fn=num("y_0"),
+        )
+    elif name == "stere":
+        lat0 = num("lat_0")
+        if abs(lat0) != 90.0:
+            raise NotImplementedError("+proj=stere: only the polar aspects (lat_0=+-90) are supported; use sterea for oblique")
+        lat_ts = None
+        k0 = num("k", num("k_0", 1.0))
+        if "lat_ts" in kv:
+            if "k" in kv or "k_0" in kv:
+                raise NotImplementedError("+proj=stere accepts +lat_ts or +k_0, not both")
+            lat_ts = num("lat_ts")
+        proj = PolarStereographic(
+            ell, lon0=num("lon_0"), fe=num("x_0"), fn=num("y_0"),
+            south=lat0 < 0.0, k0=k0, lat_ts=lat_ts,
+        )
+    elif name == "somerc":
+        proj = SwissObliqueMercator(
+            ell, lon0=num("lon_0"), lat0=num("lat_0"),
+            k0=num("k", num("k_0", 1.0)), fe=num("x_0"), fn=num("y_0"),
+        )
+    elif name == "krovak":
+        proj = Krovak(
+            ell,
+            lon0=num("lon_0", 24.833333333333332),
+            latc=num("lat_0", 49.5),
+            alphac=num("alpha", 30.28813972222222),
+            latp=num("lat_ts", 78.5),
+            k0=num("k", num("k_0", 0.9999)),
+            fe=num("x_0"), fn=num("y_0"),
+            czech="czech" in flags,
+        )
+    elif name == "cass":
+        proj = CassiniSoldner(ell, lon0=num("lon_0"), lat0=num("lat_0"), fe=num("x_0"), fn=num("y_0"))
+    elif name == "cea":
+        proj = LambertCylindricalEqualArea(ell, lon0=num("lon_0"), lat_ts=num("lat_ts"), fe=num("x_0"), fn=num("y_0"))
+    elif name == "eqc":
+        proj = EquidistantCylindrical(ell, lon0=num("lon_0"), lat_ts=num("lat_ts"), fe=num("x_0"), fn=num("y_0"))
     else:
         raise NotImplementedError(
-            f"+proj={name}: supported values are tmerc, utm, lcc, aea, laea, merc, longlat"
+            f"+proj={name}: supported values are tmerc, utm, lcc, aea, laea, merc, "
+            "sterea, stere (polar), somerc, krovak, cass, cea, eqc, longlat"
         )
     leftover = set(kv) - consumed
     if leftover:
