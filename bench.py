@@ -673,7 +673,17 @@ def run_bench() -> dict:
             batch_format="pyarrow",
             batch_size=BATCH,
         )
-        return pagerank(edges, nodes, iters=3, n_nodes=n, mode="bsp")
+        # range count PINNED (not CPU-derived): the scaling protocol needs
+        # both parallelism levels to see the SAME exchange layout — a real
+        # cluster sizes ranges by graph size, not worker count
+        return pagerank(
+            edges,
+            nodes,
+            iters=3,
+            n_nodes=n,
+            mode="bsp",
+            num_partitions=int(os.environ.get("BENCH_BSP_RANGES", "32")),
+        )
 
     # BSP at this node count is the deliberately-oversized exchange (the
     # dense mode exists precisely to avoid it below 4M nodes), so it runs

@@ -12,23 +12,18 @@ engine; the fixed-point contract makes every iteration bit-equal to the
 unrolled DuckDB oracle on any cluster size. The float ``rank`` column is a
 single deterministic ``rank_fp / scale`` conversion at the end.
 
-Distributed shape — per iteration, TWO coarse range-keyed exchanges and
-O(num_ranges) Python group kernels (NOT a hash join + a node-keyed
-groupby: Ray 2.49's generic aggregate over millions of distinct keys is
-~20x slower than a dense in-kernel reduce; same finding as the repo's
-heatmap/sessionize kernels):
+Distributed shape (BSP mode) — Pregel-style static edge partitioning
+(Malewicz et al. 2010): ONE range exchange co-locates the edge table by
+src range at setup (node ids are assumed 0..n_nodes-1 — the crawl-graph
+normal form after id assignment); each superstep then runs 2R raw Ray
+tasks exchanging only SPARSE rank-contribution partials (R^2 small
+objects), never the edges. Re-shuffling the static edge table through a
+sorted groupby every round — the first-cut design — measured ~100x the
+kernel cost at 30M edges; see ``_pagerank_bsp`` for the task protocol.
 
-  scatter   union(edge rows, rank rows) -> groupby(range of src):
-            the kernel holds its range's ranks as DENSE arrays (node ids
-            are assumed 0..n_nodes-1 — the crawl-graph normal form after
-            id assignment) and emits (dst, r // deg) contributions
-  gather    union(contributions, static node-degree rows) -> groupby(range
-            of dst): dense np.add.at reduce + the damping formula ->
-            the next (node, deg, r) table, materialized (node-sized)
-
-The dangling mass (rank parked on zero-out-degree nodes) is a one-scalar
-map+sum over the node-sized rank table per iteration, redistributed
-uniformly — the standard PageRank completion.
+The dangling mass (rank parked on zero-out-degree nodes) is computed as
+per-range int64 partials riding the gather tasks' second return value,
+redistributed uniformly next round — the standard PageRank completion.
 
 PARTITIONING ASSUMPTION (per the project brief): one range's dense rank
 slice (8 bytes x n_nodes / num_ranges) must fit a worker heap — raise
@@ -187,8 +182,8 @@ def pagerank(
         n_nodes = nodes.count()
     if n_nodes <= 0:
         raise ValueError("pagerank needs a non-empty node set")
-    R = int(num_partitions)
     N = int(n_nodes)
+    R = max(1, min(int(num_partitions), N))
 
     base = ((damping_den - damping_num) * (scale // N)) // damping_den
     r0 = scale // N
@@ -215,211 +210,199 @@ def pagerank(
             node_col, N, base, r0, seed_ids=seed_ids,
         )
 
-    def _span(rid: int) -> tuple[int, int]:
-        """[lo, hi) of node ids whose rid == rid (rid = id * R // N)."""
-        lo = -(-rid * N // R)  # ceil(rid * N / R)
-        hi = -(-(rid + 1) * N // R)
-        return lo, min(hi, N)
+    return _pagerank_bsp(
+        edges, iters, damping_num, damping_den, scale, src_col, dst_col,
+        node_col, N, R, base, r0, seed_ids=seed_ids,
+    )
 
-    # unified row shape for both exchanges: (rid, a, b, v)
-    #   scatter: edge rows (rid(src), src, dst, 0) + rank rows (rid(node), node, -1, r)
-    #   gather:  contrib rows (rid(dst), dst, -2, c) + degree rows (rid(node), node, deg, 0)
-    def edge_rows(t: pa.Table) -> pa.Table:
+
+def _pagerank_bsp(
+    edges, iters, dnum, dden, scale, src_col, dst_col, node_col, N, R,
+    base, r0, seed_ids=None,
+):
+    """BSP mode, Pregel-style (Malewicz et al. 2010 / GraphX's static edge
+    partitioning): the edge table is range-partitioned by src ONCE — one
+    Dataset exchange — and never moves again. Each superstep runs 2R raw
+    Ray tasks over object-store-resident state:
+
+      scatter[r]  reads its range's (deg, rank) slice + its static edge
+                  shards, computes c = r // deg per edge, and pre-aggregates
+                  contributions per DST range as sparse (local idx, sum)
+                  int64 pairs — ``num_returns=R`` makes each partial its own
+                  object, so gather[r'] fetches exactly the R partials
+                  addressed to it (the all-to-all is R^2 small objects, not
+                  a sorted shuffle of the edge table).
+      gather[r']  sums its partials into the range's dense slice, applies
+                  the damping formula, and returns (new state slice, next
+                  round's dangling partial).
+
+    The driver holds only ObjectRefs (R state + R^2 partials) and per round
+    ray.gets R int64 dangling partials — node/edge DATA never passes
+    through it. Rationale: Ray Data's groupby re-sorts the STATIC edge
+    table every iteration (measured 100 s/round at 30M edges where these
+    kernels need ~1 s); iterative fixed-topology exchange is exactly the
+    case the project brief reserves for raw tasks.
+
+    Integer arithmetic identical to the dense path — results bit-equal.
+
+    PARTITIONING ASSUMPTION: one range's dense slices (24 bytes x N / R)
+    plus its edge shards must fit a worker heap — size R by graph, not by
+    cluster (the bench pins it for the scaling protocol for the same
+    reason). Skew lands as extra edge rows per range, never extra keys.
+    """
+    import ray
+
+    spans = []
+    for rid in range(R):
+        lo = -(-rid * N // R)  # ceil(rid * N / R)
+        hi = min(-(-(rid + 1) * N // R), N)
+        spans.append((lo, hi))
+
+    # ---- setup exchange: range-partition the static edge table by src ----
+    def tag(t: pa.Table) -> pa.Table:
         s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
         d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "rid": pa.array(_rid_of(s, N, R)),
-                "a": pa.array(s),
-                "b": pa.array(d),
-                "v": pa.array(np.zeros(len(s), dtype=np.int64)),
-            }
-        )
+        return pa.table({"rid": pa.array(_rid_of(s, N, R)), "s": pa.array(s), "d": pa.array(d)})
 
-    edges_tagged = (
+    parts = (
         edges.select_columns([src_col, dst_col])
-        .map_batches(edge_rows, batch_format="pyarrow")
-        .materialize()
-    )
-
-    # ---- static out-degree + seed ranks in ONE rid exchange -------------
-    # (a generic groupby over n_nodes distinct keys is ~20x slower than a
-    # dense per-range bincount — same rationale as the iteration kernels)
-    def node_rows(t: pa.Table) -> pa.Table:
-        ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sd = (
-            np.isin(ids, seed_ids).astype(np.int64)
-            if seed_ids is not None
-            else np.zeros(len(ids), dtype=np.int64)
-        )
-        return pa.table(
-            {
-                "rid": pa.array(_rid_of(ids, N, R)),
-                "a": pa.array(ids),
-                "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-                "v": pa.array(sd),  # seed flag (personalized teleport)
-            }
-        )
-
-    def deg_kernel(g: pa.Table) -> pa.Table:
-        rid = int(g["rid"][0].as_py())
-        lo, hi = _span(rid)
-        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        src = a[b >= 0]  # edge rows
-        is_node = b == -1
-        node_ids = a[is_node]  # this range's node universe
-        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        deg_dense = np.bincount(src - lo, minlength=hi - lo).astype(np.int64)
-        return pa.table(
-            {
-                node_col: pa.array(node_ids),
-                "deg": pa.array(deg_dense[node_ids - lo]),
-                "seed": pa.array(v[is_node]),
-            }
-        )
-
-    node_deg = (
-        edges_tagged.union(nodes.map_batches(node_rows, batch_format="pyarrow"))
+        .map_batches(tag, batch_format="pyarrow")
         .groupby("rid")
-        .map_groups(deg_kernel, batch_format="pyarrow")
+        .map_groups(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
 
-    def deg_rows(t: pa.Table) -> pa.Table:
-        ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "rid": pa.array(_rid_of(ids, N, R)),
-                "a": pa.array(ids),
-                "b": t["deg"].cast(pa.int64()),
-                "v": t["seed"].cast(pa.int64()),
-            }
-        )
+    # collect the per-range shard ObjectRefs WITHOUT fetching blocks to the
+    # driver: a block of the materialized dataset is already one
+    # object-store object (owned by the driver, so it outlives workers);
+    # a tiny peek task reports which ranges each block carries.
+    @ray.remote
+    def _peek(block: pa.Table):
+        # empty blocks may carry a degenerate schema (known Ray artifact)
+        if block.num_rows == 0 or "rid" not in block.column_names:
+            return []
+        return np.unique(block["rid"].to_numpy(zero_copy_only=False)).tolist()
 
-    deg_tagged = node_deg.map_batches(deg_rows, batch_format="pyarrow").materialize()
+    block_refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        block_refs.extend(list(bundle.block_refs))
+    shard_refs: dict[int, list] = {rid: [] for rid in range(R)}
+    for br, rids in zip(block_refs, ray.get([_peek.remote(br) for br in block_refs])):
+        for rid in rids:
+            shard_refs[int(rid)].append(br)
 
-    # ---- seed ranks: (node, deg, seed, r) -------------------------------
     n_seeds = len(seed_ids) if seed_ids is not None else 0
+    seed_arr = seed_ids if seed_ids is not None else np.empty(0, dtype=np.int64)
 
-    def seed(t: pa.Table) -> pa.Table:
-        if seed_ids is None:
-            r_init = np.full(t.num_rows, r0, dtype=np.int64)
+    def _range_edges(rid, lo, shards):
+        """(src_local, dst) int64 arrays of this range's edges from its
+        (possibly shared) shard blocks."""
+        srcs, dsts = [], []
+        for blk in shards:
+            if blk.num_rows == 0 or "rid" not in blk.column_names:
+                continue
+            rid_col = blk["rid"].to_numpy(zero_copy_only=False)
+            m = rid_col == rid
+            if not m.any():
+                continue
+            srcs.append(blk["s"].to_numpy(zero_copy_only=False)[m].astype(np.int64))
+            dsts.append(blk["d"].to_numpy(zero_copy_only=False)[m].astype(np.int64))
+        if not srcs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(srcs) - lo, np.concatenate(dsts)
+
+    @ray.remote(num_returns=2)
+    def _init_state(rid, lo, hi, shards, seed_a):
+        # `shards` is a LIST of ObjectRefs (not auto-dereferenced)
+        shards = ray.get(shards)
+        src_local, _ = _range_edges(rid, lo, shards)
+        deg = np.bincount(src_local, minlength=hi - lo).astype(np.int64)
+        if n_seeds:
+            seedm = np.zeros(hi - lo, dtype=np.int64)
+            inr = seed_a[(seed_a >= lo) & (seed_a < hi)]
+            seedm[inr - lo] = 1
+            r = seedm * (scale // n_seeds)
         else:
-            sd = t["seed"].to_numpy(zero_copy_only=False).astype(np.int64)
-            r_init = sd * (scale // n_seeds)
-        return t.append_column("r", pa.array(r_init))
+            seedm = np.zeros(hi - lo, dtype=np.int64)
+            r = np.full(hi - lo, r0, dtype=np.int64)
+        return (deg, r, seedm), int(r[deg == 0].sum())
 
-    ranks = node_deg.map_batches(seed, batch_format="pyarrow").materialize()
+    state, dang_parts = [], []
+    for rid, (lo, hi) in enumerate(spans):
+        st, dg = _init_state.remote(rid, lo, hi, shard_refs[rid], seed_arr)
+        state.append(st)
+        dang_parts.append(dg)
 
-    def rank_rows(t: pa.Table) -> pa.Table:
-        ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "rid": pa.array(_rid_of(ids, N, R)),
-                "a": pa.array(ids),
-                "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-                "v": t["r"].cast(pa.int64()),
-            }
-        )
 
-    def scatter_kernel(g: pa.Table) -> pa.Table:
-        rid = int(g["rid"][0].as_py())
-        lo, hi = _span(rid)
-        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        is_rank = b == -1
-        r_dense = np.zeros(hi - lo, dtype=np.int64)
-        r_dense[a[is_rank] - lo] = v[is_rank]
-        # degree via counting this range's edge rows per src (multi-edges
-        # count multiply — identical to the Count aggregate)
-        src = a[~is_rank]
-        dst = b[~is_rank]
-        if not len(src):
-            return pa.table(
-                {
-                    "rid": pa.array([], type=pa.int64()),
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "v": pa.array([], type=pa.int64()),
-                }
-            )
-        deg_dense = np.bincount(src - lo, minlength=hi - lo).astype(np.int64)
-        c = r_dense[src - lo] // deg_dense[src - lo]
-        return pa.table(
-            {
-                "rid": pa.array(_rid_of(dst, N, R)),
-                "a": pa.array(dst),
-                "b": pa.array(np.full(len(dst), -2, dtype=np.int64)),
-                "v": pa.array(c),
-            }
-        )
+
+    @ray.remote
+    def _scatter(rid, lo, shards, st):
+        """R sparse partials (dst_local_idx, contrib_sum) — one per
+        destination range, each its own return object. ``st`` is a
+        top-level ObjectRef arg -> auto-dereferenced by Ray."""
+        shards = ray.get(shards)
+        deg, r, _ = st
+        src_local, dst = _range_edges(rid, lo, shards)
+        out = []
+        if len(src_local):
+            c = r[src_local] // deg[src_local]  # deg >= 1 wherever src has an edge
+            rid_d = _rid_of(dst, N, R)
+            order = np.argsort(rid_d, kind="stable")
+            dst, c, rid_d = dst[order], c[order], rid_d[order]
+            cuts = np.searchsorted(rid_d, np.arange(R + 1))
+            for r2 in range(R):
+                a, b = cuts[r2], cuts[r2 + 1]
+                if a == b:
+                    out.append(None)
+                    continue
+                idx, inv = np.unique(dst[a:b], return_inverse=True)
+                sums = np.zeros(len(idx), dtype=np.int64)
+                np.add.at(sums, inv, c[a:b])
+                out.append((idx - spans[r2][0], sums))
+        else:
+            out = [None] * R
+        return out if R > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def _gather(lo, hi, st, partials, redistribute):
+        deg, _, seedm = st  # auto-dereferenced
+        s = np.zeros(hi - lo, dtype=np.int64)
+        for p in ray.get(partials):
+            if p is not None:
+                idx, sums = p
+                s[idx] += sums
+        if n_seeds:
+            base_s = ((dden - dnum) * (scale // n_seeds)) // dden
+            r_new = seedm * base_s + (dnum * (s + redistribute * seedm)) // dden
+        else:
+            r_new = base + (dnum * (s + redistribute)) // dden
+        return (deg, r_new, seedm), int(r_new[deg == 0].sum())
 
     for _ in range(iters):
-        # dangling mass: one scalar over the node-sized rank table
-        def dang_partial(t: pa.Table) -> pa.Table:
-            d = t["deg"].to_numpy(zero_copy_only=False)
-            r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"d": pa.array([int(r[d == 0].sum())], type=pa.int64())})
+        dangling = sum(ray.get(dang_parts))  # BSP barrier: R small ints
+        redistribute = dangling // (n_seeds if n_seeds else N)
+        partials = [
+            _scatter.options(num_returns=R).remote(rid, spans[rid][0], shard_refs[rid], state[rid])
+            for rid in range(R)
+        ]
+        if R == 1:
+            partials = [[partials[0]]]
+        nxt_state, nxt_dang = [], []
+        for rid, (lo, hi) in enumerate(spans):
+            st, dg = _gather.remote(lo, hi, state[rid], [partials[s][rid] for s in range(R)], redistribute)
+            nxt_state.append(st)
+            nxt_dang.append(dg)
+        state, dang_parts = nxt_state, nxt_dang
 
-        dangling = int(
-            ranks.map_batches(dang_partial, batch_format="pyarrow").sum("d") or 0
-        )
-        redistribute = dangling // (n_seeds if seed_ids is not None else N)
-
-        contribs = (
-            edges_tagged.union(
-                ranks.map_batches(rank_rows, batch_format="pyarrow")
-            )
-            .groupby("rid")
-            .map_groups(scatter_kernel, batch_format="pyarrow")
-        )
-
-        def gather_kernel(g: pa.Table, _redist=redistribute) -> pa.Table:
-            rid = int(g["rid"][0].as_py())
-            lo, hi = _span(rid)
-            a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            is_c = b == -2
-            s_dense = np.zeros(hi - lo, dtype=np.int64)
-            np.add.at(s_dense, a[is_c] - lo, v[is_c])
-            node_ids = a[~is_c]
-            deg_vals = b[~is_c]
-            sd = v[~is_c]  # deg rows carry the seed flag in v
-            s = s_dense[node_ids - lo]
-            if seed_ids is None:
-                r_new = base + (damping_num * (s + _redist)) // damping_den
-            else:
-                base_s = ((damping_den - damping_num) * (scale // n_seeds)) // damping_den
-                r_new = sd * base_s + (damping_num * (s + _redist * sd)) // damping_den
-            return pa.table(
-                {
-                    node_col: pa.array(node_ids),
-                    "deg": pa.array(deg_vals),
-                    "seed": pa.array(sd),
-                    "r": pa.array(r_new),
-                }
-            )
-
-        ranks = (
-            contribs.union(deg_tagged)
-            .groupby("rid")
-            .map_groups(gather_kernel, batch_format="pyarrow")
-            .materialize()
-        )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        r = t["r"].cast(pa.int64())
+    @ray.remote
+    def _to_arrow(lo, hi, st):
+        _, r, _ = st  # auto-dereferenced
         return pa.table(
             {
-                node_col: t[node_col],
-                "rank_fp": r,
-                "rank": pc.divide(r.cast(pa.float64()), pa.scalar(float(scale))),
+                node_col: pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "rank_fp": pa.array(r),
+                "rank": pa.array(r.astype(np.float64) / float(scale)),
             }
         )
 
-    return ranks.map_batches(finalize, batch_format="pyarrow")
+    return ray.data.from_arrow_refs([_to_arrow.remote(lo, hi, state[rid]) for rid, (lo, hi) in enumerate(spans)])

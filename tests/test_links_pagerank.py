@@ -211,3 +211,37 @@ def test_personalized_pagerank_bsp_bit_equal(ray_session):
         got = np.zeros(n, dtype=np.int64)
         got[out["node"].to_numpy()] = out["rank_fp"].to_numpy()
         assert np.array_equal(got, want), mode
+
+
+def test_pagerank_bsp_partition_count_invariant(ray_session):
+    """The Pregel-style BSP engine must be BIT-invariant to the range
+    count (a real cluster sizes R by graph, not workers) — including
+    R=1 (single-range degenerate) and R>n (empty ranges)."""
+    from incubator_sedona_ray.graph.pagerank import pagerank
+
+    rnd = np.random.default_rng(11)
+    n = 37
+    edges = [(int(rnd.integers(0, n)), int(rnd.integers(0, n))) for _ in range(120)]
+    e = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], type=pa.int64()),
+            "dst": pa.array([d for _, d in edges], type=pa.int64()),
+        }
+    )
+    nodes = pa.table({"node": pa.array(range(n), type=pa.int64())})
+    outs = []
+    for R in (1, 2, 5, 64):
+        out = (
+            pagerank(
+                ray.data.from_arrow(e),
+                ray.data.from_arrow(nodes),
+                iters=3,
+                num_partitions=R,
+                mode="bsp",
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        outs.append(out["rank_fp"].to_numpy())
+    for o in outs[1:]:
+        assert np.array_equal(outs[0], o)
