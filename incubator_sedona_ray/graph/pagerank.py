@@ -13,8 +13,9 @@ unrolled DuckDB oracle on any cluster size. The float ``rank`` column is a
 single deterministic ``rank_fp / scale`` conversion at the end.
 
 Distributed shape (BSP mode) — Pregel-style static edge partitioning
-(Malewicz et al. 2010): ONE range exchange co-locates the edge table by
-src range at setup (node ids are assumed 0..n_nodes-1 — the crawl-graph
+(Malewicz et al. 2010): one raw-task block-split all-to-all co-locates
+the edge table by src range at setup and compiles it into a per-range
+CSR-like layout (node ids are assumed 0..n_nodes-1 — the crawl-graph
 normal form after id assignment); each superstep then runs 2R raw Ray
 tasks exchanging only SPARSE rank-contribution partials (R^2 small
 objects), never the edges. Re-shuffling the static edge table through a
@@ -222,150 +223,105 @@ def _pagerank_bsp(
 ):
     """BSP mode, Pregel-style (Malewicz et al. 2010 / GraphX's static edge
     partitioning): the edge table is range-partitioned by src ONCE — one
-    Dataset exchange — and never moves again. Each superstep runs 2R raw
+    raw-task block-split all-to-all (B blocks x R ranges of small chunk
+    objects, no sort) — and never moves again. Each superstep runs 2R raw
     Ray tasks over object-store-resident state:
 
-      scatter[r]  reads its range's (deg, rank) slice + its static edge
-                  shards, computes c = r // deg per edge, and pre-aggregates
-                  contributions per DST range as sparse (local idx, sum)
-                  int64 pairs — ``num_returns=R`` makes each partial its own
-                  object, so gather[r'] fetches exactly the R partials
-                  addressed to it (the all-to-all is R^2 small objects, not
-                  a sorted shuffle of the edge table).
-      gather[r']  sums its partials into the range's dense slice, applies
-                  the damping formula, and returns (new state slice, next
-                  round's dangling partial).
+      topo[r]     (setup, once) compiles the range's edges into a CSR-like
+                  layout sorted by (dst range, dst): a src permutation, the
+                  R destination segment cuts, and per destination range the
+                  unique local dst indices + reduceat segment starts. Every
+                  per-round sort/unique is hoisted here — rounds touch only
+                  round-variant data.
+      scatter[r]  computes c = rank // deg per edge through the precompiled
+                  permutation (one fancy gather + one integer divide) and
+                  emits a sparse (dst_local_idx, sum) int64 partial per
+                  destination range via ``np.add.reduceat`` — ``num_returns
+                  =R`` makes each partial its own object, so gather[r']
+                  fetches exactly the R partials addressed to it (the
+                  all-to-all is R^2 small objects, not a sorted shuffle of
+                  the edge table).
+      gather[r']  sums its partials into the range's dense rank slice,
+                  applies the damping formula, and returns (new rank slice,
+                  next round's dangling partial).
 
-    The driver holds only ObjectRefs (R state + R^2 partials) and per round
-    ray.gets R int64 dangling partials — node/edge DATA never passes
-    through it. Rationale: Ray Data's groupby re-sorts the STATIC edge
+    The driver holds only ObjectRefs (R topo + R static + R rank + R^2
+    partials) and per round ray.gets R int64 dangling partials — node/edge
+    DATA never passes through it. Static per-range state (deg, seed mask,
+    topology) is stored ONCE; only the rank slice round-trips per
+    iteration. Rationale: Ray Data's groupby re-sorts the STATIC edge
     table every iteration (measured 100 s/round at 30M edges where these
     kernels need ~1 s); iterative fixed-topology exchange is exactly the
     case the project brief reserves for raw tasks.
 
-    Integer arithmetic identical to the dense path — results bit-equal.
+    Integer arithmetic identical to the dense path — results bit-equal
+    (``np.add.reduceat`` on int64 is an exact integer sum).
 
-    PARTITIONING ASSUMPTION: one range's dense slices (24 bytes x N / R)
-    plus its edge shards must fit a worker heap — size R by graph, not by
-    cluster (the bench pins it for the scaling protocol for the same
-    reason). Skew lands as extra edge rows per range, never extra keys.
+    PARTITIONING ASSUMPTION: one range's dense slices plus its compiled
+    edge topology (~24 bytes x edges / R) must fit a worker heap — size R
+    by graph, not by cluster (the bench pins it for the scaling protocol
+    for the same reason). Skew lands as extra edge rows per range, never
+    extra keys.
     """
     import ray
 
-    spans = []
-    for rid in range(R):
-        lo = -(-rid * N // R)  # ceil(rid * N / R)
-        hi = min(-(-(rid + 1) * N // R), N)
-        spans.append((lo, hi))
+    from incubator_sedona_ray.graph._topo import build_range_topos, make_spans
 
-    # ---- setup exchange: range-partition the static edge table by src ----
-    def tag(t: pa.Table) -> pa.Table:
-        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"rid": pa.array(_rid_of(s, N, R)), "s": pa.array(s), "d": pa.array(d)})
+    spans = make_spans(N, R)
 
-    parts = (
-        edges.select_columns([src_col, dst_col])
-        .map_batches(tag, batch_format="pyarrow")
-        .groupby("rid")
-        .map_groups(lambda t: t, batch_format="pyarrow")
-        .materialize()
-    )
-
-    # collect the per-range shard ObjectRefs WITHOUT fetching blocks to the
-    # driver: a block of the materialized dataset is already one
-    # object-store object (owned by the driver, so it outlives workers);
-    # a tiny peek task reports which ranges each block carries.
-    @ray.remote
-    def _peek(block: pa.Table):
-        # empty blocks may carry a degenerate schema (known Ray artifact)
-        if block.num_rows == 0 or "rid" not in block.column_names:
-            return []
-        return np.unique(block["rid"].to_numpy(zero_copy_only=False)).tolist()
-
-    block_refs = []
-    for bundle in parts.iter_internal_ref_bundles():
-        block_refs.extend(list(bundle.block_refs))
-    shard_refs: dict[int, list] = {rid: [] for rid in range(R)}
-    for br, rids in zip(block_refs, ray.get([_peek.remote(br) for br in block_refs])):
-        for rid in rids:
-            shard_refs[int(rid)].append(br)
+    # ---- setup: range-partition + compile the static edge table by src
+    # (raw-task block split, no sort — see graph/_topo.py) ----
+    topo = build_range_topos(edges, src_col, dst_col, N, R, spans)
 
     n_seeds = len(seed_ids) if seed_ids is not None else 0
     seed_arr = seed_ids if seed_ids is not None else np.empty(0, dtype=np.int64)
 
-    def _range_edges(rid, lo, shards):
-        """(src_local, dst) int64 arrays of this range's edges from its
-        (possibly shared) shard blocks."""
-        srcs, dsts = [], []
-        for blk in shards:
-            if blk.num_rows == 0 or "rid" not in blk.column_names:
-                continue
-            rid_col = blk["rid"].to_numpy(zero_copy_only=False)
-            m = rid_col == rid
-            if not m.any():
-                continue
-            srcs.append(blk["s"].to_numpy(zero_copy_only=False)[m].astype(np.int64))
-            dsts.append(blk["d"].to_numpy(zero_copy_only=False)[m].astype(np.int64))
-        if not srcs:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return np.concatenate(srcs) - lo, np.concatenate(dsts)
-
-    @ray.remote(num_returns=2)
-    def _init_state(rid, lo, hi, shards, seed_a):
-        # `shards` is a LIST of ObjectRefs (not auto-dereferenced)
-        shards = ray.get(shards)
-        src_local, _ = _range_edges(rid, lo, shards)
-        deg = np.bincount(src_local, minlength=hi - lo).astype(np.int64)
+    @ray.remote(num_returns=3)
+    def _init_state(lo, hi, tp, seed_a):
+        """(static (deg, seed mask), rank0 slice, dangling partial) —
+        static never round-trips again; only the rank slice does."""
+        deg = np.zeros(hi - lo, dtype=np.int64)
+        if tp is not None:
+            deg = np.bincount(tp[0], minlength=hi - lo).astype(np.int64)
+        seedm = np.zeros(hi - lo, dtype=np.int64)
         if n_seeds:
-            seedm = np.zeros(hi - lo, dtype=np.int64)
             inr = seed_a[(seed_a >= lo) & (seed_a < hi)]
             seedm[inr - lo] = 1
             r = seedm * (scale // n_seeds)
         else:
-            seedm = np.zeros(hi - lo, dtype=np.int64)
             r = np.full(hi - lo, r0, dtype=np.int64)
-        return (deg, r, seedm), int(r[deg == 0].sum())
+        return (deg, seedm), r, int(r[deg == 0].sum())
 
-    state, dang_parts = [], []
+    static, rank, dang_parts = [], [], []
     for rid, (lo, hi) in enumerate(spans):
-        st, dg = _init_state.remote(rid, lo, hi, shard_refs[rid], seed_arr)
-        state.append(st)
+        st, r_, dg = _init_state.remote(lo, hi, topo[rid], seed_arr)
+        static.append(st)
+        rank.append(r_)
         dang_parts.append(dg)
 
-
-
     @ray.remote
-    def _scatter(rid, lo, shards, st):
+    def _scatter(tp, st, r):
         """R sparse partials (dst_local_idx, contrib_sum) — one per
-        destination range, each its own return object. ``st`` is a
-        top-level ObjectRef arg -> auto-dereferenced by Ray."""
-        shards = ray.get(shards)
-        deg, r, _ = st
-        src_local, dst = _range_edges(rid, lo, shards)
+        destination range, each its own return object. All args are
+        top-level ObjectRefs -> auto-dereferenced by Ray."""
+        if tp is None:
+            return [None] * R if R > 1 else None
+        src_perm, cuts, segs = tp
+        deg, _ = st
+        c = r[src_perm] // deg[src_perm]  # deg >= 1 wherever src has an edge
         out = []
-        if len(src_local):
-            c = r[src_local] // deg[src_local]  # deg >= 1 wherever src has an edge
-            rid_d = _rid_of(dst, N, R)
-            order = np.argsort(rid_d, kind="stable")
-            dst, c, rid_d = dst[order], c[order], rid_d[order]
-            cuts = np.searchsorted(rid_d, np.arange(R + 1))
-            for r2 in range(R):
-                a, b = cuts[r2], cuts[r2 + 1]
-                if a == b:
-                    out.append(None)
-                    continue
-                idx, inv = np.unique(dst[a:b], return_inverse=True)
-                sums = np.zeros(len(idx), dtype=np.int64)
-                np.add.at(sums, inv, c[a:b])
-                out.append((idx - spans[r2][0], sums))
-        else:
-            out = [None] * R
+        for r2 in range(R):
+            seg = segs[r2]
+            if seg is None:
+                out.append(None)
+                continue
+            idx, starts = seg
+            out.append((idx, np.add.reduceat(c[cuts[r2] : cuts[r2 + 1]], starts)))
         return out if R > 1 else out[0]
 
     @ray.remote(num_returns=2)
     def _gather(lo, hi, st, partials, redistribute):
-        deg, _, seedm = st  # auto-dereferenced
+        deg, seedm = st  # auto-dereferenced
         s = np.zeros(hi - lo, dtype=np.int64)
         for p in ray.get(partials):
             if p is not None:
@@ -376,27 +332,26 @@ def _pagerank_bsp(
             r_new = seedm * base_s + (dnum * (s + redistribute * seedm)) // dden
         else:
             r_new = base + (dnum * (s + redistribute)) // dden
-        return (deg, r_new, seedm), int(r_new[deg == 0].sum())
+        return r_new, int(r_new[deg == 0].sum())
 
     for _ in range(iters):
         dangling = sum(ray.get(dang_parts))  # BSP barrier: R small ints
         redistribute = dangling // (n_seeds if n_seeds else N)
         partials = [
-            _scatter.options(num_returns=R).remote(rid, spans[rid][0], shard_refs[rid], state[rid])
+            _scatter.options(num_returns=R).remote(topo[rid], static[rid], rank[rid])
             for rid in range(R)
         ]
         if R == 1:
             partials = [[partials[0]]]
-        nxt_state, nxt_dang = [], []
+        nxt_rank, nxt_dang = [], []
         for rid, (lo, hi) in enumerate(spans):
-            st, dg = _gather.remote(lo, hi, state[rid], [partials[s][rid] for s in range(R)], redistribute)
-            nxt_state.append(st)
+            r_, dg = _gather.remote(lo, hi, static[rid], [partials[s][rid] for s in range(R)], redistribute)
+            nxt_rank.append(r_)
             nxt_dang.append(dg)
-        state, dang_parts = nxt_state, nxt_dang
+        rank, dang_parts = nxt_rank, nxt_dang
 
     @ray.remote
-    def _to_arrow(lo, hi, st):
-        _, r, _ = st  # auto-dereferenced
+    def _to_arrow(lo, hi, r):
         return pa.table(
             {
                 node_col: pa.array(np.arange(lo, hi, dtype=np.int64)),
@@ -405,4 +360,4 @@ def _pagerank_bsp(
             }
         )
 
-    return ray.data.from_arrow_refs([_to_arrow.remote(lo, hi, state[rid]) for rid, (lo, hi) in enumerate(spans)])
+    return ray.data.from_arrow_refs([_to_arrow.remote(lo, hi, rank[rid]) for rid, (lo, hi) in enumerate(spans)])
