@@ -1111,6 +1111,8 @@ def q_pack_offsets(sf_dir: str):
 
 PAGERANK_ITERS = 5
 PAGERANK_SCALE = 10**12
+HITS_ITERS = 3
+HITS_SCALE = 10**9
 
 
 def _synth_edges_fn(n_docs: int):
@@ -1149,6 +1151,23 @@ def q_pagerank(sf_dir: str):
     out = pagerank(
         edges, nodes, iters=PAGERANK_ITERS, scale=PAGERANK_SCALE, n_nodes=n
     )
+    return _rename(out, {"node": "doc_id"})
+
+
+def q_hits(sf_dir: str):
+    """Distributed HITS hubs-and-authorities (Kleinberg 1999;
+    graph/hits.py), 3 full rounds over the synthetic 3-out-regular doc
+    graph in EXACT int64 fixed-point (nanoscore scale 1e9): each
+    half-round is one edge pass + an integer floor-renormalization
+    (a = a_raw // max(sum(a_raw) // scale, 1)) — bit-equal to the
+    unrolled SQL oracle in BOTH dense and BSP modes."""
+    from incubator_sedona_ray.graph.hits import hits
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_edges_fn(n), batch_format="pyarrow")
+    nodes = _rename(docs, {"doc_id": "node"})
+    out = hits(edges, nodes, iters=HITS_ITERS, scale=HITS_SCALE, n_nodes=n)
     return _rename(out, {"node": "doc_id"})
 
 
@@ -2896,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "anchor_stats": q_anchor_stats,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "pagerank_personalized": q_pagerank_personalized,
         "pack_offsets": q_pack_offsets,
         "bfs_hops": q_bfs_hops,
@@ -3111,6 +3131,54 @@ def _pagerank_sql() -> str:
         "WITH " + ", ".join(ctes) + " "
         f"SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp, "
         f"CAST(r AS DOUBLE) / CAST({S} AS DOUBLE) AS rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+def _hits_sql() -> str:
+    """The fixed-point HITS recurrence unrolled half-round by half-round:
+    BIGINT-only sums and floor divisions (the renormalization divisor is
+    greatest(sum // scale, 1)), so the comparison with the distributed
+    engine is bit-exact. Mirrors graph/hits.py exactly."""
+    S = HITS_SCALE
+    cnt = "(SELECT cnt FROM n)"
+    ctes = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"edges AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % {cnt} AS dst "
+        "FROM documents, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 11 <> 0)",
+        f"h0 AS (SELECT node, CAST({S} AS BIGINT) AS v FROM nodes)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"araw{i} AS (SELECT e.dst AS node, sum(p.v) AS s "
+            f"FROM edges e JOIN h{i - 1} p ON e.src = p.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"da{i} AS (SELECT greatest(coalesce(sum(s), 0) // {S}, 1) AS d FROM araw{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT nodes.node, coalesce(ar.s, 0) // (SELECT d FROM da{i}) AS v "
+            f"FROM nodes LEFT JOIN araw{i} ar ON nodes.node = ar.node)"
+        )
+        ctes.append(
+            f"hraw{i} AS (SELECT e.src AS node, sum(q.v) AS s "
+            f"FROM edges e JOIN a{i} q ON e.dst = q.node GROUP BY e.src)"
+        )
+        ctes.append(
+            f"dh{i} AS (SELECT greatest(coalesce(sum(s), 0) // {S}, 1) AS d FROM hraw{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT nodes.node, coalesce(hr.s, 0) // (SELECT d FROM dh{i}) AS v "
+            f"FROM nodes LEFT JOIN hraw{i} hr ON nodes.node = hr.node)"
+        )
+    k = HITS_ITERS
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT h{k}.node AS doc_id, CAST(h{k}.v AS BIGINT) AS hub_fp, "
+        f"CAST(a{k}.v AS BIGINT) AS auth_fp, "
+        f"CAST(h{k}.v AS DOUBLE) / {float(S)} AS hub, "
+        f"CAST(a{k}.v AS DOUBLE) / {float(S)} AS authority "
+        f"FROM h{k} JOIN a{k} ON h{k}.node = a{k}.node"
     )
 
 
@@ -3506,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(ws[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, len(ws))], ' ') AS chunk FROM c"
         ),
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         "pagerank_personalized": _ppr_sql(),
         "linreg_quality": _linreg_sql(),
         "link_components": (

@@ -42,10 +42,6 @@ import numpy as np
 import pyarrow as pa
 
 
-def _rid_of(ids: np.ndarray, n: int, nr: int) -> np.ndarray:
-    return ids * nr // n
-
-
 def _pagerank_dense(
     edges, iters, dnum, dden, scale, src_col, dst_col, node_col, N, base, r0,
     seed_ids=None,
