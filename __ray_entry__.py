@@ -556,6 +556,65 @@ def q_lm_familiarity(sf_dir: str):
     return out.select_columns(["doc_id", "n_bigrams", "familiarity"])
 
 
+LM_SCALE = 10**6
+
+
+def q_lm_backoff(sf_dir: str):
+    """Conditional stupid-backoff LM scoring (text/backoff_lm.py; Brants
+    2007 / the quantity CCNet's perplexity filter thresholds): bigram +
+    unigram count tables trained on the corpus (fnv-bucketed group-sums),
+    then every document scored by the integer mean fixed-point
+    p(w2|w1) = cnt2*scale // cnt1, backing off to (2*cnt(w2)*scale) //
+    (5*T) for unseen bigrams (alpha = 2/5 exactly — rational, so the SQL
+    oracle matches bit-for-bit). Broadcast mode: one zero-shuffle scoring
+    pass over index_in lookups."""
+    from incubator_sedona_ray.text.backoff_lm import lm_score, ngram_lm_train
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    model = ngram_lm_train(docs)
+    return lm_score(docs, model, scale=LM_SCALE, mode="broadcast")
+
+
+def q_lm_backoff_join(sf_dir: str):
+    """Same scores, FORCED join mode — the 100 TB path where the bigram
+    table is billions of rows: seen pairs inner-join the count tables,
+    unseen pairs anti-join then backoff-join the unigram table, and one
+    bucketed per-doc integer sum finishes (no broadcast, no outer join).
+    Bit-identical to the broadcast mode."""
+    from incubator_sedona_ray.text.backoff_lm import lm_score, ngram_lm_train
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    model = ngram_lm_train(docs)
+    return lm_score(docs, model, scale=LM_SCALE, mode="join")
+
+
+def _lm_backoff_sql() -> str:
+    """The stupid-backoff recurrence in closed form: the same whitespace
+    tokenization, self-trained counts, and BIGINT floor divisions as
+    text/backoff_lm.py — bit-exact, including the n_pairs denominator
+    and zero-pair documents."""
+    S = LM_SCALE
+    return (
+        r"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a "
+        "FROM documents), "
+        "tot AS (SELECT coalesce(sum(len(a)), 0) AS t FROM toks), "
+        "uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(a) AS w FROM toks) GROUP BY w), "
+        "pr AS (SELECT doc_id, unnest(range(1, len(a))) AS i, a FROM toks WHERE len(a) >= 2), "
+        "pairs AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM pr), "
+        "bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2), "
+        "ps AS (SELECT p.doc_id, "
+        f"CASE WHEN b.c IS NOT NULL THEN (b.c * {S}) // u1.c "
+        f"WHEN u2.c IS NOT NULL THEN (2 * u2.c * {S}) // (5 * (SELECT t FROM tot)) "
+        "ELSE 0 END AS pfp "
+        "FROM pairs p LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2 "
+        "LEFT JOIN uni u1 ON p.w1 = u1.w LEFT JOIN uni u2 ON p.w2 = u2.w), "
+        "sc AS (SELECT doc_id, count(*) AS n_pairs, sum(pfp) AS s FROM ps GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs, "
+        "CAST(CASE WHEN coalesce(sc.n_pairs, 0) > 0 THEN sc.s // sc.n_pairs ELSE 0 END AS BIGINT) AS score_fp "
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+    )
+
+
 def _synth_url_variants_fn(batch: pa.Table) -> pa.Table:
     """Recrawl/variant synthesis for the URL-dedup query: the flagship URL
     per doc, plus a tracking-param recrawl (+1h) for doc_id%3==0 and an
@@ -2910,6 +2969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "paragraph_dedup": q_paragraph_dedup,
         "lm_familiarity": q_lm_familiarity,
+        "lm_backoff": q_lm_backoff,
+        "lm_backoff_join": q_lm_backoff_join,
         "decontam": q_decontam,
         "dup_spans": q_dup_spans,
         "extract_links": q_extract_links,
@@ -3492,6 +3553,8 @@ def oracle_sql() -> dict[str, str]:
             "k AS (SELECT doc_id, i, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn FROM lines) "
             "SELECT doc_id, string_agg(para, chr(10) ORDER BY i) AS text FROM k WHERE rn = 1 GROUP BY doc_id"
         ),
+        "lm_backoff": _lm_backoff_sql(),
+        "lm_backoff_join": _lm_backoff_sql(),
         "lm_familiarity": (
             r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
             "bg AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[]) "

@@ -1,0 +1,393 @@
+"""Conditional n-gram language-model scoring with stupid backoff — the
+proper-LM sibling of text/lm.py's corpus-familiarity filter (CCNet,
+Wenzek et al. 2020, trains a small LM and keeps documents whose text the
+model finds likely; Kneser-Ney/KenLM in the paper, stupid backoff here —
+Brants et al. 2007 showed backoff-without-discounting is the right trade
+at web scale). Where lm.py scores raw bigram familiarity (sum of corpus
+counts), this module scores CONDITIONAL transition probabilities
+p(w2|w1) with an unseen-bigram backoff — the quantity a perplexity
+filter actually thresholds — and supports scoring a corpus DIFFERENT
+from the training corpus (the eval-set / recrawl setup).
+
+EXACT INTEGER ARITHMETIC: the backoff factor 0.4 is the RATIONAL 2/5, so
+every per-token probability is a single floor division in fixed point
+(``scale`` units per unit of probability):
+
+    p(w2 | w1) = (cnt2(w1 w2) * scale) // cnt1(w1)        if bigram seen
+               = (2 * cnt1(w2) * scale) // (5 * T)        else (backoff)
+               = 0                                        if w2 unseen
+
+and a document's score is the integer mean ``sum(p) // n_pairs`` over
+its adjacent-token pairs (0 for docs with <2 tokens). Log-space
+perplexity would need irrational logs — summation-order-dependent in
+float and impossible to bit-compare against a SQL engine; the linear
+mean-probability score is order-independent, integer-exact, and ranks
+documents for filtering just as well (it is monotone in the same
+per-token likelihoods). OVERFLOW BOUND: max_count x scale < 2^62 —
+the default scale 10^6 holds to ~4x10^12 total training tokens; lower
+``scale`` beyond that.
+
+Tokenization is the corpus-wide whitespace/lowercase contract shared
+with bm25/ngrams (text/bm25.py ``_tokenize``) so counts, scoring, and
+the SQL oracle all see identical tokens.
+
+Distributed shape:
+- train: per-batch ``value_counts`` partials -> fnv-hash-bucketed
+  group-sum (the repo's standard fix for Ray 2.49's slow
+  high-cardinality aggregate; same as text/ngrams.py) — two passes,
+  one coarse exchange each; count tables stay distributed Datasets.
+- score, broadcast mode: the count tables are collected once into
+  sorted numpy key arrays and ``ray.put`` (unigrams are
+  vocabulary-bounded; bigrams must fit the driver — the small-model
+  contract, like bm25's idf broadcast); scoring is then a SINGLE
+  zero-shuffle ``map_batches`` pass (searchsorted lookups + bincount
+  per-doc sums).
+- score, join mode (the 100 TB path — web-scale bigram tables are
+  billions of rows): explode adjacent pairs, three hash joins against
+  the distributed count tables (state/blocks.py ``safe_hash_join``),
+  then a bucketed per-doc integer sum. Both modes bit-identical.
+
+No counterpart in the reference repo (Sedona has no text ops); the
+operator belongs to the training-data-pipeline family the project brief
+makes first-class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bm25 import _tokenize
+from .ngrams import ngram_partials
+
+__all__ = ["ngram_lm_train", "lm_score"]
+
+BACKOFF_NUM = 2  # stupid-backoff alpha = 2/5 = 0.4, kept rational
+BACKOFF_DEN = 5
+
+
+def _keyed_counts(ds, *, n: int, text_col: str, num_buckets: int | None = None):
+    """Exact global (ngram, cnt) Dataset via partials + fnv-bucketed
+    group-sum (full table — top_ngrams' kernel without the top-k)."""
+    import ray as _ray
+
+    from ..dedup.ngram import fnv_strings
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_buckets = 8
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t["ngram"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        b = (fnv_strings(col) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ngram": g["ngram"].to_pylist(),
+                "cnt": g["cnt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
+        return pa.table(
+            {
+                "ngram": pa.array(agg["ngram"].to_numpy(), pa.string()),
+                "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ngram_partials(ds, n=n, text_col=text_col)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
+def ngram_lm_train(ds, *, text_col: str = "text", num_buckets: int | None = None) -> dict:
+    """Train the bigram LM: {"uni": Dataset(ngram, cnt), "bi":
+    Dataset(ngram, cnt), "total": int} — ``total`` is the corpus token
+    count (the unigram count mass). Count tables stay distributed."""
+    uni = _keyed_counts(ds, n=1, text_col=text_col, num_buckets=num_buckets)
+    bi = _keyed_counts(ds, n=2, text_col=text_col, num_buckets=num_buckets)
+    uni = uni.materialize()  # both tables are consumed twice downstream
+    bi = bi.materialize()
+    total = int(uni.sum("cnt") or 0)
+    return {"uni": uni, "bi": bi, "total": total}
+
+
+def _doc_pairs(batch: pa.Table, text_col: str):
+    """(w1, w2, gram, pair_parent) of every adjacent token pair in the
+    batch — flat Arrow arrays + the owning row index."""
+    import pyarrow.compute as pc
+
+    flat, parent = _tokenize(batch[text_col])
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nt = len(flat)
+    if nt < 2:
+        e = pa.array([], pa.string())
+        return e, e, e, np.empty(0, dtype=np.int64)
+    ok = parent[1:] == parent[:-1]
+    starts = np.nonzero(ok)[0]
+    if len(starts) == 0:
+        e = pa.array([], pa.string())
+        return e, e, e, np.empty(0, dtype=np.int64)
+    w1 = flat.take(pa.array(starts, type=pa.int64()))
+    w2 = flat.take(pa.array(starts + 1, type=pa.int64()))
+    gram = pc.binary_join_element_wise(w1, w2, " ")
+    return w1, w2, gram, parent[starts]
+
+
+def _arrow_lookup(keys: pa.Array, cnts: np.ndarray, q: pa.Array) -> np.ndarray:
+    """cnt for each q string (0 when absent) via the vectorized C++ hash
+    lookup ``pc.index_in`` — exact string equality, no Python compares."""
+    import pyarrow.compute as pc
+
+    if len(q) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(keys) == 0:
+        return np.zeros(len(q), dtype=np.int64)
+    idx = pc.index_in(q, value_set=keys)
+    miss = idx.is_null().to_numpy(zero_copy_only=False)
+    pos = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = cnts[pos]
+    out[miss] = 0
+    return out
+
+
+def _pair_probs(cnt2, cnt1, cntw2, total: int, scale: int) -> np.ndarray:
+    """The exact fixed-point stupid-backoff probability per pair. cnt1 is
+    guarded to >=1 — a seen bigram implies a seen w1 in any model trained
+    on a superset of the scored text, so the guard never changes a value,
+    it only keeps a zero-denominator out of the kernel on foreign docs."""
+    p = np.zeros(len(cnt2), dtype=np.int64)
+    seen = cnt2 > 0
+    p[seen] = (cnt2[seen] * scale) // np.maximum(cnt1[seen], 1)
+    bo = (~seen) & (cntw2 > 0)
+    if total > 0:
+        p[bo] = (BACKOFF_NUM * cntw2[bo] * scale) // (BACKOFF_DEN * total)
+    return p
+
+
+def lm_score(
+    docs,
+    model: dict,
+    *,
+    scale: int = 10**6,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "broadcast",
+    num_buckets: int | None = None,
+):
+    """Dataset(doc_id, n_pairs:int64, score_fp:int64) — the integer mean
+    stupid-backoff probability over each document's adjacent token pairs
+    (``scale`` fixed-point; 0 for docs with <2 tokens). Every input doc
+    appears exactly once. ``mode``: "broadcast" (small-model contract,
+    zero-shuffle scoring pass) or "join" (both-sides-large path)."""
+    if mode == "broadcast":
+        return _lm_score_broadcast(docs, model, scale, doc_col, text_col)
+    if mode == "join":
+        return _lm_score_join(docs, model, scale, doc_col, text_col, num_buckets)
+    raise ValueError(f"unknown lm_score mode: {mode!r}")
+
+
+def _collect_counts(ds) -> tuple[pa.Array, np.ndarray]:
+    batches = list(
+        ds.select_columns(["ngram", "cnt"]).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not batches:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(batches)  # iter_batches(pyarrow) yields Tables
+    keys = t["ngram"].combine_chunks()  # ChunkedArray -> single Array
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.chunk(0) if keys.num_chunks else pa.array([], pa.string())
+    cnts = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return keys, cnts
+
+
+def _lm_score_broadcast(docs, model, scale, doc_col, text_col):
+    import ray
+
+    uni_ref = ray.put(_collect_counts(model["uni"]))
+    bi_ref = ray.put(_collect_counts(model["bi"]))
+    total = int(model["total"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        uk, uc = ray.get(uni_ref)  # zero-copy after first fetch per worker
+        bk, bc = ray.get(bi_ref)
+        w1, w2, gram, pair_parent = _doc_pairs(batch, text_col)
+        n_rows = batch.num_rows
+        n_pairs = np.bincount(pair_parent, minlength=n_rows).astype(np.int64)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        if len(pair_parent):
+            p = _pair_probs(
+                _arrow_lookup(bk, bc, gram),
+                _arrow_lookup(uk, uc, w1),
+                _arrow_lookup(uk, uc, w2),
+                total,
+                scale,
+            )
+            np.add.at(sums, pair_parent, p)
+        score_fp = np.zeros(n_rows, dtype=np.int64)
+        nz = n_pairs > 0
+        score_fp[nz] = sums[nz] // n_pairs[nz]
+        return pa.table(
+            {
+                doc_col: batch[doc_col],
+                "n_pairs": pa.array(n_pairs),
+                "score_fp": pa.array(score_fp),
+            }
+        )
+
+    return docs.select_columns([doc_col, text_col]).map_batches(score, batch_format="pyarrow")
+
+
+def _lm_score_join(docs, model, scale, doc_col, text_col, num_buckets=None):
+    """Scale path, inner/anti joins only (safe_hash_join has no outer):
+
+      seen path     pairs ⋈ bi on gram (inner, gives cnt2) ⋈ uni on w1
+                    (inner — a seen bigram implies a seen w1) -> p rows
+      backoff path  pairs ▷ bi on gram (left_anti) ⋈ uni on w2 (inner —
+                    pairs with unseen w2 score 0 and need no row) -> p rows
+      denominator   per-doc pair counts come straight from the explode
+                    pass (each doc is one input row, so its count is
+                    final per batch — no aggregation, and zero-pair docs
+                    are present with n_pairs = 0)
+
+    union(seen p, backoff p, zero-sum count rows) -> one bucketed per-doc
+    integer sum -> score_fp = sum // n_pairs. Bit-identical to broadcast.
+    """
+    import ray as _ray
+
+    from ..state.blocks import safe_hash_join
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_buckets = 8
+    total = int(model["total"])
+    np_join = max(2, num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        w1, w2, gram, pair_parent = _doc_pairs(batch, text_col)
+        ids = batch[doc_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                doc_col: pa.array(ids[pair_parent]),
+                "_w1": w1,
+                "_w2": w2,
+                "_gram": gram,
+            }
+        )
+
+    slim = docs.select_columns([doc_col, text_col])
+    pairs = slim.map_batches(explode, batch_format="pyarrow").materialize()  # consumed twice
+
+    def counts_fn(batch: pa.Table) -> pa.Table:
+        _, _, _, pair_parent = _doc_pairs(batch, text_col)
+        n_pairs = np.bincount(pair_parent, minlength=batch.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                doc_col: batch[doc_col],
+                "_n": pa.array(n_pairs),
+                "_s": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = slim.map_batches(counts_fn, batch_format="pyarrow")
+
+    def _renamed(ds, key, cnt_name):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["ngram"], cnt_name: t["cnt"]})
+
+        return ds.map_batches(rn, batch_format="pyarrow")
+
+    seen = safe_hash_join(
+        pairs, _renamed(model["bi"], "_gram", "_cnt2"), "inner", np_join, on=("_gram",)
+    )
+    seen = safe_hash_join(
+        seen, _renamed(model["uni"], "_w1", "_cnt1"), "inner", np_join, on=("_w1",)
+    )
+
+    def p_seen(batch: pa.Table) -> pa.Table:
+        c2 = batch["_cnt2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["_cnt1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (c2 * scale) // np.maximum(c1, 1)
+        n = len(p)
+        return pa.table(
+            {
+                doc_col: batch[doc_col],
+                "_n": pa.array(np.zeros(n, dtype=np.int64)),
+                "_s": pa.array(p),
+            }
+        )
+
+    unseen = safe_hash_join(
+        pairs,
+        model["bi"].map_batches(
+            lambda t: pa.table({"_gram": t["ngram"]}), batch_format="pyarrow"
+        ),
+        "left_anti",
+        np_join,
+        on=("_gram",),
+    )
+    bo = safe_hash_join(
+        unseen, _renamed(model["uni"], "_w2", "_cntw2"), "inner", np_join, on=("_w2",)
+    )
+
+    def p_backoff(batch: pa.Table) -> pa.Table:
+        cw2 = batch["_cntw2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (
+            (BACKOFF_NUM * cw2 * scale) // (BACKOFF_DEN * total)
+            if total > 0
+            else np.zeros(len(cw2), dtype=np.int64)
+        )
+        n = len(cw2)
+        return pa.table(
+            {
+                doc_col: batch[doc_col],
+                "_n": pa.array(np.zeros(n, dtype=np.int64)),
+                "_s": pa.array(p),
+            }
+        )
+
+    rows = counts.union(
+        seen.map_batches(p_seen, batch_format="pyarrow"),
+        bo.map_batches(p_backoff, batch_format="pyarrow"),
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_b", pa.array(ids % num_buckets))
+
+    def bucket_doc_sum(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                doc_col: g[doc_col].to_numpy(zero_copy_only=False),
+                "_n": g["_n"].to_numpy(zero_copy_only=False),
+                "_s": g["_s"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(doc_col, sort=False).agg({"_n": "sum", "_s": "sum"}).reset_index()
+        n = agg["_n"].to_numpy().astype(np.int64)
+        s = agg["_s"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                doc_col: pa.array(agg[doc_col].to_numpy(), pa.int64()),
+                "n_pairs": pa.array(n),
+                "score_fp": pa.array(np.where(n > 0, s // np.maximum(n, 1), 0)),
+            }
+        )
+
+    return (
+        rows.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_doc_sum, batch_format="pyarrow")
+    )
