@@ -3,20 +3,27 @@ frontier-expansion primitive behind crawl-depth labeling, seed-set
 expansion (curated-site proximity as a quality signal, cf. Common Crawl's
 harmonic-centrality selection), and reachability filters.
 
-BSP shape, one round per hop (same machinery as
-:mod:`.pagerank` / min-label components):
+Three engines:
 
-  frontier   the nodes first reached at hop h (Dataset)
-  expand     hash join frontier x edges on src -> candidate dst nodes
-  dedupe     groupby-min against the accumulated distance table: a node
-             keeps its FIRST (minimal) hop — later arrivals are dropped
-  terminate  when a round discovers zero new nodes (a tiny count), or at
-             ``max_hops``
+``bsp`` (the 100 TB path) shares :mod:`._topo`'s compiled-topology BSP
+machinery with pagerank/hits: the static edge table is range-partitioned
+and CSR-compiled ONCE (raw-task block split, no sort); each hop then
+runs R scatter tasks (frontier mask gathered through the precompiled
+permutation, masked ``reduceat`` per destination segment -> sparse
+newly-reachable id lists) and R gather tasks (first-arrival wins on the
+sharded distance slice). Per-hop exchange volume is bounded by the
+frontier's out-neighborhood, never the edge table.
 
-Each round is one edge-sized join + one node-sized groupby, keyed on node
-id. The distance table is materialized per round (node-sized) to truncate
-lineage; unreached nodes are simply absent (at web scale the reachable
-set is the output, the full node universe is never shipped).
+``join`` works on ARBITRARY (non-contiguous) int64 node ids: per hop one
+hash join frontier x edges on src + one groupby-min against the
+accumulated distance table. Costs an edge-table exchange per hop — keep
+it for id spaces that aren't normalized to [0, n_nodes).
+
+``dense``: the shuffle-free vector plan for graphs under
+``dense_max_nodes``. All three terminate early when a hop discovers zero
+new nodes; unreached nodes are simply absent from the output (at web
+scale the reachable set is the output, the full node universe is never
+shipped).
 
 SQL equivalence: min-hop BFS is the recursive-CTE shortest path
 ``WITH RECURSIVE r AS (seeds UNION ALL step) SELECT node, min(hop)`` —
@@ -99,6 +106,130 @@ def _hop_distance_dense(edges, seeds, max_hops, src_col, dst_col, node_col, n_no
     )
 
 
+def _seed_ids(seeds, node_col) -> np.ndarray:
+    return np.unique(
+        np.concatenate(
+            [
+                b[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                for b in seeds.select_columns([node_col]).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+
+
+def _hop_distance_bsp(edges, seeds, max_hops, src_col, dst_col, node_col, N, R):
+    """Compiled-topology BSP (graph/_topo.py, shared with pagerank/hits):
+    the edge table is CSR-compiled once per src range; each hop runs R
+    scatter tasks — frontier mask gathered through the precompiled
+    permutation, masked reduceat per destination segment emits the SPARSE
+    list of ids reachable from this range's frontier — and R gather tasks
+    that apply first-arrival-wins on the sharded distance slice. The
+    driver sees only R new-node counts per hop (the termination check);
+    exchange volume per hop is the frontier's out-neighborhood, never the
+    edge table. Bit-equal to the dense and join engines."""
+    import ray
+
+    from ._topo import build_range_topos, make_spans
+
+    spans = make_spans(N, R)
+    topo = build_range_topos(edges, src_col, dst_col, N, R, spans)
+    seed_a = _seed_ids(seeds, node_col)
+
+    @ray.remote(num_returns=2)
+    def _init(lo, hi, sa):
+        dist = np.full(hi - lo, -1, dtype=np.int64)
+        inr = sa[(sa >= lo) & (sa < hi)] - lo
+        dist[inr] = 0
+        fr = np.zeros(hi - lo, dtype=bool)
+        fr[inr] = True
+        return (dist, fr), len(inr)
+
+    state, counts = [], []
+    for lo, hi in spans:
+        st, c = _init.remote(lo, hi, seed_a)
+        state.append(st)
+        counts.append(c)
+
+    @ray.remote
+    def _scatter(tp, st):
+        """Sparse per-destination-range lists of locally-reachable ids."""
+        if tp is None:
+            return [None] * R if R > 1 else None
+        key_perm, cuts, segs = tp
+        _, fr = st  # auto-dereferenced
+        m = fr[key_perm]
+        out = []
+        for r2 in range(R):
+            seg = segs[r2]
+            a, b = cuts[r2], cuts[r2 + 1]
+            if seg is None or not m[a:b].any():
+                out.append(None)
+                continue
+            idx, starts = seg
+            hit = np.add.reduceat(m[a:b].astype(np.int64), starts) > 0
+            out.append(idx[hit])
+        return out if R > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def _gather(h, st, partials):
+        dist, _ = st
+        arrived = np.zeros(len(dist), dtype=bool)
+        for p in ray.get(partials):
+            if p is not None:
+                arrived[p] = True
+        new = arrived & (dist < 0)
+        dist = dist.copy()  # plasma buffers are read-only
+        dist[new] = h
+        return (dist, new), int(new.sum())
+
+    for h in range(1, max_hops + 1):
+        if sum(ray.get(counts)) == 0:  # BSP barrier: R small ints
+            break
+        partials = [
+            _scatter.options(num_returns=R).remote(topo[rid], state[rid])
+            for rid in range(R)
+        ]
+        if R == 1:
+            partials = [[partials[0]]]
+        nxt_state, nxt_counts = [], []
+        for rid in range(R):
+            st, c = _gather.remote(h, state[rid], [partials[s][rid] for s in range(R)])
+            nxt_state.append(st)
+            nxt_counts.append(c)
+        state, counts = nxt_state, nxt_counts
+
+    @ray.remote
+    def _to_arrow(lo, st):
+        dist, _ = st
+        found = np.flatnonzero(dist >= 0)
+        return pa.table(
+            {
+                node_col: pa.array(found.astype(np.int64) + lo),
+                "hop": pa.array(dist[found]),
+            }
+        )
+
+    return ray.data.from_arrow_refs(
+        [_to_arrow.remote(spans[rid][0], state[rid]) for rid in range(R)]
+    )
+
+
+def _derive_n_nodes(edges, seeds, src_col, dst_col, node_col) -> int:
+    """Id-space bound from one cheap max() pass over endpoints + seeds."""
+    hi = -1
+    for d, cols in ((edges, (src_col, dst_col)), (seeds, (node_col,))):
+        for c in cols:
+            m = d.max(c)
+            if m is not None:
+                hi = max(hi, int(m))
+    if hi < 0:
+        raise ValueError("hop_distance: empty graph and no n_nodes given")
+    return hi + 1
+
+
 def hop_distance(
     edges,
     seeds,
@@ -115,33 +246,35 @@ def hop_distance(
     """Dataset(node, hop): minimal number of directed edges from any seed.
     Seeds get hop 0; nodes unreachable within ``max_hops`` are absent.
 
-    ``mode="dense"`` (or auto with ``n_nodes`` <= ``dense_max_nodes`` and
-    contiguous ids in [0, n_nodes)) runs the shuffle-free vector plan;
-    ``"bsp"`` keeps node state sharded — the 100 TB path."""
+    ``mode="dense"`` (auto under ``dense_max_nodes``) runs the
+    shuffle-free vector plan; ``"bsp"`` (auto above it) keeps node state
+    sharded over the compiled topology — the 100 TB path; ``"join"``
+    handles arbitrary non-contiguous int64 ids at one edge exchange per
+    hop. dense/bsp assume ids in [0, n_nodes) and derive ``n_nodes``
+    with a max() pass when not given."""
     import ray
     from ray.data.aggregate import Min
 
     from ..state.blocks import safe_hash_join
 
-    if mode == "dense" or (mode == "auto" and n_nodes is not None and n_nodes <= dense_max_nodes):
+    if mode in ("dense", "bsp", "auto"):
         if n_nodes is None:
-            # explicit dense without n_nodes: derive the id-space bound the
-            # same way pagerank falls back to nodes.count() — one cheap
-            # max() pass over the edge endpoints and seed ids
-            hi = -1
-            for d, cols in ((edges, (src_col, dst_col)), (seeds, (node_col,))):
-                for c in cols:
-                    m = d.max(c)
-                    if m is not None:
-                        hi = max(hi, int(m))
-            if hi < 0:
-                raise ValueError(
-                    "hop_distance(mode='dense'): empty graph and no n_nodes given"
-                )
-            n_nodes = hi + 1
-        return _hop_distance_dense(
-            edges, seeds, max_hops, src_col, dst_col, node_col, n_nodes
+            n_nodes = _derive_n_nodes(edges, seeds, src_col, dst_col, node_col)
+        if mode == "dense" or (mode == "auto" and n_nodes <= dense_max_nodes):
+            return _hop_distance_dense(
+                edges, seeds, max_hops, src_col, dst_col, node_col, n_nodes
+            )
+        if num_partitions is None:
+            try:
+                num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+            except Exception:
+                num_partitions = 4
+        R = max(1, min(int(num_partitions), int(n_nodes)))
+        return _hop_distance_bsp(
+            edges, seeds, max_hops, src_col, dst_col, node_col, int(n_nodes), R
         )
+    if mode != "join":
+        raise ValueError(f"unknown hop_distance mode: {mode!r}")
 
     if num_partitions is None:
         try:

@@ -83,3 +83,35 @@ def test_bfs_dense_truncation_and_unreachable(ray_session):
     chain = [(i, i + 1) for i in range(10)] + [(20, 21)]
     got = _run(chain, [0], max_hops=3, mode="dense")
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_join_mode_and_bsp_partition_invariance(ray_session):
+    rnd = np.random.default_rng(9)
+    edges = [(int(rnd.integers(0, 37)), int(rnd.integers(0, 37))) for _ in range(110)]
+    seeds = [3, 11]
+    want = _ref_bfs(edges, seeds, 8)
+    assert _run(edges, seeds, max_hops=8, mode="join") == want
+    e = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], type=pa.int64()),
+            "dst": pa.array([d for _, d in edges], type=pa.int64()),
+        }
+    )
+    s = pa.table({"node": pa.array(seeds, type=pa.int64())})
+    for R in (1, 2, 5, 64):
+        out = hop_distance(
+            ray.data.from_arrow(e),
+            ray.data.from_arrow(s),
+            max_hops=8,
+            num_partitions=R,
+            mode="bsp",
+        ).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["hop"].astype(int)))
+        assert got == want, R
+
+
+def test_bfs_join_mode_non_contiguous_ids(ray_session):
+    # the join engine's contract: arbitrary int64 ids, no [0, N) normal form
+    edges = [(10**12, 5), (5, 7_000_000_000), (7_000_000_000, 10**12)]
+    got = _run(edges, [10**12], mode="join")
+    assert got == {10**12: 0, 5: 1, 7_000_000_000: 2}
