@@ -849,6 +849,33 @@ def q_link_components(sf_dir: str):
     return _rename(out, {"node": "doc_id", "label": "comp"})
 
 
+def q_link_components_bsp(sf_dir: str):
+    """Same chain graph, compiled-topology BSP engine
+    (graph/components.py): symmetrized edges CSR-compiled once, each
+    round R minimum.reduceat scatters + R elementwise-min gathers on
+    sharded label slices — no per-round edge re-join. Covers the FULL
+    [0, n) node universe (isolated nodes label themselves), so its
+    oracle's recursive closure seeds from every document."""
+    from incubator_sedona_ray.graph.components import connected_components
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids[(ids % 7 != 0) & (ids + 1 < n)]
+        return pa.table(
+            {
+                "a": pa.array(keep, type=pa.int64()),
+                "b": pa.array(keep + 1, type=pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(mk, batch_format="pyarrow")
+    out = connected_components(pairs, n_nodes=n, src_col="a", dst_col="b")
+    return _rename(out, {"node": "doc_id", "label": "comp"})
+
+
 CENTROID_QBITS = 20  # fixed-point resolution 2^-20 — makes the mean exact
 
 
@@ -2991,6 +3018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "linreg_quality": q_linreg_quality,
         "link_components": q_link_components,
+        "link_components_bsp": q_link_components_bsp,
         "centroid_per_label": q_centroid_per_label,
         "url_dedup": q_url_dedup,
         "html_extract": q_html_extract,
@@ -3647,6 +3675,15 @@ def oracle_sql() -> dict[str, str]:
             "sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e), "
             "nodes AS (SELECT DISTINCT x AS node FROM sym), "
             "r(node, lab) AS (SELECT node, node FROM nodes "
+            "UNION SELECT s.y, r.lab FROM r JOIN sym s ON s.x = r.node) "
+            "SELECT node AS doc_id, min(lab) AS comp FROM r GROUP BY node"
+        ),
+        "link_components_bsp": (
+            "WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents), "
+            "e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+            "WHERE doc_id % 7 <> 0 AND doc_id + 1 < (SELECT cnt FROM n)), "
+            "sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e), "
+            "r(node, lab) AS (SELECT doc_id, doc_id FROM documents "
             "UNION SELECT s.y, r.lab FROM r JOIN sym s ON s.x = r.node) "
             "SELECT node AS doc_id, min(lab) AS comp FROM r GROUP BY node"
         ),
