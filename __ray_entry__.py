@@ -699,6 +699,46 @@ def q_dup_spans(sf_dir: str):
     return dup_span_report(docs, n=4, min_docs=2)
 
 
+def q_dup_span_removal(sf_dir: str):
+    """ExactSubstr span REMOVAL (dedup/spans.py remove_dup_spans — the
+    Lee et al. 2021 step that actually cuts duplicated text out of every
+    document): tokens covered by a word 4-gram shared verbatim by >=2
+    docs are removed; output is the space-joined normalized remainder.
+    Two coarse exchanges, no join: the gram-hash bucket kernel computes
+    distinct-doc df AND emits duplicated start positions in one pass,
+    then a doc-bucket kernel rebuilds the text."""
+    from incubator_sedona_ray.dedup.spans import remove_dup_spans
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return remove_dup_spans(docs, n=4, min_docs=2)
+
+
+def _dup_span_removal_sql() -> str:
+    """Token-level span removal in closed form: positions of duplicated
+    4-gram starts via a distinct-doc df, coverage by UNNEST(range), and
+    string_agg(... ORDER BY pos) for the remainder — identical
+    tokenization and semantics to remove_dup_spans."""
+    n = 4
+    gram = " || ' ' || ".join(f"a[i+{d}]" for d in range(n))
+    return (
+        r"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a "
+        "FROM documents), "
+        f"gr AS (SELECT doc_id, unnest(range(1, len(a) - {n} + 2)) AS i, a FROM toks WHERE len(a) >= {n}), "
+        f"gs AS (SELECT doc_id, i, {gram} AS g FROM gr), "
+        "df AS (SELECT g, count(DISTINCT doc_id) AS d FROM gs GROUP BY g), "
+        "ds AS (SELECT gs.doc_id, gs.i FROM gs JOIN df ON gs.g = df.g WHERE df.d >= 2), "
+        f"cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + {n})) AS k FROM ds), "
+        "tok AS (SELECT t.doc_id, u.i AS pos, t.a[u.i] AS w FROM toks t, UNNEST(range(1, len(t.a) + 1)) u(i)), "
+        "kept AS (SELECT tok.doc_id, tok.pos, tok.w FROM tok LEFT JOIN cov "
+        "ON tok.doc_id = cov.doc_id AND tok.pos = cov.k WHERE cov.doc_id IS NULL), "
+        "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id), "
+        "nc AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(agg.txt, '') AS text_clean, "
+        "CAST(len(t.a) AS BIGINT) AS n_tokens, CAST(coalesce(nc.c, 0) AS BIGINT) AS n_removed "
+        "FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN nc ON t.doc_id = nc.doc_id"
+    )
+
+
 def _synth_linked_pages_fn(batch: pa.Table) -> pa.Table:
     """Pages with a deterministic anchor mix for the link-extraction query:
     one absolute external href, one root-relative href, three unresolvable
@@ -3000,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_backoff_join": q_lm_backoff_join,
         "decontam": q_decontam,
         "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
         "extract_links": q_extract_links,
         "anchor_stats": q_anchor_stats,
         "pagerank": q_pagerank,
@@ -3604,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id AS doc_id, count(DISTINCT g.ng) AS n_hits "
             "FROM g JOIN test USING (ng) WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id"
         ),
+        "dup_span_removal": _dup_span_removal_sql(),
         "dup_spans": (
             r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
             "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS ng "

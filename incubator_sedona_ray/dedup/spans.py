@@ -144,3 +144,177 @@ def dup_span_report(
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def _explode_pos_fn(n: int, id_col: str, text_col: str, num_buckets: int):
+    """Positional explode: (doc_id, pos, h, _b) for EVERY n-gram start —
+    the removal path needs positions, not the distinct-pair stream."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..dedup.ngram import fnv_fold, fnv_strings
+
+        lst = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), pattern=r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        nrows = len(lst)
+        offs = np.asarray(lst.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        flat = lst.flatten()
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        c = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+        new_offs = c[offs]
+        flat = flat.filter(pa.array(keep))
+        lens = np.diff(new_offs)
+        row_id = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        nw = len(row_id)
+        i0 = (
+            np.flatnonzero(row_id[: nw - n + 1] == row_id[n - 1 :])
+            if nw >= n
+            else np.empty(0, dtype=np.int64)
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(i0):
+            h = fnv_fold(fnv_strings(flat), i0, n)
+            g_row = row_id[i0]
+            pos = i0 - new_offs[:-1][g_row]  # 0-based token index within doc
+            out_id = ids[g_row].astype(np.int64)
+            out_h = h.astype(np.int64)
+            bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        else:
+            out_id = pos = out_h = bucket = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "pos": pa.array(pos.astype(np.int64)),
+                "h": pa.array(out_h, type=pa.int64()),
+                "_b": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def remove_dup_spans(
+    ds,
+    *,
+    n: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2021 cut the
+    duplicated bytes out of every document, not just the flagged docs):
+    every token covered by a word n-gram that occurs verbatim in >=
+    ``min_docs`` distinct documents is removed; the cleaned document is
+    the space-joined remainder of the NORMALIZED token stream (lowercase,
+    whitespace-split — the corpus tokenization contract, which is what a
+    training pipeline feeds the tokenizer anyway).
+
+    Returns Dataset(id, text_clean, n_tokens, n_removed) covering EVERY
+    input document (docs with nothing removed pass through normalized).
+
+    Distributed shape — TWO coarse exchanges, no join:
+      1. positional explode -> ``groupby(gram-hash bucket)``: every
+         occurrence of a gram lands in one bucket, so the kernel computes
+         exact distinct-doc df AND filters its own position rows to the
+         duplicated grams in one pass — emitting only (doc, pos) starts
+         of duplicated spans (web-scale output: the boilerplate subset).
+      2. duplicated starts ∪ original text rows -> ``groupby(doc
+         bucket)``: the per-doc kernel re-tokenizes its documents, marks
+         covered = union of [pos, pos+n), and rebuilds the remainder.
+    Hash-vs-string gram identity carries the module's documented FNV
+    collision contract.
+    """
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        import ray
+
+        try:
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_partitions = 8
+    B = num_partitions
+
+    pos_stream = ds.map_batches(
+        _explode_pos_fn(n, id_col, text_col, B), batch_format="pyarrow"
+    )
+
+    def dup_starts_kernel(g: pa.Table) -> pa.Table:
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        # distinct-doc df per hash: unique (h, doc) pairs, then counts per h
+        pair_h = np.unique(np.stack([h, doc], axis=1), axis=0)[:, 0]
+        uh, df = np.unique(pair_h, return_counts=True)
+        dup_h = uh[df >= min_docs]
+        m = np.isin(h, dup_h)
+        return pa.table(
+            {
+                id_col: pa.array(doc[m].astype(np.int64)),
+                "pos": pa.array(pos[m].astype(np.int64)),
+            }
+        )
+
+    starts = pos_stream.groupby("_b").map_groups(dup_starts_kernel, batch_format="pyarrow")
+
+    def start_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "pos": t["pos"].cast(pa.int64()),
+                text_col: pa.nulls(t.num_rows, pa.string()),
+                "_db": pa.array(ids % B),
+            }
+        )
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "pos": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                text_col: t[text_col],
+                "_db": pa.array(ids % B),
+            }
+        )
+
+    merged = ds.select_columns([id_col, text_col]).map_batches(
+        text_rows, batch_format="pyarrow"
+    ).union(starts.map_batches(start_rows, batch_format="pyarrow"))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        is_text = pos < 0
+        texts = g[text_col]
+        out_id, out_txt, out_nt, out_nr = [], [], [], []
+        # group the start positions per doc once (sorted scan)
+        order = np.argsort(ids[~is_text], kind="stable")
+        s_ids = ids[~is_text][order]
+        s_pos = pos[~is_text][order]
+        bounds = np.searchsorted(s_ids, ids[is_text])
+        bounds_hi = np.searchsorted(s_ids, ids[is_text], side="right")
+        for k, row in enumerate(np.flatnonzero(is_text)):
+            txt = texts[row].as_py()
+            toks = [w for w in (txt or "").lower().split() if w]
+            cov = np.zeros(len(toks), dtype=bool)
+            for p in s_pos[bounds[k] : bounds_hi[k]]:
+                cov[p : p + n] = True
+            kept = [w for w, c in zip(toks, cov) if not c]
+            out_id.append(int(ids[row]))
+            out_txt.append(" ".join(kept))
+            out_nt.append(len(toks))
+            out_nr.append(int(cov.sum()))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "text_clean": pa.array(out_txt, type=pa.string()),
+                "n_tokens": pa.array(out_nt, type=pa.int64()),
+                "n_removed": pa.array(out_nr, type=pa.int64()),
+            }
+        )
+
+    return merged.groupby("_db").map_groups(rebuild, batch_format="pyarrow")
