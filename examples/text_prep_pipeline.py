@@ -7,9 +7,13 @@ transform (nothing materializes on the driver):
     read parquet (pruned columns)
       -> language ID           (actor pool — model state per actor)
       -> quality score + filter (vectorized batch kernel)
+      -> LM fluency filter      (stupid-backoff bigram LM, integer-exact —
+                                 the CCNet-style perplexity gate)
       -> exact dedup            (sha256 -> Min-aggregate survivors -> hash join)
       -> MinHash near-dedup     (banded LSH -> star pairs -> distributed
                                  verify + connected components)
+      -> duplicate-span removal (ExactSubstr: shared boilerplate n-grams
+                                 cut out of the surviving docs)
       -> token count            (batch kernel)
       -> checkpointed partitioned parquet (per-partition _SUCCESS + manifest,
                                  resumable mid-run)
@@ -40,7 +44,10 @@ from incubator_sedona_ray.state.manifest import checkpointed_write
 from incubator_sedona_ray.text.analysis import LangId, quality_fn, token_count_fn
 
 
-def build(input_path: str, min_alpha_ratio: float = 0.5):
+def build(input_path: str, min_alpha_ratio: float = 0.5, min_lm_score_fp: int = 0):
+    from incubator_sedona_ray.dedup.spans import remove_dup_spans
+    from incubator_sedona_ray.text.backoff_lm import lm_score, ngram_lm_train
+
     docs = ray.data.read_parquet(input_path, columns=["doc_id", "text"])
 
     # 1. language ID — stateful stage, model built once per actor
@@ -54,14 +61,36 @@ def build(input_path: str, min_alpha_ratio: float = 0.5):
 
     good = scored.map_batches(keep_quality, batch_format="pyarrow")
 
-    # 3. exact dedup: survivors carry their text rows back via a hash join
+    # 3. LM fluency gate: self-trained stupid-backoff bigram LM; drop docs
+    # whose mean transition probability is below the threshold (CCNet's
+    # perplexity filter, integer fixed-point)
+    model = ngram_lm_train(good)
+    lm = lm_score(good, model, mode="broadcast")
+    fluent_ids = lm.filter(lambda r, _t=min_lm_score_fp: r["score_fp"] >= _t)
+    good = attach_payload(fluent_ids.select_columns(["doc_id"]), good, key="doc_id", strategy="hash")
+
+    # 4. exact dedup: survivors carry their text rows back via a hash join
     uniq = dedup_exact(good, keep_cols=["text", "lang_pred", "alpha_ratio"])
 
-    # 4. near-dedup: minhash survivors (ids) filter the unique rows
+    # 5. near-dedup: minhash survivors (ids) filter the unique rows
     survivors, _pairs = minhash_dedup(uniq, threshold=0.85)
     kept = attach_payload(survivors.select_columns(["doc_id"]), uniq, key="doc_id", strategy="hash")
 
-    # 5. token counts for the final corpus accounting
+    # 6. duplicate-span removal: cut cross-doc boilerplate runs out of the
+    # surviving docs (ExactSubstr); the cleaned text replaces `text`
+    cleaned = remove_dup_spans(kept, n=4, min_docs=2)
+    meta = kept.select_columns(["doc_id", "lang_pred", "alpha_ratio"])
+    kept = attach_payload(
+        cleaned.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text_clean"]}),
+            batch_format="pyarrow",
+        ),
+        meta,
+        key="doc_id",
+        strategy="hash",
+    )
+
+    # 7. token counts for the final corpus accounting
     counted = kept.map_batches(token_count_fn(), batch_format="pyarrow")
     return counted.select_columns(["doc_id", "lang_pred", "alpha_ratio", "n_tokens", "text"])
 
