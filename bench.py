@@ -739,6 +739,24 @@ def run_bench() -> dict:
 
     timed("q19b_bpe_deep_train", q19b, rows=1000)  # rows = merges learned
 
+    # q20: stupid-backoff LM train + score over the full expanded page
+    # corpus — the CCNet-style fluency gate: two fnv-bucketed count
+    # passes (vocabulary-bounded tables), then ONE zero-shuffle scoring
+    # pass (broadcast index_in lookups), integer-exact end to end.
+    def q20():
+        from incubator_sedona_ray.text.backoff_lm import lm_score, ngram_lm_train
+
+        pages = expanded_pages(ray, n_docs, columns=["doc_id", "text"])
+        model = ngram_lm_train(pages)
+        out = lm_score(pages, model, mode="broadcast")
+        return out.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("n")
+
+    # train (2 passes) + score (1 pass) over the page table
+    timed("q20_lm_score", q20, rows=3 * n_pages)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

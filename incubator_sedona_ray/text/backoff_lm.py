@@ -112,11 +112,99 @@ def _keyed_counts(ds, *, n: int, text_col: str, num_buckets: int | None = None):
 def ngram_lm_train(ds, *, text_col: str = "text", num_buckets: int | None = None) -> dict:
     """Train the bigram LM: {"uni": Dataset(ngram, cnt), "bi":
     Dataset(ngram, cnt), "total": int} — ``total`` is the corpus token
-    count (the unigram count mass). Count tables stay distributed."""
-    uni = _keyed_counts(ds, n=1, text_col=text_col, num_buckets=num_buckets)
-    bi = _keyed_counts(ds, n=2, text_col=text_col, num_buckets=num_buckets)
-    uni = uni.materialize()  # both tables are consumed twice downstream
-    bi = bi.materialize()
+    count (the unigram count mass). Count tables stay distributed.
+
+    ONE corpus pass computes both orders' partials (tokenization is the
+    dominant cost — a separate pass per order measured ~2x the train
+    wall): unigram keys never contain a space and bigram keys always do,
+    so the mixed count table splits back loss-free."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from ..dedup.ngram import fnv_strings
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_buckets = 8
+    nb = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # tokenize ONCE; unigram counts straight off the flat tokens,
+        # bigram counts off the masked adjacent join of the same buffer
+        flat, parent = _tokenize(batch[text_col])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        outs = []
+        if len(flat):
+            vc = pc.value_counts(flat)
+            outs.append(
+                pa.table(
+                    {"ngram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+                )
+            )
+            if len(flat) >= 2:
+                ok = parent[1:] == parent[:-1]
+                starts = np.nonzero(ok)[0]
+                if len(starts):
+                    grams = pc.binary_join_element_wise(
+                        flat.take(pa.array(starts, type=pa.int64())),
+                        flat.take(pa.array(starts + 1, type=pa.int64())),
+                        " ",
+                    )
+                    vc = pc.value_counts(grams)
+                    outs.append(
+                        pa.table(
+                            {
+                                "ngram": vc.field("values"),
+                                "cnt": vc.field("counts").cast(pa.int64()),
+                            }
+                        )
+                    )
+        if not outs:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(outs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t["ngram"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        b = (fnv_strings(col) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "ngram": g["ngram"].to_pylist(),
+                "cnt": g["cnt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
+        return pa.table(
+            {
+                "ngram": pa.array(agg["ngram"].to_numpy(), pa.string()),
+                "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def is_uni(t: pa.Table, want: bool) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.equal(_pc.count_substring(t["ngram"], " "), 0)
+        return t.filter(m if want else _pc.invert(m))
+
+    uni = counts.map_batches(lambda t: is_uni(t, True), batch_format="pyarrow").materialize()
+    bi = counts.map_batches(lambda t: is_uni(t, False), batch_format="pyarrow").materialize()
     total = int(uni.sum("cnt") or 0)
     return {"uni": uni, "bi": bi, "total": total}
 
@@ -212,28 +300,68 @@ def _collect_counts(ds) -> tuple[pa.Array, np.ndarray]:
 
 
 def _lm_score_broadcast(docs, model, scale, doc_col, text_col):
+    """Scoring pass: ONE index_in of the flat token buffer against the
+    unigram vocabulary; bigram lookup is then an int64 searchsorted on
+    precomputed pair codes (w1_id * V + w2_id) — no per-pair string
+    construction, no second string hash (the former gram-string join was
+    ~40% of the scoring wall at 2M docs)."""
+    import pyarrow.compute as pc
     import ray
 
-    uni_ref = ray.put(_collect_counts(model["uni"]))
-    bi_ref = ray.put(_collect_counts(model["bi"]))
+    uk, uc = _collect_counts(model["uni"])
+    bk, bc = _collect_counts(model["bi"])
+    V = len(uk) + 1
+    # bigram keys as integer pair codes over the unigram vocab (a model's
+    # bigram words are drawn from its own unigram table by construction;
+    # an entry with an out-of-vocab word could never be matched anyway)
+    if len(bk):
+        parts = pc.split_pattern(bk, " ")
+        flatp = pc.list_flatten(parts)
+        ids = pc.index_in(flatp, value_set=uk).fill_null(V - 1).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = ids[0::2] * V + ids[1::2]
+        order = np.argsort(codes)
+        bi_keys, bi_cnts = codes[order], bc[order]
+    else:
+        bi_keys, bi_cnts = np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    model_ref = ray.put((uk, uc, bi_keys, bi_cnts))
     total = int(model["total"])
 
     def score(batch: pa.Table) -> pa.Table:
-        uk, uc = ray.get(uni_ref)  # zero-copy after first fetch per worker
-        bk, bc = ray.get(bi_ref)
-        w1, w2, gram, pair_parent = _doc_pairs(batch, text_col)
+        uk, uc, bi_keys, bi_cnts = ray.get(model_ref)  # zero-copy per worker
+        flat, parent = _tokenize(batch[text_col])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
         n_rows = batch.num_rows
-        n_pairs = np.bincount(pair_parent, minlength=n_rows).astype(np.int64)
-        sums = np.zeros(n_rows, dtype=np.int64)
-        if len(pair_parent):
-            p = _pair_probs(
-                _arrow_lookup(bk, bc, gram),
-                _arrow_lookup(uk, uc, w1),
-                _arrow_lookup(uk, uc, w2),
-                total,
-                scale,
-            )
-            np.add.at(sums, pair_parent, p)
+        if len(flat) < 2:
+            n_pairs = np.zeros(n_rows, dtype=np.int64)
+            sums = np.zeros(n_rows, dtype=np.int64)
+        else:
+            starts = np.nonzero(parent[1:] == parent[:-1])[0]
+            pair_parent = parent[starts]
+            n_pairs = np.bincount(pair_parent, minlength=n_rows).astype(np.int64)
+            sums = np.zeros(n_rows, dtype=np.int64)
+            if len(starts):
+                fid = (
+                    pc.index_in(flat, value_set=uk)
+                    .fill_null(-1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                fcnt = np.where(fid >= 0, uc[np.maximum(fid, 0)], 0)
+                i1, i2 = fid[starts], fid[starts + 1]
+                cnt1, cntw2 = fcnt[starts], fcnt[starts + 1]
+                cnt2 = np.zeros(len(starts), dtype=np.int64)
+                both = (i1 >= 0) & (i2 >= 0)
+                if both.any() and len(bi_keys):
+                    q = i1[both] * V + i2[both]
+                    pos = np.searchsorted(bi_keys, q)
+                    posc = np.minimum(pos, len(bi_keys) - 1)
+                    hit = bi_keys[posc] == q
+                    vals = np.zeros(len(q), dtype=np.int64)
+                    vals[hit] = bi_cnts[posc[hit]]
+                    cnt2[both] = vals
+                p = _pair_probs(cnt2, cnt1, cntw2, total, scale)
+                np.add.at(sums, pair_parent, p)
         score_fp = np.zeros(n_rows, dtype=np.int64)
         nz = n_pairs > 0
         score_fp[nz] = sums[nz] // n_pairs[nz]
