@@ -1894,6 +1894,83 @@ def q_tpch_q1(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+TPCH_Q6_LO = "1996-01-01"
+TPCH_Q6_HI = "1997-01-01"
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6-style forecasting-revenue filter-aggregate: the purest
+    scan shape — filter at the read columns, vectorized predicate, ONE
+    int64 partial per batch, one global sum. Revenue in exact
+    cents x discount-pct (scale 10^4) so the single output value is
+    bit-equal to the SQL replica. Zero shuffles."""
+    lo, hi = np.datetime64(TPCH_Q6_LO), np.datetime64(TPCH_Q6_HI)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = _cents(b["l_discount"].to_numpy(zero_copy_only=False))  # 0..10
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d < hi) & (disc >= 5) & (disc <= 7) & (qty < 24)
+        price_c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)[m])
+        rev = int((price_c * disc[m]).sum())
+        return pa.table({"rev_cents2": pa.array([rev], pa.int64())})
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    total = li.map_batches(partial, batch_format="pyarrow").sum("rev_cents2") or 0
+    return pa.table({"revenue_cents2": pa.array([int(total)], pa.int64())})
+
+
+TPCH_Q4_LO = "1996-01-01"
+TPCH_Q4_HI = "1996-07-01"
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4-style order-priority check, adapted to the synthetic
+    schema (no commit/receipt dates): count orders per priority in a
+    half-year window having AT LEAST ONE returned line (l_returnflag =
+    'R') — the EXISTS shape as a distributed LEFT SEMI hash join (no
+    dedup pass needed: semi join IS exists), then a tiny groupby count."""
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    lo, hi = np.datetime64(TPCH_Q4_LO), np.datetime64(TPCH_Q4_HI)
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi)))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    returned = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["l_returnflag"], "R")).select(["l_orderkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    hit = safe_hash_join(
+        orders, returned, "left_semi", 8, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    agg = hit.groupby("o_orderpriority").count()
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "order_count": pc.cast(b["count()"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-style revenue rollup: lineitem (filtered at the read,
     pre-aggregated per orderkey inside each batch) hash-joins orders on the
@@ -3071,6 +3148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "corpus_filter": q_corpus_filter,
         "tpch_q1": q_tpch_q1,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "image_dedup": q_image_dedup,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -3933,6 +4012,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, alpha_ratio, "
             "row_number() OVER (PARTITION BY lang ORDER BY alpha_ratio DESC, doc_id) AS rank FROM q) "
             f"WHERE rank <= {TOPDOCS_K}"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * "
+            "CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents2 "
+            f"FROM lineitem WHERE l_shipdate >= TIMESTAMP '{TPCH_Q6_LO} 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '{TPCH_Q6_HI} 00:00:00' "
+            "AND CAST(floor(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders o "
+            f"WHERE o_orderdate >= TIMESTAMP '{TPCH_Q4_LO} 00:00:00' "
+            f"AND o_orderdate < TIMESTAMP '{TPCH_Q4_HI} 00:00:00' "
+            "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_returnflag = 'R') GROUP BY o_orderpriority"
         ),
         "tpch_q1": (
             f"WITH f AS (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '{TPCH_CUTOFF} 00:00:00'), "

@@ -118,3 +118,28 @@ def test_lm_scores_rank_fluent_above_shuffled(ray_session):
     out = lm_score(ds, model).to_pandas().sort_values("doc_id")
     s = out["score_fp"].to_numpy()
     assert s[:3].min() >= s[3:].max()  # repeated fluent text scores highest
+
+
+def test_lm_random_corpora_both_modes_match_reference(ray_session):
+    rng = np.random.default_rng(31)
+    vocab = ["t%d" % i for i in range(9)]
+    for trial in range(3):
+        train = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 10)))
+            for _ in range(rng.integers(2, 12))
+        ]
+        score = [
+            " ".join(rng.choice(vocab + ["oov1", "oov2"], size=rng.integers(0, 8)))
+            for _ in range(rng.integers(1, 8))
+        ]
+        model = ngram_lm_train(_docs_ds(train))
+        want = _ref(train, score)
+        for mode in ("broadcast", "join"):
+            out = (
+                lm_score(_docs_ds(score), model, scale=SCALE, mode=mode)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            got = list(zip(out["n_pairs"].tolist(), out["score_fp"].tolist()))
+            assert got == want, (trial, mode)

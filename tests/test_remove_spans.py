@@ -77,3 +77,17 @@ def test_remove_spans_overlapping_spans_merge(ray_session):
     got = _run(texts, n=3, min_docs=2)
     assert got == want
     assert got[1][0] == "p q"  # middle doc keeps its unique ends
+
+
+def test_remove_spans_random_corpora_match_reference(ray_session):
+    rng = np.random.default_rng(77)
+    vocab = ["w%d" % i for i in range(12)]
+    for trial in range(4):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 14)))
+            for _ in range(rng.integers(2, 15))
+        ]
+        n = int(rng.integers(2, 4))
+        want = _ref_remove(texts, n, 2)
+        got = _run(texts, n=n, min_docs=2, num_partitions=int(rng.integers(2, 6)))
+        assert got == want, (trial, n)
