@@ -141,6 +141,8 @@ def pagerank(
     mode: str = "auto",
     dense_max_nodes: int = 1 << 22,
     seeds=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ):
     """Dataset(node, rank_fp:int64, rank:float64) after ``iters`` rounds.
 
@@ -167,6 +169,13 @@ def pagerank(
     docstring. ``"auto"`` picks dense when ``n_nodes <= dense_max_nodes``.
     Both modes run the identical integer recurrence — results are
     bit-equal to each other and to the SQL oracle.
+
+    ``checkpoint_dir`` / ``checkpoint_every`` (BSP mode): persist every
+    range's rank slice + a META fingerprint after every k iterations; a
+    rerun pointing at the same directory resumes from the last complete
+    checkpoint (crash-safe: META is written last, atomically) and is
+    bit-equal to an uninterrupted run. A changed graph/damping/seed
+    fingerprint ignores the checkpoint and starts fresh.
     """
     import ray
 
@@ -210,12 +219,13 @@ def pagerank(
     return _pagerank_bsp(
         edges, iters, damping_num, damping_den, scale, src_col, dst_col,
         node_col, N, R, base, r0, seed_ids=seed_ids,
+        ckpt_dir=checkpoint_dir, ckpt_every=int(checkpoint_every),
     )
 
 
 def _pagerank_bsp(
     edges, iters, dnum, dden, scale, src_col, dst_col, node_col, N, R,
-    base, r0, seed_ids=None,
+    base, r0, seed_ids=None, ckpt_dir=None, ckpt_every=0,
 ):
     """BSP mode, Pregel-style (Malewicz et al. 2010 / GraphX's static edge
     partitioning): the edge table is range-partitioned by src ONCE — one
@@ -330,7 +340,79 @@ def _pagerank_bsp(
             r_new = base + (dnum * (s + redistribute)) // dden
         return r_new, int(r_new[deg == 0].sum())
 
-    for _ in range(iters):
+    # ---- mid-job checkpoint/resume (per the project brief: iterative
+    # jobs at cluster scale must resume, not restart). Layout: one
+    # parquet per range (rank slice) + a META json written LAST — its
+    # presence certifies a complete checkpoint; a crash mid-write leaves
+    # no META and the stale files are simply overwritten. Resume only
+    # accepts a checkpoint whose parameters match exactly (else ignored:
+    # a changed graph/damping/seed set must start fresh).
+    # NOTE: the fingerprint deliberately EXCLUDES the iteration target —
+    # resuming a crashed 50-iter job, or extending a 5-iter run to 10,
+    # are the use cases; only the recurrence parameters must match.
+    meta_want = {
+        "kind": "pagerank_bsp", "N": N, "R": R, "scale": scale,
+        "dnum": dnum, "dden": dden,
+        "seeds_fp": (
+            __import__("hashlib").sha256(seed_arr.tobytes()).hexdigest()[:16]
+            if n_seeds
+            else None
+        ),
+        "n_seeds": n_seeds,
+    }
+    start_iter = 0
+    if ckpt_dir:
+        import json as _json
+        import os as _os
+
+        meta_path = _os.path.join(ckpt_dir, "_META.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                got = _json.load(fh)
+            done = got.pop("iter_done", 0)
+            if got == meta_want and 0 < done <= iters:
+                @ray.remote(num_returns=2)
+                def _load(rid, st):
+                    import pyarrow.parquet as pq
+
+                    deg, _ = st
+                    t = pq.read_table(
+                        _os.path.join(ckpt_dir, f"rank_{rid}.parquet")
+                    )
+                    r = t["rank_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    return r, int(r[deg == 0].sum())
+
+                rank, dang_parts = [], []
+                for rid in range(R):
+                    r_, dg = _load.remote(rid, static[rid])
+                    rank.append(r_)
+                    dang_parts.append(dg)
+                start_iter = done
+
+    @ray.remote
+    def _ckpt_write(rid, r):
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        _os.makedirs(ckpt_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"rank_fp": pa.array(r)}),
+            _os.path.join(ckpt_dir, f"rank_{rid}.parquet"),
+        )
+        return rid
+
+    def _ckpt(it_done: int):
+        import json as _json
+        import os as _os
+
+        ray.get([_ckpt_write.remote(rid, rank[rid]) for rid in range(R)])
+        tmp = _os.path.join(ckpt_dir, "_META.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({**meta_want, "iter_done": it_done}, fh)
+        _os.replace(tmp, _os.path.join(ckpt_dir, "_META.json"))
+
+    for it in range(start_iter, iters):
         dangling = sum(ray.get(dang_parts))  # BSP barrier: R small ints
         redistribute = dangling // (n_seeds if n_seeds else N)
         partials = [
@@ -345,6 +427,8 @@ def _pagerank_bsp(
             nxt_rank.append(r_)
             nxt_dang.append(dg)
         rank, dang_parts = nxt_rank, nxt_dang
+        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0 and (it + 1) < iters:
+            _ckpt(it + 1)
 
     @ray.remote
     def _to_arrow(lo, hi, r):

@@ -245,3 +245,69 @@ def test_pagerank_bsp_partition_count_invariant(ray_session):
         outs.append(out["rank_fp"].to_numpy())
     for o in outs[1:]:
         assert np.array_equal(outs[0], o)
+
+
+def test_pagerank_bsp_checkpoint_resume_bit_equal(ray_session, tmp_path):
+    """Kill-and-resume: a run checkpointed at iter 2 and resumed to 5
+    must be BIT-equal to an uninterrupted 5-iter run; a parameter change
+    (damping) must invalidate the checkpoint, not corrupt the result."""
+    from incubator_sedona_ray.graph.pagerank import pagerank
+
+    rnd = np.random.default_rng(23)
+    n = 50
+    edges = [(int(rnd.integers(0, n)), int(rnd.integers(0, n))) for _ in range(170)]
+    e = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], type=pa.int64()),
+            "dst": pa.array([d for _, d in edges], type=pa.int64()),
+        }
+    )
+    nodes = pa.table({"node": pa.array(range(n), type=pa.int64())})
+
+    def run(iters, ckpt=None, every=0, damping=85):
+        return (
+            pagerank(
+                ray.data.from_arrow(e),
+                ray.data.from_arrow(nodes),
+                iters=iters,
+                num_partitions=4,
+                mode="bsp",
+                damping_num=damping,
+                checkpoint_dir=ckpt,
+                checkpoint_every=every,
+            )
+            .to_pandas()
+            .sort_values("node")["rank_fp"]
+            .to_numpy()
+        )
+
+    want = run(5)
+    ck = str(tmp_path / "pr_ckpt")
+    # phase 1: run only 2 iters, checkpointing each — simulates a crash after 2
+    run(2, ckpt=ck, every=1)
+    import json, os
+
+    meta = json.load(open(os.path.join(ck, "_META.json")))
+    assert meta["iter_done"] == 1  # last ckpt BEFORE the final iter of that run
+    # phase 2: same params, full 5 iters — resumes from the checkpoint
+    got = run(5, ckpt=ck, every=1)
+    assert np.array_equal(got, want)
+    # prove the LOAD path actually ran: tamper a checkpointed slice (the
+    # phase-2 run left iter_done=4) — one resumed iteration over the
+    # poisoned state must now produce a DIFFERENT fixed point
+    assert json.load(open(os.path.join(ck, "_META.json")))["iter_done"] == 4
+    import pyarrow.parquet as pq
+
+    f = os.path.join(ck, "rank_0.parquet")
+    t = pq.read_table(f)
+    pq.write_table(
+        pa.table({"rank_fp": pa.array(t["rank_fp"].to_numpy() + 10**9)}), f
+    )
+    poisoned = run(5, ckpt=ck, every=0)
+    assert not np.array_equal(poisoned, want)
+    # changed damping: checkpoint must be IGNORED (params mismatch) —
+    # the poisoned files are invisible to a mismatched fingerprint
+    got90 = run(5, ckpt=ck, every=0, damping=90)
+    fresh90 = run(5, damping=90)
+    assert np.array_equal(got90, fresh90)
+    assert not np.array_equal(got90, want)
