@@ -1,0 +1,81 @@
+"""Mid-job checkpoint/resume for compiled-topology BSP iterations
+(pagerank/hits — per the project brief, iterative jobs at cluster scale
+must RESUME, not restart).
+
+Layout: one parquet per (name, range) slice + a ``_META.json`` written
+LAST and atomically — its presence certifies a complete checkpoint; a
+crash mid-write leaves the previous META (or none) and stale slice
+files are simply overwritten. Resume accepts a checkpoint only when the
+caller's parameter fingerprint matches exactly; anything else is
+ignored and the job starts fresh. The fingerprint deliberately excludes
+the iteration target: resuming a crashed 50-round job or extending a
+5-round run to 10 are the use cases.
+
+Slice writes/reads run as raw Ray tasks on workers — slice data never
+passes through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def read_meta(ckpt_dir: str, meta_want: dict) -> tuple[int, dict]:
+    """(iter_done, extras) when a complete checkpoint matches the
+    fingerprint, else (0, {}). ``extras`` is scalar state the writer
+    stored beside the fingerprint (e.g. renormalization denominators)."""
+    path = os.path.join(ckpt_dir, "_META.json")
+    if not os.path.exists(path):
+        return 0, {}
+    with open(path) as fh:
+        got = json.load(fh)
+    done = got.pop("iter_done", 0)
+    extras = got.pop("extras", {})
+    if got == meta_want and done > 0:
+        return int(done), extras
+    return 0, {}
+
+
+def write_meta(ckpt_dir: str, meta_want: dict, iter_done: int, extras: dict | None = None):
+    """Atomic META commit — call AFTER every slice write completed."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = os.path.join(ckpt_dir, "_META.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({**meta_want, "iter_done": int(iter_done), "extras": extras or {}}, fh)
+    os.replace(tmp, os.path.join(ckpt_dir, "_META.json"))
+
+
+def slice_writer():
+    """Remote task: persist one int64 slice as parquet (worker-side)."""
+    import ray
+
+    @ray.remote
+    def _write(ckpt_dir, name, rid, arr):
+        import pyarrow.parquet as pq
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({name: pa.array(np.asarray(arr, dtype=np.int64))}),
+            os.path.join(ckpt_dir, f"{name}_{rid}.parquet"),
+        )
+        return rid
+
+    return _write
+
+
+def slice_reader():
+    """Remote task: load one int64 slice back (worker-side)."""
+    import ray
+
+    @ray.remote
+    def _read(ckpt_dir, name, rid):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(ckpt_dir, f"{name}_{rid}.parquet"))
+        return t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    return _read

@@ -56,6 +56,8 @@ def hits(
     n_nodes: int | None = None,
     mode: str = "auto",
     dense_max_nodes: int = 1 << 22,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ):
     """Dataset(node, hub_fp:int64, auth_fp:int64, hub:float64,
     authority:float64) after ``iters`` full (authority + hub) rounds.
@@ -67,6 +69,12 @@ def hits(
 
     ``mode``: ``"dense"`` / ``"bsp"`` / ``"auto"`` (dense when
     ``n_nodes <= dense_max_nodes``) — see module docstring.
+
+    ``checkpoint_dir`` / ``checkpoint_every`` (BSP mode): persist the
+    (h, a) slices + renormalization denominators every k full rounds via
+    graph/_ckpt.py; a rerun resumes from the last complete checkpoint,
+    bit-equal to an uninterrupted run (fingerprint mismatch starts
+    fresh, like pagerank).
     """
     import ray
 
@@ -86,7 +94,10 @@ def hits(
 
     if mode == "dense" or (mode == "auto" and N <= dense_max_nodes):
         return _hits_dense(edges, iters, scale, src_col, dst_col, node_col, N)
-    return _hits_bsp(edges, iters, scale, src_col, dst_col, node_col, N, R)
+    return _hits_bsp(
+        edges, iters, scale, src_col, dst_col, node_col, N, R,
+        ckpt_dir=checkpoint_dir, ckpt_every=int(checkpoint_every),
+    )
 
 
 def _result_table(node_col, lo, hi, h, a, scale):
@@ -153,7 +164,7 @@ def _hits_dense(edges, iters, scale, src_col, dst_col, node_col, N):
     return ray.data.from_arrow(_result_table(node_col, 0, N, h, a, scale))
 
 
-def _hits_bsp(edges, iters, scale, src_col, dst_col, node_col, N, R):
+def _hits_bsp(edges, iters, scale, src_col, dst_col, node_col, N, R, ckpt_dir=None, ckpt_every=0):
     """BSP mode: two static compiled topologies (graph/_topo.py), one per
     edge direction; each half-round runs R scatter tasks (fancy gather
     through the precompiled permutation + reduceat partials, R^2 small
@@ -220,9 +231,36 @@ def _hits_bsp(edges, iters, scale, src_col, dst_col, node_col, N, R):
     h = [_init_slice.remote(lo, hi) for lo, hi in spans]
     h_den = 1
     a, a_den = [], 1
-    for _ in range(iters):
+
+    # mid-job checkpoint/resume (graph/_ckpt.py) — raw slices + the two
+    # renormalization denominators (META extras)
+    from ._ckpt import read_meta, slice_reader, slice_writer, write_meta
+
+    meta_want = {"kind": "hits_bsp", "N": N, "R": R, "scale": scale}
+    start_iter = 0
+    if ckpt_dir:
+        done, extras = read_meta(ckpt_dir, meta_want)
+        if 0 < done <= iters:
+            _read = slice_reader()
+            h = [_read.remote(ckpt_dir, "h_fp", rid) for rid in range(R)]
+            a = [_read.remote(ckpt_dir, "a_fp", rid) for rid in range(R)]
+            h_den = int(extras["h_den"])
+            a_den = int(extras["a_den"])
+            start_iter = done
+
+    def _ckpt(it_done: int):
+        _write = slice_writer()
+        ray.get(
+            [_write.remote(ckpt_dir, "h_fp", rid, h[rid]) for rid in range(R)]
+            + [_write.remote(ckpt_dir, "a_fp", rid, a[rid]) for rid in range(R)]
+        )
+        write_meta(ckpt_dir, meta_want, it_done, extras={"h_den": h_den, "a_den": a_den})
+
+    for it in range(start_iter, iters):
         a, a_den = _half_round(fwd, h, h_den)
         h, h_den = _half_round(rev, a, a_den)
+        if ckpt_dir and ckpt_every and (it + 1) % ckpt_every == 0 and (it + 1) < iters:
+            _ckpt(it + 1)
 
     @ray.remote
     def _to_arrow(lo, hi, h_slice, a_slice):

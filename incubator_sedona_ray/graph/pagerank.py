@@ -340,16 +340,12 @@ def _pagerank_bsp(
             r_new = base + (dnum * (s + redistribute)) // dden
         return r_new, int(r_new[deg == 0].sum())
 
-    # ---- mid-job checkpoint/resume (per the project brief: iterative
-    # jobs at cluster scale must resume, not restart). Layout: one
-    # parquet per range (rank slice) + a META json written LAST — its
-    # presence certifies a complete checkpoint; a crash mid-write leaves
-    # no META and the stale files are simply overwritten. Resume only
-    # accepts a checkpoint whose parameters match exactly (else ignored:
-    # a changed graph/damping/seed set must start fresh).
-    # NOTE: the fingerprint deliberately EXCLUDES the iteration target —
-    # resuming a crashed 50-iter job, or extending a 5-iter run to 10,
-    # are the use cases; only the recurrence parameters must match.
+    # ---- mid-job checkpoint/resume (graph/_ckpt.py): one parquet per
+    # range + atomic META fingerprint; fingerprint covers the recurrence
+    # parameters but NOT the iteration target (extending/resuming longer
+    # runs is the use case) ----
+    from ._ckpt import read_meta, slice_reader, slice_writer, write_meta
+
     meta_want = {
         "kind": "pagerank_bsp", "N": N, "R": R, "scale": scale,
         "dnum": dnum, "dden": dden,
@@ -362,55 +358,23 @@ def _pagerank_bsp(
     }
     start_iter = 0
     if ckpt_dir:
-        import json as _json
-        import os as _os
+        done, _extras = read_meta(ckpt_dir, meta_want)
+        if 0 < done <= iters:
+            _read = slice_reader()
 
-        meta_path = _os.path.join(ckpt_dir, "_META.json")
-        if _os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                got = _json.load(fh)
-            done = got.pop("iter_done", 0)
-            if got == meta_want and 0 < done <= iters:
-                @ray.remote(num_returns=2)
-                def _load(rid, st):
-                    import pyarrow.parquet as pq
+            @ray.remote
+            def _dang(st, r):
+                deg, _ = st
+                return int(r[deg == 0].sum())
 
-                    deg, _ = st
-                    t = pq.read_table(
-                        _os.path.join(ckpt_dir, f"rank_{rid}.parquet")
-                    )
-                    r = t["rank_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
-                    return r, int(r[deg == 0].sum())
-
-                rank, dang_parts = [], []
-                for rid in range(R):
-                    r_, dg = _load.remote(rid, static[rid])
-                    rank.append(r_)
-                    dang_parts.append(dg)
-                start_iter = done
-
-    @ray.remote
-    def _ckpt_write(rid, r):
-        import os as _os
-
-        import pyarrow.parquet as pq
-
-        _os.makedirs(ckpt_dir, exist_ok=True)
-        pq.write_table(
-            pa.table({"rank_fp": pa.array(r)}),
-            _os.path.join(ckpt_dir, f"rank_{rid}.parquet"),
-        )
-        return rid
+            rank = [_read.remote(ckpt_dir, "rank_fp", rid) for rid in range(R)]
+            dang_parts = [_dang.remote(static[rid], rank[rid]) for rid in range(R)]
+            start_iter = done
 
     def _ckpt(it_done: int):
-        import json as _json
-        import os as _os
-
-        ray.get([_ckpt_write.remote(rid, rank[rid]) for rid in range(R)])
-        tmp = _os.path.join(ckpt_dir, "_META.json.tmp")
-        with open(tmp, "w") as fh:
-            _json.dump({**meta_want, "iter_done": it_done}, fh)
-        _os.replace(tmp, _os.path.join(ckpt_dir, "_META.json"))
+        _write = slice_writer()
+        ray.get([_write.remote(ckpt_dir, "rank_fp", rid, rank[rid]) for rid in range(R)])
+        write_meta(ckpt_dir, meta_want, it_done)
 
     for it in range(start_iter, iters):
         dangling = sum(ray.get(dang_parts))  # BSP barrier: R small ints

@@ -104,3 +104,41 @@ def test_hits_empty_edges(ray_session):
         out = hits(e, nodes, iters=2, mode=mode, num_partitions=2).to_pandas()
         assert len(out) == n
         assert (out["hub_fp"] == 0).all() and (out["auth_fp"] == 0).all()
+
+
+def test_hits_bsp_checkpoint_resume_bit_equal(ray_session, tmp_path):
+    rng = np.random.default_rng(41)
+    n = 40
+    edges = _rand_graph(rng, n, 150)
+    e, nodes = _mk(n, edges)
+
+    def run(iters, ckpt=None, every=0):
+        return (
+            hits(
+                e,
+                nodes,
+                iters=iters,
+                mode="bsp",
+                num_partitions=4,
+                checkpoint_dir=ckpt,
+                checkpoint_every=every,
+            )
+            .to_pandas()
+            .sort_values("node")[["hub_fp", "auth_fp"]]
+            .to_numpy()
+        )
+
+    want = run(4)
+    ck = str(tmp_path / "hits_ckpt")
+    run(2, ckpt=ck, every=1)  # crash after 2 rounds (last ckpt = round 1)
+    got = run(4, ckpt=ck, every=1)
+    assert np.array_equal(got, want)
+    # prove the load path ran: poison a checkpointed hub slice
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = os.path.join(ck, "h_fp_0.parquet")
+    t = pq.read_table(f)
+    pq.write_table(pa.table({"h_fp": pa.array(t["h_fp"].to_numpy() * 3 + 7)}), f)
+    assert not np.array_equal(run(4, ckpt=ck), want)

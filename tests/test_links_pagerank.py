@@ -298,7 +298,7 @@ def test_pagerank_bsp_checkpoint_resume_bit_equal(ray_session, tmp_path):
     assert json.load(open(os.path.join(ck, "_META.json")))["iter_done"] == 4
     import pyarrow.parquet as pq
 
-    f = os.path.join(ck, "rank_0.parquet")
+    f = os.path.join(ck, "rank_fp_0.parquet")
     t = pq.read_table(f)
     pq.write_table(
         pa.table({"rank_fp": pa.array(t["rank_fp"].to_numpy() + 10**9)}), f
