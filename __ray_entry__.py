@@ -1971,6 +1971,79 @@ def q_tpch_q4(sf_dir: str):
     )
 
 
+TPCH_Q10_LO = "1996-01-01"
+TPCH_Q10_HI = "1996-04-01"
+TPCH_Q10_K = 20
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10-style returned-item revenue report: revenue of RETURNED
+    lines (l_returnflag='R') per customer for orders in a quarter, top 20
+    by revenue. Shape: lineitem pre-aggregated per orderkey INSIDE each
+    batch (map-side combine before the join), hash join against the
+    filtered orders, per-customer cents rollup, deterministic top-k
+    (revenue desc, custkey asc) with customer names re-attached via a
+    broadcast lookup — the small side never shuffles."""
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    lo, hi = np.datetime64(TPCH_Q10_LO), np.datetime64(TPCH_Q10_HI)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+            100 - _cents(b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": pa.array(rev, pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi))).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_custkey"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    j = safe_hash_join(li, orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = j.groupby("o_custkey").sum("rev")
+
+    cust = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+
+    def topk(df):
+        df = df.sort_values(["sum(rev)", "o_custkey"], ascending=[False, True]).head(
+            TPCH_Q10_K
+        )
+        idx = np.searchsorted(cust["c_custkey"].to_numpy(), df["o_custkey"].to_numpy())
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64).to_numpy(),
+                "c_name": cust["c_name"].to_numpy()[idx],
+                "revenue_cents2": df["sum(rev)"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return (
+        per_cust.add_column("_g", lambda b: __import__("pandas").Series(np.zeros(len(b), dtype=np.int64)))
+        .groupby("_g")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-style revenue rollup: lineitem (filtered at the read,
     pre-aggregated per orderkey inside each batch) hash-joins orders on the
@@ -3150,6 +3223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         "tpch_q3": q_tpch_q3,
         "image_dedup": q_image_dedup,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -4020,6 +4094,17 @@ def oracle_sql() -> dict[str, str]:
             f"AND l_shipdate < TIMESTAMP '{TPCH_Q6_HI} 00:00:00' "
             "AND CAST(floor(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7 "
             "AND l_quantity < 24"
+        ),
+        "tpch_q10": (
+            "WITH l AS (SELECT l_orderkey, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS rev FROM lineitem WHERE l_returnflag = 'R'), "
+            f"o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{TPCH_Q10_LO} 00:00:00' "
+            f"AND o_orderdate < TIMESTAMP '{TPCH_Q10_HI} 00:00:00'), "
+            "pc AS (SELECT o_custkey, CAST(sum(rev) AS BIGINT) AS revenue_cents2 "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY o_custkey) "
+            "SELECT CAST(pc.o_custkey AS BIGINT) AS c_custkey, c.c_name, pc.revenue_cents2 "
+            "FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey "
+            f"ORDER BY pc.revenue_cents2 DESC, c_custkey LIMIT {TPCH_Q10_K}"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders o "
