@@ -286,10 +286,29 @@ def remove_dup_spans(
     ).union(starts.map_batches(start_rows, batch_format="pyarrow"))
 
     def rebuild(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = g[id_col].to_numpy(zero_copy_only=False)
         pos = g["pos"].to_numpy(zero_copy_only=False)
         is_text = pos < 0
-        texts = g[text_col]
+        text_rows_idx = np.flatnonzero(is_text)
+        # Tokenize with the SAME Arrow contract as _explode_pos_fn
+        # (pc.utf8_lower + RE2 \s+ split + empty filter): Python
+        # str.split() splits on Unicode whitespace (e.g. U+00A0) that
+        # RE2 \s does not, which would misalign positions.
+        txt_arr = g[text_col].take(pa.array(text_rows_idx, type=pa.int64()))
+        if isinstance(txt_arr, pa.ChunkedArray):
+            txt_arr = txt_arr.combine_chunks()
+        txt_arr = pc.fill_null(txt_arr, "")
+        lst = pc.split_pattern_regex(pc.utf8_lower(txt_arr), pattern=r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        offs = np.asarray(lst.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        flat = lst.flatten()
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        c = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+        new_offs = c[offs]
+        toks_all = flat.filter(pa.array(keep)).to_pylist()
         out_id, out_txt, out_nt, out_nr = [], [], [], []
         # group the start positions per doc once (sorted scan)
         order = np.argsort(ids[~is_text], kind="stable")
@@ -297,13 +316,13 @@ def remove_dup_spans(
         s_pos = pos[~is_text][order]
         bounds = np.searchsorted(s_ids, ids[is_text])
         bounds_hi = np.searchsorted(s_ids, ids[is_text], side="right")
-        for k, row in enumerate(np.flatnonzero(is_text)):
-            txt = texts[row].as_py()
-            toks = [w for w in (txt or "").lower().split() if w]
-            cov = np.zeros(len(toks), dtype=bool)
+        for k, row in enumerate(text_rows_idx):
+            lo, hi = int(new_offs[k]), int(new_offs[k + 1])
+            toks = toks_all[lo:hi]
+            cov = np.zeros(hi - lo, dtype=bool)
             for p in s_pos[bounds[k] : bounds_hi[k]]:
                 cov[p : p + n] = True
-            kept = [w for w, c in zip(toks, cov) if not c]
+            kept = [w for w, c2 in zip(toks, cov) if not c2]
             out_id.append(int(ids[row]))
             out_txt.append(" ".join(kept))
             out_nt.append(len(toks))

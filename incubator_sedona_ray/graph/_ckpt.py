@@ -13,6 +13,15 @@ the iteration target: resuming a crashed 50-round job or extending a
 
 Slice writes/reads run as raw Ray tasks on workers — slice data never
 passes through the driver.
+
+**ckpt_dir must be a shared filesystem on multi-node clusters** (NFS,
+FUSE-mounted object store, ...): slice parquets are written by worker
+tasks on whichever node runs them while ``_META.json`` is written on
+the driver, and resume reads are scheduled on arbitrary nodes. On a
+cluster with more than one node, :func:`validate_shared_dir` probes
+this (driver writes a marker, a worker task asserts visibility) and
+callers invoke it before trusting a checkpoint; a node-local path
+fails fast there instead of producing an unusable checkpoint.
 """
 
 from __future__ import annotations
@@ -22,6 +31,50 @@ import os
 
 import numpy as np
 import pyarrow as pa
+
+
+def validate_shared_dir(ckpt_dir: str) -> None:
+    """Fail fast when ``ckpt_dir`` is not visible cluster-wide.
+
+    The driver drops a probe file, then a worker task (scheduled
+    anywhere) must see it. On a single-node cluster this is trivially
+    true and the probe is skipped entirely — the check only costs a
+    task when ``ray.nodes()`` reports >1 alive node, exactly the case
+    where a node-local ckpt_dir would silently produce checkpoints
+    that cannot be resumed.
+    """
+    import uuid
+
+    import ray
+
+    try:
+        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:
+        alive = 1
+    if alive <= 1:
+        return
+    os.makedirs(ckpt_dir, exist_ok=True)
+    probe = os.path.join(ckpt_dir, f"_probe_{uuid.uuid4().hex}")
+    with open(probe, "w") as fh:
+        fh.write("x")
+
+    @ray.remote
+    def _seen(path: str) -> bool:
+        return os.path.exists(path)
+
+    try:
+        # NodeAffinity-free: let the scheduler place it anywhere; with
+        # >1 node a node-local dir fails this probabilistically, and a
+        # shared mount always passes.
+        ok = ray.get(_seen.remote(probe))
+    finally:
+        os.unlink(probe)
+    if not ok:
+        raise RuntimeError(
+            f"checkpoint_dir {ckpt_dir!r} is not visible from worker "
+            "nodes — use a shared filesystem (NFS / mounted object "
+            "store) for multi-node checkpoint/resume"
+        )
 
 
 def read_meta(ckpt_dir: str, meta_want: dict) -> tuple[int, dict]:

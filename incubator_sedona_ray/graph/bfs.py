@@ -258,21 +258,36 @@ def hop_distance(
     from ..state.blocks import safe_hash_join
 
     if mode in ("dense", "bsp", "auto"):
+        derived = n_nodes is None
         if n_nodes is None:
             n_nodes = _derive_n_nodes(edges, seeds, src_col, dst_col, node_col)
-        if mode == "dense" or (mode == "auto" and n_nodes <= dense_max_nodes):
+        if mode == "auto" and derived and n_nodes > dense_max_nodes:
+            # A derived n_nodes = max_id + 1 is only meaningful for
+            # near-contiguous id spaces; hashed/sparse int64 ids would
+            # make dense/bsp allocate O(max_id) slices. If the id space
+            # is much larger than the edge count, fall back to the join
+            # engine, which handles arbitrary int64 ids.
+            n_edges = edges.count()
+            if n_nodes > 16 * max(1, n_edges):
+                mode = "join"
+        if mode != "join" and (
+            mode == "dense" or (mode == "auto" and n_nodes <= dense_max_nodes)
+        ):
             return _hop_distance_dense(
                 edges, seeds, max_hops, src_col, dst_col, node_col, n_nodes
             )
-        if num_partitions is None:
-            try:
-                num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
-            except Exception:
-                num_partitions = 4
-        R = max(1, min(int(num_partitions), int(n_nodes)))
-        return _hop_distance_bsp(
-            edges, seeds, max_hops, src_col, dst_col, node_col, int(n_nodes), R
-        )
+        if mode != "join":
+            if num_partitions is None:
+                try:
+                    num_partitions = max(
+                        2, int(ray.cluster_resources().get("CPU", 4))
+                    )
+                except Exception:
+                    num_partitions = 4
+            R = max(1, min(int(num_partitions), int(n_nodes)))
+            return _hop_distance_bsp(
+                edges, seeds, max_hops, src_col, dst_col, node_col, int(n_nodes), R
+            )
     if mode != "join":
         raise ValueError(f"unknown hop_distance mode: {mode!r}")
 

@@ -100,6 +100,7 @@ def connected_components(
                 np.minimum.at(new, idx, mins)
         return new, int((new < lab).sum())
 
+    converged = False
     for _ in range(max_rounds):
         partials = [
             _scatter.options(num_returns=R).remote(topo[rid], labels[rid])
@@ -114,7 +115,17 @@ def connected_components(
             changed.append(ch)
         labels = nxt
         if sum(ray.get(changed)) == 0:  # BSP barrier: R small ints
+            converged = True
             break
+    if not converged:
+        # min-label propagation needs O(diameter) rounds; returning the
+        # still-changing labels would be silently wrong for any component
+        # whose diameter exceeds the round budget.
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds="
+            f"{max_rounds} (labels still changing) — the graph diameter "
+            "exceeds the round budget; raise max_rounds"
+        )
 
     @ray.remote
     def _to_arrow(lo, hi, lab):

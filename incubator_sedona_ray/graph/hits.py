@@ -74,7 +74,9 @@ def hits(
     (h, a) slices + renormalization denominators every k full rounds via
     graph/_ckpt.py; a rerun resumes from the last complete checkpoint,
     bit-equal to an uninterrupted run (fingerprint mismatch starts
-    fresh, like pagerank).
+    fresh, like pagerank). On multi-node clusters the directory MUST be
+    a shared mount (slices are written by worker tasks, META by the
+    driver) — validated up front via ``_ckpt.validate_shared_dir``.
     """
     import ray
 
@@ -234,8 +236,10 @@ def _hits_bsp(edges, iters, scale, src_col, dst_col, node_col, N, R, ckpt_dir=No
 
     # mid-job checkpoint/resume (graph/_ckpt.py) — raw slices + the two
     # renormalization denominators (META extras)
-    from ._ckpt import read_meta, slice_reader, slice_writer, write_meta
+    from ._ckpt import read_meta, slice_reader, slice_writer, validate_shared_dir, write_meta
 
+    if ckpt_dir:
+        validate_shared_dir(ckpt_dir)  # multi-node: ckpt_dir must be a shared mount
     meta_want = {"kind": "hits_bsp", "N": N, "R": R, "scale": scale}
     start_iter = 0
     if ckpt_dir:

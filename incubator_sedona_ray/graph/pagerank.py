@@ -175,7 +175,10 @@ def pagerank(
     rerun pointing at the same directory resumes from the last complete
     checkpoint (crash-safe: META is written last, atomically) and is
     bit-equal to an uninterrupted run. A changed graph/damping/seed
-    fingerprint ignores the checkpoint and starts fresh.
+    fingerprint ignores the checkpoint and starts fresh. On multi-node
+    clusters the directory MUST be a shared mount (slices are written by
+    worker tasks, META by the driver) — validated up front via
+    ``_ckpt.validate_shared_dir``.
     """
     import ray
 
@@ -344,8 +347,10 @@ def _pagerank_bsp(
     # range + atomic META fingerprint; fingerprint covers the recurrence
     # parameters but NOT the iteration target (extending/resuming longer
     # runs is the use case) ----
-    from ._ckpt import read_meta, slice_reader, slice_writer, write_meta
+    from ._ckpt import read_meta, slice_reader, slice_writer, validate_shared_dir, write_meta
 
+    if ckpt_dir:
+        validate_shared_dir(ckpt_dir)  # multi-node: ckpt_dir must be a shared mount
     meta_want = {
         "kind": "pagerank_bsp", "N": N, "R": R, "scale": scale,
         "dnum": dnum, "dden": dden,

@@ -115,3 +115,12 @@ def test_bfs_join_mode_non_contiguous_ids(ray_session):
     edges = [(10**12, 5), (5, 7_000_000_000), (7_000_000_000, 10**12)]
     got = _run(edges, [10**12], mode="join")
     assert got == {10**12: 0, 5: 1, 7_000_000_000: 2}
+
+
+def test_bfs_auto_mode_sparse_ids_falls_back_to_join(ray_session):
+    # auto mode with hashed/sparse int64 ids must NOT derive
+    # n_nodes = max_id + 1 and allocate O(max_id) dense slices — it
+    # should detect n_nodes >> edge count and use the join engine.
+    edges = [(10**12, 5), (5, 7_000_000_000), (7_000_000_000, 10**12)]
+    got = _run(edges, [10**12], mode="auto")
+    assert got == {10**12: 0, 5: 1, 7_000_000_000: 2}

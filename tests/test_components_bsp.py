@@ -71,3 +71,21 @@ def test_components_long_path_converges(ray_session):
     edges = [(i, i + 1) for i in range(n - 1)]
     got = _run(n, edges, 5)
     assert (got == 0).all()
+
+
+def test_components_raises_when_round_budget_exhausted(ray_session):
+    # diameter 29 path with max_rounds=3: labels are still changing when
+    # the budget runs out — silent wrong labels must not be returned.
+    import pytest
+
+    n = 30
+    e = pa.table(
+        {
+            "src": pa.array(list(range(n - 1)), type=pa.int64()),
+            "dst": pa.array(list(range(1, n)), type=pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            ray.data.from_arrow(e), n_nodes=n, num_partitions=3, max_rounds=3
+        )

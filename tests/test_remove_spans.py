@@ -91,3 +91,17 @@ def test_remove_spans_random_corpora_match_reference(ray_session):
         want = _ref_remove(texts, n, 2)
         got = _run(texts, n=n, min_docs=2, num_partitions=int(rng.integers(2, 6)))
         assert got == want, (trial, n)
+
+
+def test_remove_spans_non_ascii_whitespace(ray_session):
+    # U+00A0 is whitespace for Python str.split() but NOT for RE2 \s, so
+    # "alpha beta" is ONE token under the engine's Arrow tokenizer.
+    # A rebuild that re-tokenized with .split() would shift every position
+    # by one and strip the wrong words.
+    texts = [
+        "alpha beta shared run of words here tail0",
+        "intro shared run of words here tail1",
+    ]
+    got = _run(texts, n=4, min_docs=2)
+    assert got[0] == ("alpha beta tail0", 7, 5)
+    assert got[1] == ("intro tail1", 7, 5)
