@@ -2499,6 +2499,197 @@ def q_tpch_q9(sf_dir: str):
     )
 
 
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important parts (adapted: no partsupp, so a part's value
+    is the summed extended price of its lineitems from the target nation's
+    suppliers): lineitem pruned by a broadcast supplier set, map-side
+    per-part partials, one part-bounded groupby, then the scalar-subquery
+    HAVING is an exact INTEGER comparison value*DEN > total (no float
+    fraction), with the total taken from the already-aggregated
+    part-bounded table — the big table is scanned exactly once."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    supp = _supp_nat_lut(sf_dir)
+    skeys = np.sort(supp["sk"][supp["sn"] == TPCH_Q11_NATION])
+    sref = ray.put({"sk": skeys})
+
+    def partial(b: pa.Table, lut) -> pa.Table:
+        keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, hit = _ss_gather(lut["sk"], keys)
+        b = b.filter(pa.array(hit))
+        t = pa.table(
+            {
+                "p_partkey": b["l_partkey"],
+                "value_cents": pa.array(
+                    _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by("p_partkey").aggregate([("value_cents", "sum")]).rename_columns(["p_partkey", "value_cents"])
+        )
+
+    per_part = (
+        broadcast_map_batches(
+            _tpch_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]),
+            partial,
+            {"lut": sref},
+        )
+        .groupby("p_partkey")
+        .sum("value_cents")
+        .materialize()  # part-bounded (≤ |part| rows) — tiny vs lineitem
+    )
+    total = int(per_part.sum("sum(value_cents)") or 0)
+
+    def fin(b: pa.Table) -> pa.Table:
+        v = pc.cast(b["sum(value_cents)"], pa.int64())
+        keep = np.asarray(v, dtype=np.int64) * TPCH_Q11_FRACTION_DEN > total
+        t = pa.table({"p_partkey": b["p_partkey"], "value_cents": v})
+        return t.filter(pa.array(keep))
+
+    return per_part.map_batches(fin, batch_format="pyarrow")
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shipping-delay priority check (adapted: the synthetic
+    schema has no l_shipmode/commitdate/receiptdate, so lines are bucketed
+    by order->ship delay instead of ship mode): one big-big orderkey hash
+    join, then map-side partial counts of high/low priority lines per delay
+    bucket — the global groupby sees 3 rows per batch."""
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    li = _tpch_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    ords = _tpch_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = safe_hash_join(
+        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=_tpch_jp(), scrub_left=False, scrub_right=False,
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        days = (ship - od).astype("timedelta64[D]").astype(np.int64)
+        bucket = np.where(days > 90, "91+", np.where(days > 30, "31-90", "0-30"))
+        pri = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = (pri == "1-URGENT") | (pri == "2-HIGH")
+        t = pa.table(
+            {
+                "delay_bucket": pa.array(bucket, pa.string()),
+                "high_line_count": pa.array(high.astype(np.int64)),
+                "low_line_count": pa.array((~high).astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by("delay_bucket")
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["delay_bucket", "high_line_count", "low_line_count"])
+        )
+
+    agg = (
+        j.map_batches(rollup, batch_format="pyarrow")
+        .groupby("delay_bucket")
+        .sum(["high_line_count", "low_line_count"])
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["delay_bucket", "high_line_count", "low_line_count"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution: the LEFT OUTER
+    customer x filtered-orders join is decomposed shuffle-free on the
+    customer side — orders groupby custkey (FK contract: every o_custkey
+    exists in customer, as in TPC-H), a second tiny groupby over the
+    per-customer counts, and the zero-orders bin computed as
+    |customer| - |distinct custkeys| from two streaming aggregates. No
+    customer-table shuffle at all; the oracle states the same query as the
+    literal LEFT OUTER JOIN."""
+    ords = _tpch_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["o_orderpriority"], TPCH_Q13_EXCL_PRIORITY))).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    per_cust = ords.groupby("o_custkey").count()  # (o_custkey, count())
+    hist = (
+        per_cust.map_batches(
+            lambda b: pa.table({"c_count": pc.cast(b["count()"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"c_count": b["c_count"], "custdist": pc.cast(b["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # ≤ max-orders-per-customer rows
+    )
+    n_cust = _tpch_read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with = int(hist.sum("custdist") or 0)
+    zero_bin = n_cust - n_with
+    if zero_bin > 0:
+        hist = hist.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "c_count": pa.array([0], pa.int64()),
+                        "custdist": pa.array([zero_bin], pa.int64()),
+                    }
+                )
+            )
+        )
+    return hist
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier: quarter-pruned lineitem rolls up revenue per
+    suppkey map-side (supplier-bounded groupby), the scalar MAX comes from
+    a streaming aggregate over that small table, and the winner rows attach
+    s_name via a broadcast lookup — the correlated `= (SELECT MAX(...))`
+    shape with one scan of the big table and zero big shuffles."""
+    lo, hi = np.datetime64(TPCH_Q15_LO), np.datetime64(TPCH_Q15_HI)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((d >= lo) & (d < hi)))
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)) * (
+            100 - _cents(b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        t = pa.table({"s_suppkey": b["l_suppkey"], "rev": pa.array(rev, pa.int64())})
+        return t.group_by("s_suppkey").aggregate([("rev", "sum")]).rename_columns(["s_suppkey", "rev"])
+
+    per_supp = (
+        _tpch_read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("rev")
+        .materialize()  # supplier-bounded
+    )
+    mx = int(per_supp.max("sum(rev)"))
+    supp = (
+        _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sk, sn = supp["s_suppkey"].to_numpy(), supp["s_name"].to_numpy()
+
+    def fin(b: pa.Table) -> pa.Table:
+        rev = np.asarray(pc.cast(b["sum(rev)"], pa.int64()), dtype=np.int64)
+        b = b.filter(pa.array(rev == mx))
+        keys = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx, _ = _ss_gather(sk, keys)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "s_name": pa.array(sn[idx], pa.string()),
+                "total_revenue_cents2": pc.cast(b["sum(rev)"], pa.int64()),
+            }
+        )
+
+    return per_supp.map_batches(fin, batch_format="pyarrow")
+
+
 CF_MIN_WORDS = 25
 CF_MAX_DUP2 = 0.04
 CF_MIN_ALPHA = 0.815
@@ -3620,6 +3811,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -4525,6 +4720,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(rev) AS BIGINT) AS profit_cents2 "
             "FROM l JOIN orders ON l_orderkey = o_orderkey "
             "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2"
+        ),
+        "tpch_q11": (
+            "WITH v AS (SELECT l_partkey AS p_partkey, "
+            "CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            f"WHERE s_nationkey = {TPCH_Q11_NATION} GROUP BY l_partkey) "
+            "SELECT p_partkey, value_cents FROM v "
+            f"WHERE value_cents * {TPCH_Q11_FRACTION_DEN} > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)"
+        ),
+        "tpch_q12": (
+            "WITH j AS (SELECT datediff('day', o_orderdate, l_shipdate) AS delay, o_orderpriority "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) "
+            "SELECT CASE WHEN delay > 90 THEN '91+' WHEN delay > 30 THEN '31-90' ELSE '0-30' END AS delay_bucket, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM j GROUP BY 1"
+        ),
+        "tpch_q13": (
+            "WITH pc AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT OUTER JOIN "
+            f"(SELECT o_custkey FROM orders WHERE o_orderpriority <> '{TPCH_Q13_EXCL_PRIORITY}') o "
+            "ON c_custkey = o_custkey GROUP BY c_custkey) "
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM pc GROUP BY c_count"
+        ),
+        "tpch_q15": (
+            "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS BIGINT) AS total_revenue_cents2 "
+            f"FROM lineitem WHERE l_shipdate >= TIMESTAMP '{TPCH_Q15_LO} 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '{TPCH_Q15_HI} 00:00:00' GROUP BY l_suppkey) "
+            "SELECT r.s_suppkey, s_name, total_revenue_cents2 FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey "
+            "WHERE total_revenue_cents2 = (SELECT MAX(total_revenue_cents2) FROM r)"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders o "
