@@ -2690,6 +2690,297 @@ def q_tpch_q15(sf_dir: str):
     return per_supp.map_batches(fin, batch_format="pyarrow")
 
 
+TPCH_Q16_EXCL_BRAND = "Brand#5"
+TPCH_Q16_EXCL_TYPE = "PROMO"
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 supplier-part relationship (adapted: distinct
+    (partkey,suppkey) pairs come from lineitem instead of partsupp, and
+    the complaints filter becomes s_acctbal >= 0): part attributes and the
+    good-supplier set ride as broadcast lookups; each batch emits locally
+    deduped (brand,type,size,suppkey) rows, one groupby collapses global
+    duplicates, a second counts distinct suppliers per attribute triple —
+    COUNT(DISTINCT) as two bounded-cardinality shuffles, never a
+    pairs-sized one."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    part = (
+        _tpch_read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    pmask = (
+        (part["p_brand"] != TPCH_Q16_EXCL_BRAND)
+        & (part["p_type"] != TPCH_Q16_EXCL_TYPE)
+        & part["p_size"].isin(TPCH_Q16_SIZES)
+    ).to_numpy()
+    supp = (
+        _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    good_supp = np.sort(supp.loc[supp.s_acctbal >= 0, "s_suppkey"].to_numpy())
+    lut = ray.put(
+        {
+            "pk": part["p_partkey"].to_numpy(),
+            "ok": pmask,
+            "brand": part["p_brand"].to_numpy(),
+            "type": part["p_type"].to_numpy(),
+            "size": part["p_size"].to_numpy().astype(np.int64),
+            "gs": good_supp,
+        }
+    )
+
+    def local(b: pa.Table, lut) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pidx, phit = _ss_gather(lut["pk"], pk)
+        _, shit = _ss_gather(lut["gs"], sk)
+        keep = phit & lut["ok"][pidx] & shit
+        pidx = pidx[keep]
+        t = pa.table(
+            {
+                "p_brand": pa.array(lut["brand"][pidx], pa.string()),
+                "p_type": pa.array(lut["type"][pidx], pa.string()),
+                "p_size": pa.array(lut["size"][pidx], pa.int64()),
+                "l_suppkey": pa.array(sk[keep].astype(np.int64)),
+            }
+        )
+        # local dedup: shrink the exchange to distinct quads per batch
+        g = t.group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+        return g
+
+    quads = broadcast_map_batches(
+        _tpch_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]), local, {"lut": lut}
+    )
+    distinct = quads.groupby(["p_brand", "p_type", "p_size", "l_suppkey"]).count()
+    agg = (
+        distinct.map_batches(
+            lambda b: b.select(["p_brand", "p_type", "p_size"]), batch_format="pyarrow"
+        )
+        .groupby(["p_brand", "p_type", "p_size"])
+        .count()
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "p_type": b["p_type"],
+                "p_size": b["p_size"],
+                "supplier_cnt": pc.cast(b["count()"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue: the correlated
+    `l_quantity < 0.2 * AVG(l_quantity per part)` is evaluated EXACTLY as
+    qty*5*cnt < sum_qty (integers — no float average anywhere). The
+    brand/size-pruned lineitem subset (a few percent) is materialized once;
+    per-part (sum,cnt) stats come off it as a part-bounded groupby and
+    return as a broadcast lookup for the second, filtering pass. The full
+    lineitem is scanned exactly once."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    part = _tpch_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pkeys = np.sort(
+        part.loc[
+            (part.p_brand == TPCH_Q17_BRAND) & (part.p_size <= TPCH_Q17_MAX_SIZE),
+            "p_partkey",
+        ].to_numpy()
+    )
+    pref = ray.put({"pk": pkeys})
+
+    def prune(b: pa.Table, lut) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        _, hit = _ss_gather(lut["pk"], pk)
+        b = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "qty": pa.array(
+                    b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "price_c": pa.array(
+                    _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    subset = broadcast_map_batches(
+        _tpch_read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]),
+        prune,
+        {"lut": pref},
+    ).materialize()  # brand-pruned: a few % of lineitem, 3 slim columns
+
+    stats = (
+        subset.map_batches(
+            lambda b: pa.table(
+                {"l_partkey": b["l_partkey"], "sum_qty": b["qty"], "cnt": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+            )
+            .group_by("l_partkey")
+            .aggregate([("sum_qty", "sum"), ("cnt", "sum")])
+            .rename_columns(["l_partkey", "sum_qty", "cnt"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .sum(["sum_qty", "cnt"])
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    sref = ray.put(
+        {
+            "pk": stats["l_partkey"].to_numpy(),
+            "sq": stats["sum(sum_qty)"].to_numpy().astype(np.int64),
+            "ct": stats["sum(cnt)"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def small(b: pa.Table, lut) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx, _ = _ss_gather(lut["pk"], pk)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        keep = qty * 5 * lut["ct"][idx] < lut["sq"][idx]
+        price = b["price_c"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "total_cents": pa.array([int(price.sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = broadcast_map_batches(subset, small, {"lut": sref})
+    total = int(parts.sum("total_cents") or 0)
+    n = int(parts.sum("n_lines") or 0)
+    return pa.table(
+        {
+            "total_cents": pa.array([total], pa.int64()),
+            "n_lines": pa.array([n], pa.int64()),
+            "avg_yearly_cents": pa.array([total / 7.0], pa.float64()),
+        }
+    )
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers: per-order quantity rollup with
+    map-side combine, HAVING > threshold applied to the aggregate, then
+    one hash join back to orders (big-big) and a broadcast custkey->name
+    hop. Dates leave as strings (exact calendar days)."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "sum_qty": pa.array(
+                    b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("sum_qty", "sum")]).rename_columns(["l_orderkey", "sum_qty"])
+
+    big = (
+        _tpch_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("sum_qty")
+        .map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["l_orderkey"], "sum_qty": pc.cast(b["sum(sum_qty)"], pa.int64())}
+            ).filter(pc.greater(pc.cast(b["sum(sum_qty)"], pa.int64()), TPCH_Q18_MIN_QTY)),
+            batch_format="pyarrow",
+        )
+    )
+    j = safe_hash_join(
+        big,
+        _tpch_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        "inner",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=_tpch_jp(),
+        scrub_right=False,
+    )
+    cust = (
+        _tpch_read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    cref = ray.put({"ck": cust["c_custkey"].to_numpy(), "cn": cust["c_name"].to_numpy()})
+
+    def fin(b: pa.Table, lut) -> pa.Table:
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx, _ = _ss_gather(lut["ck"], keys)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys.astype(np.int64)),
+                "c_name": pa.array(lut["cn"][idx], pa.string()),
+                "o_orderkey": b["l_orderkey"],
+                "o_orderdate": pc.strftime(
+                    pc.cast(b["o_orderdate"], pa.timestamp("s")), format="%Y-%m-%d"
+                ),
+                "o_totalprice_cents": pa.array(
+                    _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+                "sum_qty": b["sum_qty"],
+            }
+        )
+
+    return broadcast_map_batches(j, fin, {"lut": cref})
+
+
+TPCH_Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted revenue: the OR-of-ANDs brand/size/quantity
+    predicate evaluates as three vectorized masks against broadcast part
+    attribute arrays — one lineitem scan, per-batch int64 partial, single
+    global sum, zero shuffles."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    part = (
+        _tpch_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    lut = ray.put(
+        {
+            "pk": part["p_partkey"].to_numpy(),
+            "brand": part["p_brand"].to_numpy(),
+            "size": part["p_size"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def partial(b: pa.Table, lut) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx, hit = _ss_gather(lut["pk"], pk)
+        brand = lut["brand"][idx]
+        size = lut["size"][idx]
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        m = np.zeros(len(pk), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in TPCH_Q19_BRANCHES:
+            m |= (brand == br) & (size >= s_lo) & (size <= s_hi) & (qty >= q_lo) & (qty <= q_hi)
+        m &= hit
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)[m]) * (
+            100 - _cents(b["l_discount"].to_numpy(zero_copy_only=False)[m])
+        )
+        return pa.table({"rev": pa.array([int(rev.sum())], pa.int64())})
+
+    li = _tpch_read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    total = int(broadcast_map_batches(li, partial, {"lut": lut}).sum("rev") or 0)
+    return pa.table({"revenue_cents2": pa.array([total], pa.int64())})
+
+
 CF_MIN_WORDS = 25
 CF_MAX_DUP2 = 0.04
 CF_MIN_ALPHA = 0.815
@@ -3815,6 +4106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -4752,6 +5047,46 @@ def oracle_sql() -> dict[str, str]:
             f"AND l_shipdate < TIMESTAMP '{TPCH_Q15_HI} 00:00:00' GROUP BY l_suppkey) "
             "SELECT r.s_suppkey, s_name, total_revenue_cents2 FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey "
             "WHERE total_revenue_cents2 = (SELECT MAX(total_revenue_cents2) FROM r)"
+        ),
+        "tpch_q16": (
+            "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM pairs JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            f"WHERE p_brand <> '{TPCH_Q16_EXCL_BRAND}' AND p_type <> '{TPCH_Q16_EXCL_TYPE}' "
+            f"AND p_size IN {TPCH_Q16_SIZES} AND s_acctbal >= 0 "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q17": (
+            "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_brand = '{TPCH_Q17_BRAND}' AND p_size <= {TPCH_Q17_MAX_SIZE}), "
+            "st AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY l_partkey) "
+            "SELECT CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS total_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(COALESCE(SUM(price_c), 0) AS DOUBLE) / 7.0 AS avg_yearly_cents "
+            "FROM li JOIN st USING (l_partkey) WHERE qty * 5 * cnt < sum_qty"
+        ),
+        "tpch_q18": (
+            "WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            f"FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > {TPCH_Q18_MIN_QTY}) "
+            "SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_cents, sum_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "tpch_q19": (
+            "SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))), 0) AS BIGINT) AS revenue_cents2 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE "
+            + " OR ".join(
+                f"(p_brand = '{br}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+                f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+                for br, s_lo, s_hi, q_lo, q_hi in TPCH_Q19_BRANCHES
+            )
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders o "
