@@ -2981,6 +2981,358 @@ def q_tpch_q19(sf_dir: str):
     return pa.table({"revenue_cents2": pa.array([total], pa.int64())})
 
 
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion (adapted: availqty > half of
+    shipped quantity becomes per-(supplier,part) shipped quantity above a
+    threshold, no partsupp): lineitem pruned at the batch by broadcast
+    partkey set + ship-year window, per-pair map-side combine, one
+    pair-bounded groupby, HAVING, then distinct suppliers re-attach
+    name/nation via broadcast and filter to the target region."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    lo, hi = np.datetime64(TPCH_Q20_LO), np.datetime64(TPCH_Q20_HI)
+    part = _tpch_read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pkeys = np.sort(part.loc[part.p_name.str.startswith("small"), "p_partkey"].to_numpy())
+    pref = ray.put({"pk": pkeys})
+
+    def partial(b: pa.Table, lut) -> pa.Table:
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((d >= lo) & (d < hi)))
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        _, hit = _ss_gather(lut["pk"], pk)
+        b = b.filter(pa.array(hit))
+        t = pa.table(
+            {
+                "l_suppkey": b["l_suppkey"],
+                "l_partkey": b["l_partkey"],
+                "qty": pa.array(
+                    b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+        return (
+            t.group_by(["l_suppkey", "l_partkey"]).aggregate([("qty", "sum")]).rename_columns(["l_suppkey", "l_partkey", "qty"])
+        )
+
+    pairs = (
+        broadcast_map_batches(
+            _tpch_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+            partial,
+            {"lut": pref},
+        )
+        .groupby(["l_suppkey", "l_partkey"])
+        .sum("qty")
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater(pc.cast(b["sum(qty)"], pa.int64()), TPCH_Q20_MIN_QTY)
+            ).select(["l_suppkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    supps = pairs.groupby("l_suppkey").count()  # distinct suppliers
+
+    nat = (
+        ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+        .to_pandas()
+        .sort_values("n_nationkey")
+    )
+    region_of = nat["n_regionkey"].to_numpy().astype(np.int64)
+    supp = (
+        _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sref = ray.put(
+        {
+            "sk": supp["s_suppkey"].to_numpy(),
+            "sn": supp["s_name"].to_numpy(),
+            "nat": supp["s_nationkey"].to_numpy().astype(np.int64),
+            "rg": region_of,
+        }
+    )
+
+    def fin(b: pa.Table, lut) -> pa.Table:
+        keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx, _ = _ss_gather(lut["sk"], keys)
+        keep = lut["rg"][lut["nat"][idx]] == TPCH_Q20_REGION
+        return pa.table(
+            {
+                "s_suppkey": pa.array(keys[keep].astype(np.int64)),
+                "s_name": pa.array(lut["sn"][idx][keep], pa.string()),
+            }
+        )
+
+    return broadcast_map_batches(supps, fin, {"lut": sref})
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: "late" is
+    l_shipdate > o_orderdate + 90 days — the synthetic schema has no
+    commit/receipt dates): the EXISTS / NOT-EXISTS pair over other
+    suppliers of the same order is computed WITHOUT self-joins — per
+    (orderkey, suppkey) a max(late) rollup, then per orderkey three
+    standard aggregates (supplier count, late-supplier count, and the late
+    supplier's key via min(suppkey | late ? 0 : +INF)); orders with >= 2
+    suppliers and exactly one late supplier charge that supplier. One
+    big-big join + two bounded groupbys."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    BIG = np.int64(2**62)
+
+    ords = _tpch_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    li = _tpch_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = safe_hash_join(
+        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=_tpch_jp(), scrub_left=False,
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        late = (ship > od + np.timedelta64(TPCH_Q21_LATE_DAYS, "D")).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "late": pa.array(late),
+            }
+        )
+        return (
+            t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")]).rename_columns(["l_orderkey", "l_suppkey", "late"])
+        )
+
+    pairs = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .max("late")
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        late = pc.cast(b["max(late)"], pa.int64()).to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "one": pa.array(np.ones(len(sk), dtype=np.int64)),
+                "late": pa.array(late),
+                "late_key": pa.array(np.where(late == 1, sk, BIG)),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    per_order = (
+        pairs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("one"), Sum("late"), Min("late_key"))
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        ns = pc.cast(b["sum(one)"], pa.int64()).to_numpy(zero_copy_only=False)
+        nl = pc.cast(b["sum(late)"], pa.int64()).to_numpy(zero_copy_only=False)
+        lk = pc.cast(b["min(late_key)"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ns >= 2) & (nl == 1)
+        return pa.table({"s_suppkey": pa.array(lk[keep])})
+
+    waits = per_order.map_batches(pick, batch_format="pyarrow").groupby("s_suppkey").count()
+
+    supp = (
+        _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    names = _nation_names(sf_dir)
+    sref = ray.put(
+        {
+            "sk": supp["s_suppkey"].to_numpy(),
+            "sn": supp["s_name"].to_numpy(),
+            "nat": supp["s_nationkey"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def fin(b: pa.Table, lut) -> pa.Table:
+        keys = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx, _ = _ss_gather(lut["sk"], keys)
+        keep = names[lut["nat"][idx]] == TPCH_Q21_NATION
+        return pa.table(
+            {
+                "s_name": pa.array(lut["sn"][idx][keep], pa.string()),
+                "numwait": pc.cast(b["count()"], pa.int64()).filter(pa.array(keep)),
+            }
+        )
+
+    return broadcast_map_batches(waits, fin, {"lut": sref})
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global sales opportunity (adapted: country code is the
+    nation key — no c_phone — and the anti-join excludes customers with an
+    URGENT order, since every synthetic customer has at least one order):
+    the `> AVG(positive balances)` scalar is evaluated EXACTLY as
+    bal*n > sum over integer cents; the NOT EXISTS is a distributed
+    left-anti hash join."""
+    from incubator_sedona_ray.state.blocks import safe_hash_join
+
+    codes = np.array(TPCH_Q22_CODES, dtype=np.int64)
+
+    def base_fn(b: pa.Table) -> pa.Table:
+        nat = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nat, codes)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].filter(pa.array(keep)),
+                "cntrycode": pa.array(nat[keep]),
+                "bal_c": pa.array(
+                    _cents(b["c_acctbal"].to_numpy(zero_copy_only=False)[keep]), pa.int64()
+                ),
+            }
+        )
+
+    base = _tpch_read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        base_fn, batch_format="pyarrow"
+    ).materialize()  # customer-bounded slim projection; read twice otherwise
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = b["bal_c"].to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    stats = base.map_batches(pos_partial, batch_format="pyarrow")
+    s = int(stats.sum("s") or 0)
+    n = int(stats.sum("n") or 0)
+
+    urgent = _tpch_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    anti = safe_hash_join(
+        base, urgent, "left_anti", on=("c_custkey",), right_on=("o_custkey",),
+        num_partitions=_tpch_jp(),
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        bal = b["bal_c"].to_numpy(zero_copy_only=False)
+        keep = bal * n > s
+        t = pa.table(
+            {
+                "cntrycode": b["cntrycode"].filter(pa.array(keep)),
+                "numcust": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "totacctbal_cents": pa.array(bal[keep], pa.int64()),
+            }
+        )
+        return (
+            t.group_by("cntrycode")
+            .aggregate([("numcust", "sum"), ("totacctbal_cents", "sum")])
+            .rename_columns(["cntrycode", "numcust", "totacctbal_cents"])
+        )
+
+    agg = anti.map_batches(rollup, batch_format="pyarrow").groupby("cntrycode").sum(
+        ["numcust", "totacctbal_cents"]
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["cntrycode", "numcust", "totacctbal_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp, so the cost of
+    a (part, supplier) pair is the MINIMUM extended price that supplier
+    ever charged for that part in lineitem): region-pruned suppliers and
+    size-pruned parts ride as broadcast sets, per-pair min rolls up
+    map-side, and the correlated `= (SELECT MIN(...))` join-back runs
+    inside a per-part map_groups — one bounded groupby, no second scan."""
+    from incubator_sedona_ray.partition.assign import broadcast_map_batches
+
+    part = _tpch_read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).to_pandas()
+    part = part[part.p_size == TPCH_Q2_SIZE].sort_values("p_partkey")
+    nat = (
+        ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+        .to_pandas()
+        .sort_values("n_nationkey")
+    )
+    region_of = nat["n_regionkey"].to_numpy().astype(np.int64)
+    names = nat["n_name"].to_numpy()
+    supp = (
+        _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    supp = supp[region_of[supp["s_nationkey"].to_numpy()] == TPCH_Q2_REGION]
+    lut = ray.put(
+        {
+            "pk": part["p_partkey"].to_numpy(),
+            "pn": part["p_name"].to_numpy(),
+            "sk": supp["s_suppkey"].to_numpy(),
+            "sn": supp["s_name"].to_numpy(),
+            "sb": _cents(supp["s_acctbal"].to_numpy()),
+            "snat": supp["s_nationkey"].to_numpy().astype(np.int64),
+        }
+    )
+
+    def partial(b: pa.Table, lut) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, ph = _ss_gather(lut["pk"], pk)
+        _, sh = _ss_gather(lut["sk"], sk)
+        b = b.filter(pa.array(ph & sh))
+        t = pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cost_c": pa.array(
+                    _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by(["l_partkey", "l_suppkey"]).aggregate([("cost_c", "min")]).rename_columns(["l_partkey", "l_suppkey", "cost_c"])
+        )
+
+    pairs = (
+        broadcast_map_batches(
+            _tpch_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]),
+            partial,
+            {"lut": lut},
+        )
+        .groupby(["l_partkey", "l_suppkey"])
+        .min("cost_c")
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        mc = df["min(cost_c)"].min()
+        return df[df["min(cost_c)"] == mc]
+
+    winners = pairs.groupby("l_partkey").map_groups(per_part, batch_format="pandas")
+
+    def fin(b: pa.Table, lut) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pidx, _ = _ss_gather(lut["pk"], pk)
+        sidx, _ = _ss_gather(lut["sk"], sk)
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk.astype(np.int64)),
+                "p_name": pa.array(lut["pn"][pidx], pa.string()),
+                "s_name": pa.array(lut["sn"][sidx], pa.string()),
+                "n_name": pa.array(names[lut["snat"][sidx]], pa.string()),
+                "s_acctbal_cents": pa.array(lut["sb"][sidx], pa.int64()),
+                "cost_cents": pc.cast(b["min(cost_c)"], pa.int64()),
+            }
+        )
+
+    return broadcast_map_batches(winners, fin, {"lut": lut})
+
+
 CF_MIN_WORDS = 25
 CF_MAX_DUP2 = 0.04
 CF_MIN_ALPHA = 0.815
@@ -4110,6 +4462,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -5087,6 +5443,53 @@ def oracle_sql() -> dict[str, str]:
                 f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
                 for br, s_lo, s_hi, q_lo, q_hi in TPCH_Q19_BRANCHES
             )
+        ),
+        "tpch_q20": (
+            "WITH sp AS (SELECT l_suppkey, l_partkey FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE 'small%' "
+            f"AND l_shipdate >= TIMESTAMP '{TPCH_Q20_LO} 00:00:00' AND l_shipdate < TIMESTAMP '{TPCH_Q20_HI} 00:00:00' "
+            f"GROUP BY 1, 2 HAVING SUM(CAST(l_quantity AS BIGINT)) > {TPCH_Q20_MIN_QTY}), "
+            "s AS (SELECT DISTINCT l_suppkey FROM sp) "
+            "SELECT s_suppkey, s_name FROM s JOIN supplier ON l_suppkey = s_suppkey "
+            f"JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = {TPCH_Q20_REGION}"
+        ),
+        "tpch_q21": (
+            "WITH j AS (SELECT l_orderkey, l_suppkey, "
+            f"(l_shipdate > o_orderdate + INTERVAL {TPCH_Q21_LATE_DAYS} DAY) AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'), "
+            "agg AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns, "
+            "COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl, "
+            "MIN(CASE WHEN late THEN l_suppkey END) AS ls FROM j GROUP BY 1) "
+            "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM agg "
+            "JOIN supplier ON ls = s_suppkey JOIN nation ON s_nationkey = n_nationkey "
+            f"WHERE ns >= 2 AND nl = 1 AND n_name = '{TPCH_Q21_NATION}' GROUP BY s_name"
+        ),
+        "tpch_q22": (
+            "WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode, "
+            "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c FROM customer "
+            f"WHERE c_nationkey IN {TPCH_Q22_CODES}), "
+            "a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM c WHERE bal_c > 0), "
+            "f AS (SELECT * FROM c, a WHERE bal_c * n > s AND NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) "
+            "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(bal_c) AS BIGINT) AS totacctbal_cents FROM f GROUP BY cntrycode"
+        ),
+        "tpch_q2": (
+            f"WITH pr AS (SELECT p_partkey, p_name FROM part WHERE p_size = {TPCH_Q2_SIZE}), "
+            "sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            f"WHERE n_regionkey = {TPCH_Q2_REGION}), "
+            "pairs AS (SELECT l_partkey, l_suppkey, "
+            "CAST(MIN(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cost_c "
+            "FROM lineitem JOIN pr ON l_partkey = p_partkey JOIN sr ON l_suppkey = s_suppkey "
+            "GROUP BY 1, 2), "
+            "m AS (SELECT l_partkey, MIN(cost_c) AS mc FROM pairs GROUP BY 1) "
+            "SELECT pairs.l_partkey AS p_partkey, p.p_name, s.s_name, s.n_name, "
+            "CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT) AS s_acctbal_cents, cost_c AS cost_cents "
+            "FROM pairs JOIN m ON pairs.l_partkey = m.l_partkey AND pairs.cost_c = m.mc "
+            "JOIN pr p ON pairs.l_partkey = p.p_partkey "
+            "JOIN sr s ON pairs.l_suppkey = s.s_suppkey"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders o "
