@@ -3333,6 +3333,59 @@ def q_tpch_q2(sf_dir: str):
     return broadcast_map_batches(winners, fin, {"lut": lut})
 
 
+DSIR_K = 50
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_sql() -> str:
+    """DuckDB replica of dsir_select: exact integer ratio table via
+    LEFT JOIN + add-one smoothing, BIGINT floor divisions throughout."""
+    from incubator_sedona_ray.text.dsir import DSIR_SCALE
+
+    return (
+        r"WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), "
+        "cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w), "
+        r"ttoks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w "
+        f"FROM documents WHERE lang = '{DSIR_TARGET_LANG}'), "
+        "ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ttoks GROUP BY w), "
+        f"ratio AS (SELECT cr.w, ((COALESCE(ct.c, 0) + 1) * {DSIR_SCALE}) // (cr.c + 1) AS r "
+        "FROM cr LEFT JOIN ct USING (w)), "
+        "sc AS (SELECT doc_id, CAST(SUM(r) AS BIGINT) AS score FROM toks JOIN ratio USING (w) GROUP BY doc_id), "
+        "f AS (SELECT d.doc_id, COALESCE(score, CAST(0 AS BIGINT)) AS score FROM documents d LEFT JOIN sc USING (doc_id)) "
+        "SELECT doc_id, score, rank FROM (SELECT doc_id, score, "
+        "row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM f) "
+        f"WHERE rank <= {DSIR_K}"
+    )
+
+
+def _q_dsir(sf_dir: str, mode: str):
+    from incubator_sedona_ray.text.dsir import dsir_select
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], DSIR_TARGET_LANG)).select(["text"]),
+        batch_format="pyarrow",
+    )
+    return dsir_select(docs, target, DSIR_K, mode=mode)
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance selection (text/dsir.py, Xie et al. 2023 adapted to
+    exact integers): target = the corpus's own English documents, keep the
+    50 most target-like by the fixed-point unigram importance sum.
+    Broadcast mode: vocabulary-bounded ratio table shipped once, one
+    zero-shuffle scoring pass, mergeable top-k."""
+    return _q_dsir(sf_dir, "broadcast")
+
+
+def q_dsir_select_join(sf_dir: str):
+    """The same selection through the join engine (the 100 TB path for
+    vocabularies beyond driver memory): distributed ratio table via
+    inner+anti joins, exploded-token hash join, bucketed per-doc sums —
+    bit-identical to broadcast mode and to the SQL oracle."""
+    return _q_dsir(sf_dir, "join")
+
+
 CF_MIN_WORDS = 25
 CF_MAX_DUP2 = 0.04
 CF_MIN_ALPHA = 0.815
@@ -4466,6 +4519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "tpch_q2": q_tpch_q2,
+        "dsir_select": q_dsir_select,
+        "dsir_select_join": q_dsir_select_join,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -5444,6 +5499,8 @@ def oracle_sql() -> dict[str, str]:
                 for br, s_lo, s_hi, q_lo, q_hi in TPCH_Q19_BRANCHES
             )
         ),
+        "dsir_select": _dsir_sql(),
+        "dsir_select_join": _dsir_sql(),
         "tpch_q20": (
             "WITH sp AS (SELECT l_suppkey, l_partkey FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE p_name LIKE 'small%' "
