@@ -757,6 +757,31 @@ def run_bench() -> dict:
     # train (2 passes) + score (1 pass) over the page table
     timed("q20_lm_score", q20, rows=3 * n_pages)
 
+    # q21: TPC-H Q21 over the sf tables — the heaviest relational shape in
+    # the suite (big-big lineitem x orders hash join, per-(order,supplier)
+    # max rollup, per-order triple aggregate, broadcast name attach).
+    def q21():
+        out = entrymod.q_tpch_q21(SF_DIR)
+        return out.count()
+
+    n_lineitem = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"]
+    ).count()
+    timed("q21_tpch_q21", q21, rows=n_lineitem)
+
+    # q22: DSIR selection over the full expanded page corpus (broadcast
+    # mode): two fnv-bucketed count passes + one zero-shuffle scoring pass
+    # + mergeable top-k — the CCNet/DSIR-style data-selection gate.
+    def q22():
+        from incubator_sedona_ray.text.dsir import dsir_select
+
+        pages = expanded_pages(ray, n_docs, columns=["doc_id", "text"])
+        target = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+        out = dsir_select(pages, target, 100)
+        return out.count()
+
+    timed("q22_dsir_select", q22, rows=3 * n_pages)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",
