@@ -77,6 +77,7 @@ def broadcast_map_batches(
     batch_format="pyarrow",
     concurrency=None,
     size_threshold: int = SMALL_BROADCAST_BYTES,
+    pool: str = "auto",
     **kw,
 ):
     """Run ``fn(batch, **broadcast_values)`` over a Dataset.
@@ -84,9 +85,20 @@ def broadcast_map_batches(
     Small broadcast values (< ``size_threshold`` pickled) are captured in
     the task closure — the stage stays a stateless TASK and FUSES with
     neighbouring map stages (zero extra object-store hops). Large values go
-    through ``ray.put`` + an actor pool that fetches once per actor
-    (``__init__``), never per task (a per-task blocking ``ray.get``
-    measurably serializes the whole stage)."""
+    through ``ray.put`` once and are read inside the stage; HOW they are
+    read is ``pool``:
+
+    - ``"actor"``: an actor pool that fetches once per actor
+      (``__init__``) — right when the stage runs MANY small batches,
+      where a per-call ``ray.get`` would be re-paid thousands of times.
+    - ``"task"``: stateless tasks that ``ray.get`` the refs per call
+      (zero-copy from local plasma). With whole-block batches the get is
+      paid once per BLOCK, and the stage skips the actor pool's ramp-up
+      (the autoscaling pool starts at 1 actor; measured 12.9s -> 3.5s on
+      the 2M-page DSIR scoring pass at 64 blocks / 32 CPUs).
+    - ``"auto"`` (default): ``"task"`` when ``batch_size=None`` (one call
+      per block), else ``"actor"``.
+    """
     import cloudpickle
 
     vals = {k: (ray.get(v) if isinstance(v, ray.ObjectRef) else v) for k, v in refs.items()}
@@ -99,7 +111,17 @@ def broadcast_map_batches(
             return fn(batch, **vals)
 
         return ds.map_batches(wrapped, batch_format=batch_format, **kw)
-    big_refs = {k: (v if isinstance(refs[k], ray.ObjectRef) else ray.put(v)) for k, v in vals.items()}
+    big_refs = {
+        k: (refs[k] if isinstance(refs[k], ray.ObjectRef) else ray.put(v))
+        for k, v in vals.items()
+    }
+    if pool == "auto":
+        pool = "task" if ("batch_size" in kw and kw["batch_size"] is None) else "actor"
+    if pool == "task":
+        def wrapped_get(batch):
+            return fn(batch, **{k: ray.get(v) for k, v in big_refs.items()})
+
+        return ds.map_batches(wrapped_get, batch_format=batch_format, **kw)
     if concurrency is None:
         concurrency = default_pool()
     return ds.map_batches(

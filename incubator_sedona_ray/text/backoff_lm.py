@@ -309,16 +309,39 @@ def _lm_score_broadcast(docs, model, scale, doc_col, text_col):
     import ray
 
     uk, uc = _collect_counts(model["uni"])
-    bk, bc = _collect_counts(model["bi"])
     V = len(uk) + 1
     # bigram keys as integer pair codes over the unigram vocab (a model's
     # bigram words are drawn from its own unigram table by construction;
-    # an entry with an out-of-vocab word could never be matched anyway)
-    if len(bk):
-        parts = pc.split_pattern(bk, " ")
+    # an entry with an out-of-vocab word could never be matched anyway).
+    # The string split + vocab lookup runs DISTRIBUTED over the bigram
+    # table (it was a ~2s serial driver step at 4M bigrams); the driver
+    # only collects (code, cnt) int64 pairs and sorts them.
+    uk_ref = ray.put(uk)
+
+    def to_codes(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["ngram"], " ")
         flatp = pc.list_flatten(parts)
-        ids = pc.index_in(flatp, value_set=uk).fill_null(V - 1).to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = ids[0::2] * V + ids[1::2]
+        ids = (
+            pc.index_in(flatp, value_set=ray.get(uk_ref))
+            .fill_null(V - 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {"code": pa.array(ids[0::2] * V + ids[1::2]), "cnt": b["cnt"]}
+        )
+
+    code_parts = [
+        t
+        for t in model["bi"].map_batches(
+            to_codes, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if code_parts:
+        tbl = pa.concat_tables(code_parts)
+        codes = tbl["code"].to_numpy(zero_copy_only=False)
+        bc = tbl["cnt"].to_numpy(zero_copy_only=False)
         order = np.argsort(codes)
         bi_keys, bi_cnts = codes[order], bc[order]
     else:
@@ -373,7 +396,12 @@ def _lm_score_broadcast(docs, model, scale, doc_col, text_col):
             }
         )
 
-    return docs.select_columns([doc_col, text_col]).map_batches(score, batch_format="pyarrow")
+    return docs.select_columns([doc_col, text_col]).map_batches(
+        # whole-block batches — index_in re-hashes the unigram value_set
+        # per call, so the 1024-row default re-pays the O(V) build ~30x
+        # per block
+        score, batch_format="pyarrow", batch_size=None
+    )
 
 
 def _lm_score_join(docs, model, scale, doc_col, text_col, num_buckets=None):
