@@ -1640,8 +1640,8 @@ def q_tpch_q5(sf_dir: str):
     broadcast sorted-key lookup, and revenue rolls up in exact integer
     cents with map-side partials. At true TPC-H ratios customer is ~1.5%
     of lineitem: broadcastable far longer than orders, and the fallback is
-    the same safe_hash_join used for the orderkey join."""
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    the same size-adaptive equi_join_auto used for the orderkey join."""
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
@@ -1717,7 +1717,7 @@ def q_tpch_q5(sf_dir: str):
     )
     from incubator_sedona_ray.dedup.minhash import _default_join_partitions
 
-    joined = safe_hash_join(
+    joined = equi_join_auto(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
         # CPU-scaled: each hash-join partition is an aggregator ACTOR; a
         # fixed 32 stalls a 4-CPU session (32 actors, no CPU for tasks)
@@ -1933,7 +1933,7 @@ def q_tpch_q4(sf_dir: str):
     half-year window having AT LEAST ONE returned line (l_returnflag =
     'R') — the EXISTS shape as a distributed LEFT SEMI hash join (no
     dedup pass needed: semi join IS exists), then a tiny groupby count."""
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     lo, hi = np.datetime64(TPCH_Q4_LO), np.datetime64(TPCH_Q4_HI)
 
@@ -1956,7 +1956,7 @@ def q_tpch_q4(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    hit = safe_hash_join(
+    hit = equi_join_auto(
         orders, returned, "left_semi", 8, on=("o_orderkey",), right_on=("l_orderkey",)
     )
     agg = hit.groupby("o_orderpriority").count()
@@ -1984,7 +1984,7 @@ def q_tpch_q10(sf_dir: str):
     filtered orders, per-customer cents rollup, deterministic top-k
     (revenue desc, custkey asc) with customer names re-attached via a
     broadcast lookup — the small side never shuffles."""
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     lo, hi = np.datetime64(TPCH_Q10_LO), np.datetime64(TPCH_Q10_HI)
 
@@ -2011,7 +2011,7 @@ def q_tpch_q10(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_custkey"],
     ).map_batches(ofilter, batch_format="pyarrow")
 
-    j = safe_hash_join(li, orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = equi_join_auto(li, orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = j.groupby("o_custkey").sum("rev")
 
     cust = (
@@ -2050,7 +2050,7 @@ def q_tpch_q3(sf_dir: str):
     order key, the small customer side broadcasts as a custkey->segment
     lookup (no second shuffle), and revenue rolls up by (mktsegment,
     o_orderpriority) in exact integer cents."""
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     cutoff = np.datetime64(TPCH_CUTOFF)
 
@@ -2076,7 +2076,7 @@ def q_tpch_q3(sf_dir: str):
     )
     from incubator_sedona_ray.dedup.minhash import _default_join_partitions
 
-    joined = safe_hash_join(
+    joined = equi_join_auto(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
         num_partitions=_default_join_partitions() * 2,  # actor-backed: CPU-scaled
         scrub_left=True, scrub_right=False,
@@ -2227,7 +2227,7 @@ def q_tpch_q7(sf_dir: str):
     dimension hops never shuffle. Reference shape: TPC-H Q7 (no
     l_commitdate in the synthetic schema — Q7 does not need it)."""
     from incubator_sedona_ray.partition.assign import broadcast_map_batches
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     n1, n2 = TPCH_Q7_NATIONS
     lo, hi = np.datetime64(TPCH_Q7_LO), np.datetime64(TPCH_Q7_HI)
@@ -2275,7 +2275,7 @@ def q_tpch_q7(sf_dir: str):
     ords = broadcast_map_batches(
         _tpch_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]), o_side, {"lut": clut}
     )
-    j = safe_hash_join(
+    j = equi_join_auto(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
         num_partitions=_tpch_jp(),
     )
@@ -2318,7 +2318,7 @@ def q_tpch_q8(sf_dir: str):
     revenue and the total as integer cents, so mkt_share is a ratio of two
     exact integers (bit-equal to SQL)."""
     from incubator_sedona_ray.partition.assign import broadcast_map_batches
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     lo, hi = np.datetime64(TPCH_Q7_LO), np.datetime64(TPCH_Q7_HI)
     part = _tpch_read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
@@ -2375,7 +2375,7 @@ def q_tpch_q8(sf_dir: str):
         o_side,
         {"lut": clut},
     )
-    j = safe_hash_join(
+    j = equi_join_auto(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
         num_partitions=_tpch_jp(),
     )
@@ -2425,7 +2425,7 @@ def q_tpch_q9(sf_dir: str):
     supplier nation attached by broadcast, one orderkey hash join to fetch
     the order year, rollup by (nation, year) in integer cents."""
     from incubator_sedona_ray.partition.assign import broadcast_map_batches
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     part = _tpch_read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
     pkeys = np.sort(
@@ -2470,7 +2470,7 @@ def q_tpch_q9(sf_dir: str):
     ords = _tpch_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
         o_side, batch_format="pyarrow"
     )
-    j = safe_hash_join(
+    j = equi_join_auto(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
         num_partitions=_tpch_jp(),
     )
@@ -2556,11 +2556,11 @@ def q_tpch_q12(sf_dir: str):
     by order->ship delay instead of ship mode): one big-big orderkey hash
     join, then map-side partial counts of high/low priority lines per delay
     bucket — the global groupby sees 3 rows per batch."""
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     li = _tpch_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     ords = _tpch_read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
-    j = safe_hash_join(
+    j = equi_join_auto(
         li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
         num_partitions=_tpch_jp(), scrub_left=False, scrub_right=False,
     )
@@ -2870,7 +2870,7 @@ def q_tpch_q18(sf_dir: str):
     one hash join back to orders (big-big) and a broadcast custkey->name
     hop. Dates leave as strings (exact calendar days)."""
     from incubator_sedona_ray.partition.assign import broadcast_map_batches
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -2895,7 +2895,7 @@ def q_tpch_q18(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    j = safe_hash_join(
+    j = equi_join_auto(
         big,
         _tpch_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
         "inner",
@@ -3076,7 +3076,7 @@ def q_tpch_q21(sf_dir: str):
     suppliers and exactly one late supplier charge that supplier. One
     big-big join + two bounded groupbys."""
     from incubator_sedona_ray.partition.assign import broadcast_map_batches
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     BIG = np.int64(2**62)
 
@@ -3085,10 +3085,15 @@ def q_tpch_q21(sf_dir: str):
         batch_format="pyarrow",
     )
     li = _tpch_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
-    j = safe_hash_join(
-        li, ords, "inner", on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=_tpch_jp(), scrub_left=False,
+    # size-adaptive: the F-filtered orders projection broadcast-probes when
+    # it fits (zero shuffle); beyond the threshold this is the same
+    # big-big hash join as before
+    j = equi_join_auto(
+        li, ords, "inner", _tpch_jp(), on=("l_orderkey",), right_on=("o_orderkey",),
+        scrub_left=False,
     )
+
+    NB = _tpch_jp() * 4
 
     def pair_partial(b: pa.Table) -> pa.Table:
         ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
@@ -3101,44 +3106,50 @@ def q_tpch_q21(sf_dir: str):
                 "late": pa.array(late),
             }
         )
-        return (
+        t = (
             t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")]).rename_columns(["l_orderkey", "l_suppkey", "late"])
         )
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_b", pa.array(ok % NB))
 
-    pairs = (
-        j.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_suppkey"])
-        .max("late")
-    )
-
-    def keyed(b: pa.Table) -> pa.Table:
-        late = pc.cast(b["max(late)"], pa.int64()).to_numpy(zero_copy_only=False)
-        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "one": pa.array(np.ones(len(sk), dtype=np.int64)),
-                "late": pa.array(late),
-                "late_key": pa.array(np.where(late == 1, sk, BIG)),
-            }
-        )
-
-    from ray.data.aggregate import Min, Sum
-
-    per_order = (
-        pairs.map_batches(keyed, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("one"), Sum("late"), Min("late_key"))
-    )
-
-    def pick(b: pa.Table) -> pa.Table:
-        ns = pc.cast(b["sum(one)"], pa.int64()).to_numpy(zero_copy_only=False)
-        nl = pc.cast(b["sum(late)"], pa.int64()).to_numpy(zero_copy_only=False)
-        lk = pc.cast(b["min(late_key)"], pa.int64()).to_numpy(zero_copy_only=False)
+    # ONE bucket exchange (orderkeys co-locate by ok % NB); inside each
+    # bucket a numpy kernel finishes the (order, supplier) max-late rollup,
+    # the per-order triple aggregate, and the exactly-one-late pick — the
+    # former plan's two generic groupbys over ~600k/150k keys were ~10x
+    # the kernel cost (Ray's sort-based groupby at high key cardinality)
+    def order_kernel(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        late = g["late"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, late = ok[order], sk[order], late[order]
+        # (ok, sk) runs -> max(late) per pair
+        new_pair = np.ones(len(ok), dtype=bool)
+        new_pair[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pstart = np.nonzero(new_pair)[0]
+        pl = np.maximum.reduceat(late, pstart) if len(pstart) else late[:0]
+        pok, psk = ok[pstart], sk[pstart]
+        # per-order aggregates over pair rows
+        new_ord = np.ones(len(pok), dtype=bool)
+        new_ord[1:] = pok[1:] != pok[:-1]
+        ostart = np.nonzero(new_ord)[0]
+        if not len(ostart):
+            return pa.table({"s_suppkey": pa.array(np.empty(0, dtype=np.int64)), "cnt": pa.array(np.empty(0, dtype=np.int64))})
+        ns = np.diff(np.append(ostart, len(pok)))
+        nl = np.add.reduceat(pl, ostart)
+        lk = np.minimum.reduceat(np.where(pl == 1, psk, BIG), ostart)
         keep = (ns >= 2) & (nl == 1)
-        return pa.table({"s_suppkey": pa.array(lk[keep])})
+        supp = lk[keep]
+        u, c = np.unique(supp, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
 
-    waits = per_order.map_batches(pick, batch_format="pyarrow").groupby("s_suppkey").count()
+    waits = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(order_kernel, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("cnt")
+    )
 
     supp = (
         _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
@@ -3161,7 +3172,7 @@ def q_tpch_q21(sf_dir: str):
         return pa.table(
             {
                 "s_name": pa.array(lut["sn"][idx][keep], pa.string()),
-                "numwait": pc.cast(b["count()"], pa.int64()).filter(pa.array(keep)),
+                "numwait": pc.cast(b["sum(cnt)"], pa.int64()).filter(pa.array(keep)),
             }
         )
 
@@ -3175,7 +3186,7 @@ def q_tpch_q22(sf_dir: str):
     the `> AVG(positive balances)` scalar is evaluated EXACTLY as
     bal*n > sum over integer cents; the NOT EXISTS is a distributed
     left-anti hash join."""
-    from incubator_sedona_ray.state.blocks import safe_hash_join
+    from incubator_sedona_ray.state.blocks import equi_join_auto
 
     codes = np.array(TPCH_Q22_CODES, dtype=np.int64)
 
@@ -3214,7 +3225,7 @@ def q_tpch_q22(sf_dir: str):
         lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    anti = safe_hash_join(
+    anti = equi_join_auto(
         base, urgent, "left_anti", on=("c_custkey",), right_on=("o_custkey",),
         num_partitions=_tpch_jp(),
     )

@@ -149,3 +149,139 @@ def _null_pad_row(empty_ds):
         raise ValueError("cannot pad an empty dataset of unknown schema — pass a schema hint")
     cols = {f.name: pa.array([None], type=f.type) for f in base}
     return ray.data.from_arrow(pa.table(cols))
+
+
+def equi_join_auto(
+    left,
+    right,
+    join_type: str,
+    num_partitions: int,
+    *,
+    on: tuple,
+    right_on: tuple | None = None,
+    threshold_bytes: int | None = None,
+    right_suffix: str = "_r",
+    **kw,
+):
+    """Size-adaptive equi-join: if the RIGHT (build) side drains under
+    ``threshold_bytes`` (default ``SedonaConf.auto_broadcast_threshold_
+    bytes``, the reference's sedona.join.autoBroadcastJoinThreshold), run
+    a ZERO-SHUFFLE broadcast probe — the build table is sorted once on
+    the driver, ``ray.put`` once, and every left block probes it with one
+    ``index_in`` (nulls never match, any key multiplicity, exact inner /
+    left_semi / left_anti semantics). Otherwise fall back to
+    :func:`safe_hash_join` (the all-to-all path for big-big joins).
+
+    The drain executes the right pipeline once; on fallback it re-executes
+    inside the hash join — acceptable: the drain stops at the threshold,
+    so at most ``threshold_bytes`` of work is repeated.
+
+    Single-column keys only (the composite-key case falls back)."""
+    if threshold_bytes is None:
+        from ..conf import DEFAULT_CONF
+
+        threshold_bytes = DEFAULT_CONF.auto_broadcast_threshold_bytes
+    if join_type not in ("inner", "left_semi", "left_anti") or len(on) != 1 or (
+        right_on is not None and len(right_on) != 1
+    ):
+        return safe_hash_join(
+            left, right, join_type, num_partitions, on=on, right_on=right_on,
+            right_suffix=right_suffix, **kw
+        )
+    build = _drain_up_to(right, threshold_bytes)
+    if build is None:
+        return safe_hash_join(
+            left, right, join_type, num_partitions, on=on, right_on=right_on,
+            right_suffix=right_suffix, **kw
+        )
+    rkey = (right_on or on)[0]
+    return broadcast_equi_join(
+        left, build, join_type, on[0], rkey, right_suffix=right_suffix
+    )
+
+
+def _drain_up_to(ds, cap_bytes: int):
+    """Collect ``ds`` into one pyarrow Table, or None once the running
+    size exceeds ``cap_bytes`` (the stream is abandoned — backpressure
+    stops the rest of the pipeline)."""
+    parts, size = [], 0
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if t.num_rows == 0:
+            continue
+        parts.append(t)
+        size += t.nbytes
+        if size > cap_bytes:
+            return None
+    if not parts:
+        return None  # empty build side: let safe_hash_join's guards run
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def broadcast_equi_join(
+    left,
+    build: pa.Table,
+    join_type: str,
+    key: str,
+    rkey: str,
+    *,
+    right_suffix: str = "_r",
+):
+    """Zero-shuffle equi-join of Dataset ``left`` against an in-memory
+    build Table: sort build by ``rkey``, dictionary-encode the sorted key
+    column (runs are contiguous -> unique keys + starts + counts), probe
+    each left block with ``pc.index_in`` and gather matched build rows by
+    grouped-arange. Matches Acero semantics: null keys never match."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    build = build.filter(pc.is_valid(build[rkey]))
+    order = pc.sort_indices(build, sort_keys=[(rkey, "ascending")])
+    build = build.take(order).combine_chunks()
+    sk = build[rkey]
+    if isinstance(sk, pa.ChunkedArray):
+        sk = sk.combine_chunks()
+    enc = sk.dictionary_encode()
+    # sorted input => dictionary order (first appearance) == sorted unique
+    uniq = enc.dictionary if isinstance(enc, pa.Array) else enc.chunk(0).dictionary
+    codes = (
+        enc.indices if isinstance(enc, pa.Array) else enc.combine_chunks().indices
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    # match Ray Dataset.join's inner-join schema: the right key column is
+    # not emitted (its values equal the left key), and colliding build
+    # column names get the right suffix
+    build = build.drop_columns([rkey])
+    ren = []
+    left_names = set(left.schema().names) if left.schema() is not None else set()
+    for name in build.column_names:
+        ren.append(name + right_suffix if name in left_names else name)
+    build = build.rename_columns(ren)
+    state_ref = ray.put({"uniq": uniq, "starts": starts, "counts": counts, "build": build})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        uid = (
+            pc.index_in(batch[key], value_set=st["uniq"])
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cnt = np.where(uid >= 0, st["counts"][np.maximum(uid, 0)], 0)
+        if join_type == "left_semi":
+            return batch.filter(pa.array(cnt > 0))
+        if join_type == "left_anti":
+            return batch.filter(pa.array(cnt == 0))
+        tot = int(cnt.sum())
+        lo = np.where(uid >= 0, st["starts"][np.maximum(uid, 0)], 0)
+        rep = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        ends = np.cumsum(cnt)
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(ends - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        out = batch.take(pa.array(rep))
+        for i, name in enumerate(st["build"].column_names):
+            out = out.append_column(name, st["build"].column(i).take(pa.array(ridx)))
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow", batch_size=None)
