@@ -1322,7 +1322,15 @@ def spatial_join(
             n_blocks = left.num_blocks() + right.num_blocks()
         except Exception:
             n_blocks = None
-        if n_blocks is not None:
+        if cheap_fit:
+            # sampled fit: l_total/r_total are SAMPLE counts, not row
+            # totals — the sparsity heuristic below would always fire and
+            # pay a repartition exchange on dense inputs (measured ~83 MB
+            # x2 extra all-to-all on the 2M-point bench join). The caller
+            # who knows the boundary also knows the input is dense; pass
+            # coalesce=True explicitly for sparse filtered upstreams.
+            coalesce = False
+        elif n_blocks is not None:
             avg_rows = (l_total + r_total) / max(n_blocks, 1)
             coalesce = n_blocks > 2 * target_blocks and avg_rows < 10_000
         else:

@@ -258,7 +258,12 @@ def broadcast_equi_join(
     for name in build.column_names:
         ren.append(name + right_suffix if name in left_names else name)
     build = build.rename_columns(ren)
-    state_ref = ray.put({"uniq": uniq, "starts": starts, "counts": counts, "build": build})
+    # semi/anti only test membership — don't ship build rows or offsets
+    if join_type == "inner":
+        state = {"uniq": uniq, "starts": starts, "counts": counts, "build": build}
+    else:
+        state = {"uniq": uniq, "starts": None, "counts": None, "build": None}
+    state_ref = ray.put(state)
 
     def probe(batch: pa.Table) -> pa.Table:
         st = ray.get(state_ref)
@@ -268,11 +273,11 @@ def broadcast_equi_join(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        cnt = np.where(uid >= 0, st["counts"][np.maximum(uid, 0)], 0)
         if join_type == "left_semi":
-            return batch.filter(pa.array(cnt > 0))
+            return batch.filter(pa.array(uid >= 0))
         if join_type == "left_anti":
-            return batch.filter(pa.array(cnt == 0))
+            return batch.filter(pa.array(uid < 0))
+        cnt = np.where(uid >= 0, st["counts"][np.maximum(uid, 0)], 0)
         tot = int(cnt.sum())
         lo = np.where(uid >= 0, st["starts"][np.maximum(uid, 0)], 0)
         rep = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)

@@ -57,6 +57,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .bm25 import _tokenize
 from .ngrams import ngram_partials
@@ -87,17 +88,16 @@ def _keyed_counts(ds, *, n: int, text_col: str, num_buckets: int | None = None):
         return t.append_column("_b", pa.array(b))
 
     def bucket_sum(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "ngram": g["ngram"].to_pylist(),
-                "cnt": g["cnt"].to_numpy(zero_copy_only=False),
-            }
+        # Arrow-native hash aggregate — no to_pylist / pandas object dtype
+        agg = (
+            g.select(["ngram", "cnt"])
+            .group_by("ngram")
+            .aggregate([("cnt", "sum")])
         )
-        agg = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
         return pa.table(
             {
-                "ngram": pa.array(agg["ngram"].to_numpy(), pa.string()),
-                "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+                "ngram": agg["ngram"],
+                "cnt": pc.cast(agg["cnt_sum"], pa.int64()),
             }
         )
 
@@ -175,17 +175,16 @@ def ngram_lm_train(ds, *, text_col: str = "text", num_buckets: int | None = None
         return t.append_column("_b", pa.array(b))
 
     def bucket_sum(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "ngram": g["ngram"].to_pylist(),
-                "cnt": g["cnt"].to_numpy(zero_copy_only=False),
-            }
+        # Arrow-native hash aggregate — no to_pylist / pandas object dtype
+        agg = (
+            g.select(["ngram", "cnt"])
+            .group_by("ngram")
+            .aggregate([("cnt", "sum")])
         )
-        agg = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
         return pa.table(
             {
-                "ngram": pa.array(agg["ngram"].to_numpy(), pa.string()),
-                "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+                "ngram": agg["ngram"],
+                "cnt": pc.cast(agg["cnt_sum"], pa.int64()),
             }
         )
 

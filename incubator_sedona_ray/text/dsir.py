@@ -80,10 +80,18 @@ def dsir_scores(
     ct_ds = _keyed_counts(target, n=1, text_col=text_col, num_buckets=num_buckets)
 
     if mode == "broadcast":
+        import concurrent.futures
+
         import pyarrow.compute as pc
 
-        cr_w, cr_c = _collect_counts(cr_ds)
-        ct_w, ct_c = _collect_counts(ct_ds)
+        # the two count pipelines are independent — drive both Dataset
+        # executions concurrently (same pattern as spatial_join's two
+        # side-summary passes)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            crf = ex.submit(_collect_counts, cr_ds)
+            ctf = ex.submit(_collect_counts, ct_ds)
+            cr_w, cr_c = crf.result()
+            ct_w, ct_c = ctf.result()
         # project target counts onto the raw vocabulary (the raw model IS
         # this corpus, so it covers every token the scoring pass will see)
         ct_full = np.zeros(len(cr_w), dtype=np.int64)
