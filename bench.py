@@ -951,11 +951,14 @@ if __name__ == "__main__":
         # driver's stdout tail capture is bounded (~3 KB) — round-4's
         # stats-laden line overflowed it and the driver recorded
         # "parsed": null, so the stats block lives in BENCH_DETAIL.json.
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
-                json.dump(out, fh, indent=1)
-        except OSError:
-            pass
+        # Subset runs (BENCH_ONLY set — e.g. the scaling subprocesses)
+        # must not overwrite the full-suite sidecar.
+        if not os.environ.get("BENCH_ONLY"):
+            try:
+                with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+                    json.dump(out, fh, indent=1)
+            except OSError:
+                pass
         compact = {k: v for k, v in out.items() if k not in ("rates", "stats")}
         compact["queries"] = {k: round(v, 3) for k, v in compact["queries"].items()}
         print(json.dumps(compact))
