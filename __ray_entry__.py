@@ -4417,6 +4417,83 @@ def q_asof_join(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Bloom-prefiltered EXACT anti-join (sketch/bloom.py): drop documents
+    whose text already exists in the "seen" snapshot (docs with
+    doc_id % 3 == 0). Bloom misses stream through with ZERO shuffles; only
+    the hit tail (true overlap + ~FPR) takes the verify left-anti join, so
+    the exchange is sized by the overlap, not the corpus."""
+    from incubator_sedona_ray.sketch.bloom import bloom_anti_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang", "source"])
+
+    def _seen(b: pa.Table) -> pa.Table:
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+        return b.filter(pa.array(m))
+
+    seen = docs.map_batches(_seen, batch_format="pyarrow").select_columns(["text"])
+    out = bloom_anti_join(docs, seen, col="text", num_bits=1 << 20)
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
+def q_cms_heavy_tokens(sf_dir: str):
+    """Count-Min-pruned EXACT heavy hitters (sketch/cms.py): tokens whose
+    corpus-wide count >= max(5, n_docs/50). The CMS (one mergeable 8 MiB
+    matrix) filters the pre-combined pair stream so only candidates — a
+    provable superset of the answer — enter the exact groupby."""
+    from incubator_sedona_ray.sketch.cms import heavy_hitters_exact
+
+    docs = _docs(sf_dir, columns=["text"])
+    thr = max(5, docs.count() // 50)
+    return heavy_hitters_exact(docs, threshold=thr, n=1)
+
+
+def _synth_scaled_dups_fn(b: pa.Table) -> pa.Table:
+    """Append a 2x-scaled copy (vec_id + 100000) of every vec_id % 5 == 0
+    embedding: an exact semantic duplicate (cosine is scale-invariant,
+    cos(v, 2v) = 1) with zero float-boundary risk against tau."""
+    m = b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0
+    sub = b.filter(pa.array(m))
+    emb = [[2.0 * x for x in row] for row in sub["embedding"].to_pylist()]
+    extra = pa.table(
+        {
+            "vec_id": pa.array(sub["vec_id"].to_numpy(zero_copy_only=False) + 100000),
+            "embedding": pa.array(emb, type=b.schema.field("embedding").type),
+            "label": sub["label"],
+        }
+    )
+    return pa.concat_tables([b.select(["vec_id", "embedding", "label"]), extra])
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (dedup/semdedup.py, Abbas et al. 2023): assign embeddings
+    to the nearest of the k=8 lowest-id seed embeddings, then inside each
+    cluster drop rows with cosine >= 0.8 to a lower-id row. Input = the
+    embeddings table + synthesized 2x-scaled duplicates; the survivors are
+    exactly the original rows (every planted dup shares its source's
+    cluster and sits at cosine 1)."""
+    from incubator_sedona_ray.dedup.semdedup import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        _synth_scaled_dups_fn, batch_format="pyarrow"
+    )
+    return semdedup(emb, id_col="vec_id", vec_col="embedding", k=8, tau=0.8)
+
+
+BLOCKLIST_TERMS = ["spark", "window", "slow merge"]
+
+
+def q_blocklist(sf_dir: str):
+    """Blocklist flagging (text/blocklist.py): docs containing any blocked
+    term (case-insensitive substring), with the count of distinct terms
+    matched. One RE2-alternation sweep prefilters; per-term counts run
+    only on flagged rows."""
+    from incubator_sedona_ray.text.blocklist import blocklist_flags
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return blocklist_flags(docs, BLOCKLIST_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4532,6 +4609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q2": q_tpch_q2,
         "dsir_select": q_dsir_select,
         "dsir_select_join": q_dsir_select_join,
+        "bloom_dedup": q_bloom_dedup,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
+        "semdedup": q_semdedup,
+        "blocklist": q_blocklist,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -5512,6 +5593,59 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select": _dsir_sql(),
         "dsir_select_join": _dsir_sql(),
+        "bloom_dedup": (
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "WHERE NOT EXISTS (SELECT 1 FROM documents s "
+            "WHERE s.doc_id % 3 = 0 AND s.text = d.text)"
+        ),
+        "cms_heavy_tokens": (
+            r"WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), "
+            "x -> x <> '')) AS ngram FROM documents), "
+            "thr AS (SELECT GREATEST(5, COUNT(*) // 50) AS t FROM documents) "
+            "SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks "
+            "GROUP BY ngram HAVING COUNT(*) >= (SELECT t FROM thr)"
+        ),
+        "semdedup": (
+            # the full SemDeDup contract in SQL: seed pick, double-precision
+            # cosine assignment (argmax, ties to the lowest seed), and the
+            # lower-id near-dup prune — all on the same synthesized input
+            # (2x-scaled copies of vec_id % 5 == 0 rows at vec_id + 100000)
+            "WITH inp AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> x * 2) "
+            "FROM embeddings WHERE vec_id % 5 = 0), "
+            "pos AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM inp), "
+            "elems AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM pos), "
+            "norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM elems GROUP BY vec_id), "
+            "seed_ids AS (SELECT vec_id AS sid, row_number() OVER (ORDER BY vec_id) - 1 AS snum "
+            "FROM inp ORDER BY vec_id LIMIT 8), "
+            "cos_s AS (SELECT e.vec_id, s.snum, SUM(e.val * se.val) / (MAX(ne.nrm) * MAX(ns.nrm)) AS cos "
+            "FROM elems e JOIN seed_ids s ON TRUE "
+            "JOIN elems se ON se.vec_id = s.sid AND se.i = e.i "
+            "JOIN norms ne ON ne.vec_id = e.vec_id JOIN norms ns ON ns.vec_id = s.sid "
+            "GROUP BY e.vec_id, s.snum), "
+            "assign AS (SELECT vec_id, snum AS cluster FROM "
+            "(SELECT vec_id, snum, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, snum ASC) AS rn "
+            "FROM cos_s) WHERE rn = 1), "
+            "pair_cos AS (SELECT b.vec_id AS idb, "
+            "SUM(ea.val * eb.val) / (MAX(na.nrm) * MAX(nb.nrm)) AS cos "
+            "FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+            "JOIN elems ea ON ea.vec_id = a.vec_id "
+            "JOIN elems eb ON eb.vec_id = b.vec_id AND eb.i = ea.i "
+            "JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id "
+            "GROUP BY a.vec_id, b.vec_id), "
+            "dup AS (SELECT DISTINCT idb FROM pair_cos WHERE cos >= 0.8) "
+            "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster FROM assign a "
+            "WHERE a.vec_id NOT IN (SELECT idb FROM dup)"
+        ),
+        "blocklist": (
+            "WITH f AS (SELECT doc_id, "
+            + " + ".join(
+                f"(CASE WHEN instr(lower(text), '{t}') > 0 THEN 1 ELSE 0 END)"
+                for t in BLOCKLIST_TERMS
+            )
+            + " AS n_blocked FROM documents) "
+            "SELECT doc_id, CAST(n_blocked AS BIGINT) AS n_blocked FROM f WHERE n_blocked >= 1"
+        ),
         "tpch_q20": (
             "WITH sp AS (SELECT l_suppkey, l_partkey FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE p_name LIKE 'small%' "
