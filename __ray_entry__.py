@@ -4480,6 +4480,17 @@ def q_semdedup(sf_dir: str):
     return semdedup(emb, id_col="vec_id", vec_col="embedding", k=8, tau=0.8)
 
 
+def q_hashed_tfidf(sf_dir: str):
+    """Hashed TF-IDF sparse document vectors (text/tfidf.py): exact
+    integer fixed-point idf = (N*scale)//df, sha256 bucket hashing, one
+    vocabulary-bounded df shuffle + a zero-shuffle broadcast score pass.
+    Output: (doc_id, bucket, weight) sparse rows."""
+    from incubator_sedona_ray.text.tfidf import hashed_tfidf
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return hashed_tfidf(docs, dim=1 << 18, scale=10**6)
+
+
 BLOCKLIST_TERMS = ["spark", "window", "slow merge"]
 
 
@@ -4613,6 +4624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_tokens": q_cms_heavy_tokens,
         "semdedup": q_semdedup,
         "blocklist": q_blocklist,
+        "hashed_tfidf": q_hashed_tfidf,
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "window_agg": q_window_agg,
@@ -5636,6 +5648,18 @@ def oracle_sql() -> dict[str, str]:
             "dup AS (SELECT DISTINCT idb FROM pair_cos WHERE cos >= 0.8) "
             "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster FROM assign a "
             "WHERE a.vec_id NOT IN (SELECT idb FROM dup)"
+        ),
+        "hashed_tfidf": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), "
+            "x -> x <> '')) AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+            "w AS (SELECT t.doc_id, "
+            "CAST(CAST(CONCAT('0x', substr(sha256(t.tok), 1, 15)) AS UBIGINT) % 262144 AS BIGINT) AS bucket, "
+            "t.tf * (((SELECT COUNT(*) FROM documents) * 1000000) // d.df) AS wt "
+            "FROM tf t JOIN df d ON t.tok = d.tok) "
+            "SELECT doc_id, bucket, CAST(SUM(wt) AS BIGINT) AS weight "
+            "FROM w GROUP BY doc_id, bucket HAVING SUM(wt) > 0"
         ),
         "blocklist": (
             "WITH f AS (SELECT doc_id, "

@@ -132,3 +132,34 @@ def test_blocklist_flags_and_clean_partition_corpus():
     assert dict(zip(fl["doc_id"], fl["n_blocked"])) == {0: 1, 2: 2, 3: 1}
     cl = blocklist_clean(docs, terms).to_pandas()
     assert list(cl["doc_id"]) == [1]
+
+
+# ---------------------------------------------------------------- tfidf
+
+def test_hashed_tfidf_exact_and_split_invariant():
+    import hashlib
+
+    from incubator_sedona_ray.text.tfidf import hashed_tfidf
+
+    def bucket(t, dim=1 << 18):
+        return int(hashlib.sha256(t.encode()).hexdigest()[:15], 16) % dim
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a b", "B c", "   "],
+        }
+    )
+    out = hashed_tfidf(_chunked(docs, 2), dim=1 << 18, scale=10**6).to_pandas()
+    got = {(r.doc_id, r.bucket): r.weight for r in out.itertuples()}
+    # N=3; df: a=1 b=2 c=1 -> idf a=3e6, b=1.5e6, c=3e6 (integer floor)
+    assert got == {
+        (0, bucket("a")): 2 * 3_000_000,
+        (0, bucket("b")): 1_500_000,
+        (1, bucket("b")): 1_500_000,
+        (1, bucket("c")): 3_000_000,
+    }
+    out2 = hashed_tfidf(_chunked(docs, 1), dim=1 << 18, scale=10**6).to_pandas()
+    a = out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    assert a.equals(b)
