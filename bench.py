@@ -782,6 +782,53 @@ def run_bench() -> dict:
 
     timed("q22_dsir_select", q22, rows=3 * n_pages)
 
+    # q23: bloom-prefiltered exact anti-join over the full page corpus —
+    # seen snapshot = every 3rd page's url; misses (2/3 of the corpus)
+    # stream with zero shuffles, only the hit tail takes the verify join.
+    def q23():
+        from incubator_sedona_ray.sketch.bloom import bloom_anti_join
+
+        pages = expanded_pages(ray, n_docs, columns=["doc_id", "url"])
+
+        def _seen(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+            return b.filter(pa.array(m))
+
+        seen = pages.map_batches(_seen, batch_format="pyarrow").select_columns(["url"])
+        out = bloom_anti_join(pages, seen, col="url", num_bits=1 << 24)
+        return out.count()
+
+    timed("q23_bloom_dedup", q23, rows=2 * n_pages)
+
+    # q24: hashed TF-IDF sparse vectors over the full page corpus — the
+    # per-page numeric tokens make the vocabulary ~n_pages wide, so the df
+    # shuffle and the broadcast idf table run at realistic cardinality.
+    def q24():
+        from incubator_sedona_ray.text.tfidf import hashed_tfidf
+
+        pages = expanded_pages(ray, n_docs, columns=["doc_id", "text"])
+        out = hashed_tfidf(pages, dim=1 << 18, scale=10**4)
+        return out.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("n")
+
+    timed("q24_hashed_tfidf", q24, rows=2 * n_pages)
+
+    # q25: SemDeDup over the sf embeddings table + planted scaled dups —
+    # seed-cosine clustering (k=64) then the within-cluster prune matmul.
+    def q25():
+        from incubator_sedona_ray.dedup.semdedup import semdedup
+
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        import __ray_entry__ as _e
+
+        inp = emb.map_batches(_e._synth_scaled_dups_fn, batch_format="pyarrow")
+        return semdedup(inp, k=64, tau=0.8).count()
+
+    n_emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"]).count()
+    timed("q25_semdedup", q25, rows=n_emb)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "flagship pages pipeline wall time (read->geocode->s2->PIP join->tile)",

@@ -82,7 +82,7 @@ def semdedup(
 
     from ..partition.assign import broadcast_map_batches
 
-    assigned = broadcast_map_batches(ds, assign, {"s": seeds})
+    assigned = broadcast_map_batches(ds, assign, {"s": seeds}, batch_size=None)
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col, kind="mergesort")

@@ -18,14 +18,16 @@ m = 10 bits/key with k=7 is ~1%. 10^10 seen keys -> ~12 GiB bitmap:
 broadcast via ``ray.put`` once per node (object-store shared memory, NOT
 per task), or shard the key space and route batches by key-hash prefix.
 
-Determinism contract: sha256-derived double hashing (Kirsch-Mitzenmacher:
-idx_i = h1 + i*h2 mod m), so the same seen set yields a bit-identical
-bitmap on any cluster shape / batch split — partials OR to the same bytes.
+Determinism contract: double hashing (Kirsch-Mitzenmacher: idx_i = h1 +
+i*h2 mod m) over vectorized FNV-1a (``dedup/ngram.fnv_strings`` — straight
+from the Arrow buffers, no Python loop) with a murmur-finalizer second
+stream; the same seen set yields a bit-identical bitmap on any cluster
+shape / batch split — partials OR to the same bytes. (Not sha256: the
+bitmap never reaches an oracle — result exactness comes from the verify
+join — so the hash only needs speed and determinism.)
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -33,17 +35,29 @@ import pyarrow as pa
 __all__ = ["BloomFilter", "bloom_partials", "bloom_from_dataset", "bloom_anti_join"]
 
 
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer (shared shape with sketch/cms.py)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
 def _hash2_64(values) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent deterministic uint64 hash streams per value (sha256
-    bytes 0-8 and 8-16). Python loop bounded by the batch's value count."""
-    h1 = np.empty(len(values), dtype=np.uint64)
-    h2 = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        b = v if isinstance(v, bytes) else str(v).encode("utf-8")
-        d = hashlib.sha256(b).digest()
-        h1[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
-        h2[i] = np.frombuffer(d[8:16], dtype=np.uint64)[0]
-    return h1, h2
+    """Two deterministic uint64 hash streams per value, vectorized: FNV-1a
+    over the Arrow string buffers + its murmur-finalizer mix. Accepts an
+    Arrow array or any sequence (converted once)."""
+    from ..dedup.ngram import fnv_strings
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(np.asarray(values, dtype=object), type=pa.string())
+    elif not pa.types.is_string(values.type) and not pa.types.is_large_string(values.type):
+        values = values.cast(pa.string())
+    h1 = fnv_strings(values)
+    return h1, _fmix64(h1)
 
 
 def _bit_indices(h1: np.ndarray, h2: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
@@ -96,9 +110,10 @@ def bloom_partials(ds, col: str, *, num_bits: int = 1 << 20, num_hashes: int = 7
     nbytes = num_bits // 8
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy(zero_copy_only=False)
-        v = v[~(v == None)]  # noqa: E711
-        bf = BloomFilter.build(np.unique(v), num_bits=num_bits, num_hashes=num_hashes)
+        import pyarrow.compute as pc
+
+        v = pc.unique(batch[col].combine_chunks().drop_null())
+        bf = BloomFilter.build(v, num_bits=num_bits, num_hashes=num_hashes)
         return pa.table({"bits": pa.array([bf.to_bytes()], pa.binary(nbytes))})
 
     def merge_block(batch: pa.Table) -> pa.Table:
@@ -155,14 +170,13 @@ def bloom_anti_join(
 
     def split(flag_hits: bool):
         def fn(batch: pa.Table, bloom) -> pa.Table:
-            v = batch[col].to_numpy(zero_copy_only=False)
-            hit = bloom.contains(v)
+            hit = bloom.contains(batch[col].combine_chunks())
             return batch.filter(pa.array(hit if flag_hits else ~hit))
 
         return fn
 
-    misses = broadcast_map_batches(ds, split(False), {"bloom": bf_ref})
-    hits = broadcast_map_batches(ds, split(True), {"bloom": bf_ref})
+    misses = broadcast_map_batches(ds, split(False), {"bloom": bf_ref}, batch_size=None)
+    hits = broadcast_map_batches(ds, split(True), {"bloom": bf_ref}, batch_size=None)
 
     if num_partitions is None:
         try:

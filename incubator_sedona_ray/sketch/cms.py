@@ -143,7 +143,7 @@ def heavy_hitters_exact(
         est = sketch.estimate(batch["ngram"].combine_chunks() if batch.num_rows else batch["ngram"])
         return batch.filter(pa.array(est >= threshold))
 
-    cand = broadcast_map_batches(pairs, keep_candidates, {"sketch": cms_ref})
+    cand = broadcast_map_batches(pairs, keep_candidates, {"sketch": cms_ref}, batch_size=None)
     summed = cand.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
 
     def true_hh(batch: pa.Table) -> pa.Table:

@@ -23,17 +23,25 @@ behavior is preserved. OVERFLOW BOUND: max_tf * N * scale < 2^63 — at
 10^10 docs drop scale to 10^2, or shard N.
 
 Bucket hash: first 60 bits of sha256(token) mod dim — DuckDB reproduces it
-verbatim (``CAST(CONCAT('0x', substr(sha256(t), 1, 15)) AS UBIGINT)``),
-and the per-batch cost is bounded by DISTINCT tokens per batch, not rows.
+verbatim (``CAST(CONCAT('0x', substr(sha256(t), 1, 15)) AS UBIGINT)``).
+The sha256 loop runs ONCE PER VOCABULARY ENTRY inside the distributed
+model pass — never per batch of the corpus.
 
 Distributed shape (two passes, standard exact-global-idf trade):
 1. df pass — per-batch (token, docs-containing) partials (each doc lives
-   in exactly one batch, so partials sum to the exact df), then
-   ``groupby(token).sum`` — the one shuffle, bounded by the vocabulary.
-2. score pass — broadcast the (token, df) table once (vocabulary-bounded,
-   like bm25's idf broadcast; for web-scale vocabularies use the join
-   variant: hash-join token pairs against the df table) and emit sparse
-   rows with ZERO further shuffles.
+   in exactly one batch, so partials sum to the exact df), summed with the
+   repo's hash-BUCKETED group-sum (fnv(token) % buckets tag + pandas
+   C-speed per-bucket sum — Ray 2.49's native aggregate over millions of
+   distinct string keys is ~20x slower, same finding as text/ngrams.py).
+2. model pass — map over the df table computing (fnv64(token), idf_int,
+   bucket) and collect ONLY those three int64 columns (48 MB at a 2M
+   vocabulary — no token strings reach the driver or the broadcast).
+3. score pass — broadcast the hash-keyed model once; per batch the lookup
+   is a uint64 ``searchsorted`` over the batch's DISTINCT tokens, then
+   sparse rows stream out with ZERO further shuffles. fnv64 collisions
+   inside the vocabulary are DETECTED at model build (duplicate hash keys)
+   and those few tokens are resolved through an exact string-keyed side
+   dict, so the integer-exactness contract survives any hash behavior.
 
 Tokenization is the repo-wide contract (text/bm25.py ``_tokenize``:
 lowercase, split \\s+, drop empties) so the SQL oracle sees identical
@@ -45,6 +53,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .bm25 import _tokenize
@@ -52,8 +61,9 @@ from .bm25 import _tokenize
 __all__ = ["hashed_tfidf", "token_df"]
 
 
-def _bucket_of(tokens: np.ndarray, dim: int) -> np.ndarray:
-    """sha256-derived bucket per token (Python loop over DISTINCT tokens)."""
+def _bucket_of(tokens, dim: int) -> np.ndarray:
+    """sha256-derived bucket per token (loop bounded by vocabulary rows of
+    one model-pass batch, not corpus rows)."""
     out = np.empty(len(tokens), dtype=np.int64)
     for i, t in enumerate(tokens):
         out[i] = int(hashlib.sha256(str(t).encode("utf-8")).hexdigest()[:15], 16) % dim
@@ -75,21 +85,51 @@ def _batch_doc_tokens(batch: pa.Table, text_col: str):
     return vocab, tf.astype(np.int64), uk // len(vocab), uk % len(vocab)
 
 
-def token_df(ds, *, text_col: str = "text"):
+def token_df(ds, *, text_col: str = "text", num_buckets: int | None = None):
     """Exact document frequency per token: Dataset of (tok, df). One
-    vocabulary-bounded shuffle over pre-combined per-batch partials."""
-    from ray.data.aggregate import Sum
+    vocabulary-bounded hash-bucketed exchange over per-batch partials."""
+    import ray as _ray
+
+    from ..dedup.ngram import fnv_strings
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        except Exception:
+            num_buckets = 8
 
     def partial(batch: pa.Table) -> pa.Table:
         vocab, _tf, _rows, tok_idx = _batch_doc_tokens(batch, text_col)
         if len(vocab) == 0:
-            return pa.table({"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int64()),
+                }
+            )
         # distinct (row, token) pairs are already unique -> count per token
         per_tok = np.bincount(tok_idx, minlength=len(vocab)).astype(np.int64)
-        return pa.table({"tok": pa.array(vocab.astype(object), pa.string()), "df": pa.array(per_tok)})
+        tok_arr = pa.array(vocab.astype(object), pa.string())
+        b = (fnv_strings(tok_arr) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"tok": tok_arr, "df": pa.array(per_tok), "_b": pa.array(b)})
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("tok").aggregate(
-        Sum("df", alias_name="df")
+    def bucket_sum(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"tok": g["tok"].to_pylist(), "df": g["df"].to_numpy(zero_copy_only=False)}
+        )
+        agg = df.groupby("tok", sort=False)["df"].sum().reset_index()
+        return pa.table(
+            {
+                "tok": pa.array(agg["tok"].to_numpy(), pa.string()),
+                "df": pa.array(agg["df"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pyarrow")
     )
 
 
@@ -105,12 +145,69 @@ def hashed_tfidf(
     one row per (doc, non-empty bucket)."""
     import ray as _ray
 
+    from ..dedup.ngram import fnv_strings
+
     n_docs = ds.count()
-    df_tbl = token_df(ds, text_col=text_col).to_pandas()
-    order = np.argsort(df_tbl["tok"].to_numpy(), kind="mergesort")
-    vocab_sorted = df_tbl["tok"].to_numpy()[order]
-    idf_sorted = (np.int64(n_docs) * np.int64(scale)) // df_tbl["df"].to_numpy()[order]
-    model_ref = _ray.put({"vocab": vocab_sorted, "idf": idf_sorted})
+    df_ds = token_df(ds, text_col=text_col)
+
+    def model_part(batch: pa.Table) -> pa.Table:
+        tok = batch["tok"].combine_chunks() if batch.num_rows else batch["tok"]
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"h": z, "idf": z, "bucket": z})
+        h = fnv_strings(tok).view(np.int64)
+        idf = (np.int64(n_docs) * np.int64(scale)) // dfv.astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "idf": pa.array(idf),
+                "bucket": pa.array(_bucket_of(tok.to_numpy(zero_copy_only=False), dim)),
+            }
+        )
+
+    mod = df_ds.map_batches(model_part, batch_format="pyarrow").to_pandas()
+    h = mod["h"].to_numpy().view(np.uint64)
+    order = np.argsort(h, kind="mergesort")
+    h_sorted = h[order]
+    idf_sorted = mod["idf"].to_numpy()[order]
+    bucket_sorted = mod["bucket"].to_numpy()[order]
+
+    # fnv64 collisions inside the vocabulary: duplicate sorted hashes.
+    # Resolve those few tokens exactly via a string-keyed side dict.
+    dup_mask = np.zeros(len(h_sorted), dtype=bool)
+    if len(h_sorted) > 1:
+        eq = h_sorted[1:] == h_sorted[:-1]
+        dup_mask[1:] |= eq
+        dup_mask[:-1] |= eq
+    collided: dict = {}
+    if dup_mask.any():
+        bad = set(h_sorted[dup_mask].tolist())
+
+        def fetch_bad(batch: pa.Table) -> pa.Table:
+            tok = batch["tok"].combine_chunks() if batch.num_rows else batch["tok"]
+            if batch.num_rows == 0:
+                return batch
+            hh = fnv_strings(tok)
+            keep = np.fromiter((int(x) in bad for x in hh), bool, len(hh))
+            return batch.filter(pa.array(keep))
+
+        bad_tbl = df_ds.map_batches(fetch_bad, batch_format="pyarrow").to_pandas()
+        for t, d in zip(bad_tbl["tok"], bad_tbl["df"]):
+            collided[t] = (
+                (np.int64(n_docs) * np.int64(scale)) // np.int64(d),
+                int(hashlib.sha256(str(t).encode("utf-8")).hexdigest()[:15], 16) % dim,
+            )
+
+    model_ref = _ray.put(
+        {
+            "h": h_sorted,
+            "idf": idf_sorted,
+            "bucket": bucket_sorted,
+            "dup": dup_mask,
+            "collided": collided,
+        }
+    )
 
     def score(batch: pa.Table, model) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -123,10 +220,20 @@ def hashed_tfidf(
                     "weight": pa.array([], pa.int64()),
                 }
             )
-        pos = np.searchsorted(model["vocab"], vocab)
-        idf = model["idf"][np.minimum(pos, len(model["idf"]) - 1)].copy()
-        idf[model["vocab"][np.minimum(pos, len(model["idf"]) - 1)] != vocab] = 0
-        buckets = _bucket_of(vocab, dim)
+        hv = fnv_strings(pa.array(vocab.astype(object), pa.string()))
+        pos = np.searchsorted(model["h"], hv)
+        pos_c = np.minimum(pos, len(model["h"]) - 1)
+        found = model["h"][pos_c] == hv
+        idf = np.where(found, model["idf"][pos_c], np.int64(0))
+        buckets = np.where(found, model["bucket"][pos_c], np.int64(0))
+        needs_dict = found & model["dup"][pos_c]
+        if needs_dict.any():
+            for j in np.nonzero(needs_dict)[0]:
+                ent = model["collided"].get(vocab[j])
+                if ent is None:
+                    idf[j] = 0
+                else:
+                    idf[j], buckets[j] = ent
         wt = tf * idf[tok_idx]
         key = row_idx * np.int64(dim) + buckets[tok_idx]
         uk, inv2 = np.unique(key, return_inverse=True)
@@ -144,4 +251,4 @@ def hashed_tfidf(
 
     from ..partition.assign import broadcast_map_batches
 
-    return broadcast_map_batches(ds, score, {"model": model_ref})
+    return broadcast_map_batches(ds, score, {"model": model_ref}, batch_size=None)
