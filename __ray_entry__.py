@@ -4449,15 +4449,16 @@ def q_cms_heavy_tokens(sf_dir: str):
 
 
 def _synth_scaled_dups_fn(b: pa.Table) -> pa.Table:
-    """Append a 2x-scaled copy (vec_id + 100000) of every vec_id % 5 == 0
+    """Append a 2x-scaled copy (vec_id + 10^9) of every vec_id % 5 == 0
     embedding: an exact semantic duplicate (cosine is scale-invariant,
-    cos(v, 2v) = 1) with zero float-boundary risk against tau."""
+    cos(v, 2v) = 1) with zero float-boundary risk against tau. The 10^9
+    offset keeps synthesized ids disjoint from base vec_ids at any sf."""
     m = b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0
     sub = b.filter(pa.array(m))
     emb = [[2.0 * x for x in row] for row in sub["embedding"].to_pylist()]
     extra = pa.table(
         {
-            "vec_id": pa.array(sub["vec_id"].to_numpy(zero_copy_only=False) + 100000),
+            "vec_id": pa.array(sub["vec_id"].to_numpy(zero_copy_only=False) + 1_000_000_000),
             "embedding": pa.array(emb, type=b.schema.field("embedding").type),
             "label": sub["label"],
         }
@@ -5621,9 +5622,9 @@ def oracle_sql() -> dict[str, str]:
             # the full SemDeDup contract in SQL: seed pick, double-precision
             # cosine assignment (argmax, ties to the lowest seed), and the
             # lower-id near-dup prune — all on the same synthesized input
-            # (2x-scaled copies of vec_id % 5 == 0 rows at vec_id + 100000)
+            # (2x-scaled copies of vec_id % 5 == 0 rows at vec_id + 10^9)
             "WITH inp AS (SELECT vec_id, embedding FROM embeddings "
-            "UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> x * 2) "
+            "UNION ALL SELECT vec_id + 1000000000, list_transform(embedding, x -> x * 2) "
             "FROM embeddings WHERE vec_id % 5 = 0), "
             "pos AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM inp), "
             "elems AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM pos), "

@@ -10,6 +10,20 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+def fmix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer — the repo's second deterministic hash
+    stream on top of fnv_strings (sketch/bloom.py double hashing,
+    sketch/cms.py row indices). One definition so the streams can never
+    silently diverge."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
 def char_shingles_arr(text: str, k: int = 5) -> np.ndarray:
     """Unique k-char shingle hashes as a sorted uint64 array — the FNV-1a
     fold runs vectorized over ALL windows at once (k tiny passes over a

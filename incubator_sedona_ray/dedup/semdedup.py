@@ -64,12 +64,18 @@ def semdedup(
         take = np.argsort(ids, kind="mergesort")[:k]
         return sub.take(pa.array(take))
 
-    seed_tbl = (
-        ds.map_batches(_kmin, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(id_col, kind="mergesort")
-        .head(k)
-    )
+    seed_tbl = ds.map_batches(_kmin, batch_format="pyarrow").to_pandas()
+    # empty input: to_pandas of zero rows can lose the schema entirely
+    if len(seed_tbl) == 0 or id_col not in seed_tbl.columns:
+        seed_tbl = seed_tbl.iloc[0:0]
+    else:
+        seed_tbl = seed_tbl.sort_values(id_col, kind="mergesort").head(k)
+    if len(seed_tbl) == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+        )
     seeds = _norm_rows(np.array(list(seed_tbl[vec_col]), dtype=np.float64))
 
     def assign(batch: pa.Table, s: np.ndarray) -> pa.Table:
@@ -88,9 +94,13 @@ def semdedup(
         df = df.sort_values(id_col, kind="mergesort")
         x = _norm_rows(np.array(list(df[vec_col]), dtype=np.float64))
         g = x @ x.T
-        # earlier = strictly-lower-id rows (rows above in the sorted order);
-        # explicit mask so tau <= 0 cannot turn the zeroed triangle into dups
-        earlier = np.tril(np.ones(g.shape, dtype=bool), -1)
+        # earlier = rows with STRICTLY lower id (by value, not position —
+        # equal-id rows never prune each other, matching the SQL
+        # a.id < b.id contract and keeping the result independent of
+        # block arrival order); explicit mask so tau <= 0 cannot turn
+        # masked-out entries into dups
+        ids = df[id_col].to_numpy()
+        earlier = ids[None, :] < ids[:, None]
         dup = ((g >= tau) & earlier).any(axis=1)
         keep = df.loc[~dup]
         return pd.DataFrame(

@@ -35,29 +35,18 @@ import pyarrow as pa
 __all__ = ["BloomFilter", "bloom_partials", "bloom_from_dataset", "bloom_anti_join"]
 
 
-def _fmix64(x: np.ndarray) -> np.ndarray:
-    """MurmurHash3 64-bit finalizer (shared shape with sketch/cms.py)."""
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
-    return x
-
-
 def _hash2_64(values) -> tuple[np.ndarray, np.ndarray]:
     """Two deterministic uint64 hash streams per value, vectorized: FNV-1a
     over the Arrow string buffers + its murmur-finalizer mix. Accepts an
     Arrow array or any sequence (converted once)."""
-    from ..dedup.ngram import fnv_strings
+    from ..dedup.ngram import fmix64, fnv_strings
 
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = pa.array(np.asarray(values, dtype=object), type=pa.string())
     elif not pa.types.is_string(values.type) and not pa.types.is_large_string(values.type):
         values = values.cast(pa.string())
     h1 = fnv_strings(values)
-    return h1, _fmix64(h1)
+    return h1, fmix64(h1)
 
 
 def _bit_indices(h1: np.ndarray, h2: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
@@ -158,6 +147,13 @@ def bloom_anti_join(
 
     At 1% FPR and small true overlap, the exchange moves ~1% of the data an
     anti-join would. Returns ``ds``'s schema unchanged.
+
+    The miss/hit split is TWO streaming passes over ``ds`` (Ray Data has no
+    one-pass fork without materializing): the source re-scan is the cheap
+    column-pruned parquet read, and the probe is re-paid once — the same
+    deliberate trade as text/decontam.py's split. To probe once, tag a
+    ``hit`` column yourself and materialize before filtering — only worth
+    it when ``ds`` is an expensive derived lineage, not a raw read.
     """
     import ray as _ray
 

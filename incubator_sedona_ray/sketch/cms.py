@@ -35,24 +35,13 @@ import pyarrow as pa
 __all__ = ["CountMinSketch", "cms_partials", "cms_from_pairs", "heavy_hitters_exact"]
 
 
-def _fmix64(x: np.ndarray) -> np.ndarray:
-    """MurmurHash3 64-bit finalizer — the second, independent-enough hash
-    stream for the per-row index spread (idx_d = h1 + d*h2)."""
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
-    return x
-
-
 def _indices(keys: pa.Array, depth: int, width: int) -> np.ndarray:
-    """(n, depth) int64 column indices for each key."""
-    from ..dedup.ngram import fnv_strings
+    """(n, depth) int64 column indices for each key (fnv_strings first
+    stream + the shared murmur-finalizer second stream)."""
+    from ..dedup.ngram import fmix64, fnv_strings
 
     h1 = fnv_strings(keys)
-    h2 = _fmix64(h1) | np.uint64(1)
+    h2 = fmix64(h1) | np.uint64(1)
     ds_ = np.arange(depth, dtype=np.uint64)[None, :]
     return ((h1[:, None] + ds_ * h2[:, None]) % np.uint64(width)).astype(np.int64)
 

@@ -53,7 +53,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .bm25 import _tokenize
@@ -87,50 +86,23 @@ def _batch_doc_tokens(batch: pa.Table, text_col: str):
 
 def token_df(ds, *, text_col: str = "text", num_buckets: int | None = None):
     """Exact document frequency per token: Dataset of (tok, df). One
-    vocabulary-bounded hash-bucketed exchange over per-batch partials."""
-    import ray as _ray
-
-    from ..dedup.ngram import fnv_strings
-
-    if num_buckets is None:
-        try:
-            num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
-        except Exception:
-            num_buckets = 8
+    vocabulary-bounded hash-bucketed exchange over per-batch partials
+    (state/keyedsum.py — the shared Ray-2.49 high-cardinality-aggregate
+    workaround)."""
+    from ..state.keyedsum import bucketed_group_sum
 
     def partial(batch: pa.Table) -> pa.Table:
         vocab, _tf, _rows, tok_idx = _batch_doc_tokens(batch, text_col)
         if len(vocab) == 0:
-            return pa.table(
-                {
-                    "tok": pa.array([], pa.string()),
-                    "df": pa.array([], pa.int64()),
-                    "_b": pa.array([], pa.int64()),
-                }
-            )
+            return pa.table({"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
         # distinct (row, token) pairs are already unique -> count per token
         per_tok = np.bincount(tok_idx, minlength=len(vocab)).astype(np.int64)
-        tok_arr = pa.array(vocab.astype(object), pa.string())
-        b = (fnv_strings(tok_arr) % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({"tok": tok_arr, "df": pa.array(per_tok), "_b": pa.array(b)})
-
-    def bucket_sum(g: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"tok": g["tok"].to_pylist(), "df": g["df"].to_numpy(zero_copy_only=False)}
-        )
-        agg = df.groupby("tok", sort=False)["df"].sum().reset_index()
         return pa.table(
-            {
-                "tok": pa.array(agg["tok"].to_numpy(), pa.string()),
-                "df": pa.array(agg["df"].to_numpy(), pa.int64()),
-            }
+            {"tok": pa.array(vocab.astype(object), pa.string()), "df": pa.array(per_tok)}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(bucket_sum, batch_format="pyarrow")
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_sum(partials, "tok", ["df"], num_buckets=num_buckets)
 
 
 def hashed_tfidf(
@@ -148,7 +120,10 @@ def hashed_tfidf(
     from ..dedup.ngram import fnv_strings
 
     n_docs = ds.count()
-    df_ds = token_df(ds, text_col=text_col)
+    # materialize the VOCABULARY-bounded df table (not the corpus): the
+    # model pass and the rare fnv-collision fetch both read it, and
+    # without this the collision path would re-tokenize the whole corpus
+    df_ds = token_df(ds, text_col=text_col).materialize()
 
     def model_part(batch: pa.Table) -> pa.Table:
         tok = batch["tok"].combine_chunks() if batch.num_rows else batch["tok"]

@@ -163,3 +163,23 @@ def test_hashed_tfidf_exact_and_split_invariant():
     a = out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_semdedup_equal_ids_never_prune_each_other():
+    v = np.ones(8, dtype=np.float32).tolist()
+    rows = [
+        {"vec_id": 5, "embedding": v},
+        {"vec_id": 5, "embedding": v},     # same id, identical vector
+        {"vec_id": 9, "embedding": v},     # strictly higher id -> pruned
+    ]
+    out = semdedup(ray.data.from_items(rows), k=1, tau=0.9).to_pandas()
+    assert sorted(out["vec_id"]) == [5, 5]
+
+
+def test_semdedup_empty_input():
+    ds = ray.data.from_items([{"vec_id": 1, "embedding": [1.0, 0.0]}]).filter(
+        lambda r: False
+    )
+    res = semdedup(ds, k=2, tau=0.9)
+    assert res.count() == 0
+    assert sorted(res.schema().names) == ["cluster", "vec_id"]
