@@ -5,10 +5,14 @@ The canonical LLM-corpus cleaning chain, every stage a streaming Ray Data
 transform (nothing materializes on the driver):
 
     read parquet (pruned columns)
+      -> blocklist gate         (one RE2-alternation sweep, zero shuffles)
       -> language ID           (actor pool — model state per actor)
       -> quality score + filter (vectorized batch kernel)
       -> LM fluency filter      (stupid-backoff bigram LM, integer-exact —
                                  the CCNet-style perplexity gate)
+      -> bloom incremental dedup (optional --seen snapshot, applied before
+                                 any heavy compute: bloom misses stream
+                                 free, only hits take the verify join)
       -> exact dedup            (sha256 -> Min-aggregate survivors -> hash join)
       -> MinHash near-dedup     (banded LSH -> star pairs -> distributed
                                  verify + connected components)
@@ -44,11 +48,40 @@ from incubator_sedona_ray.state.manifest import checkpointed_write
 from incubator_sedona_ray.text.analysis import LangId, quality_fn, token_count_fn
 
 
-def build(input_path: str, min_alpha_ratio: float = 0.5, min_lm_score_fp: int = 0):
+BLOCKED_TERMS = ["viagra", "xxx porn", "casino bonus"]
+
+
+def build(
+    input_path: str,
+    min_alpha_ratio: float = 0.5,
+    min_lm_score_fp: int = 0,
+    seen_path: str | None = None,
+):
     from incubator_sedona_ray.dedup.spans import remove_dup_spans
     from incubator_sedona_ray.text.backoff_lm import lm_score, ngram_lm_train
+    from incubator_sedona_ray.text.blocklist import blocklist_clean
 
     docs = ray.data.read_parquet(input_path, columns=["doc_id", "text"])
+
+    # 0. blocklist gate — one vectorized alternation sweep, clean rows
+    # (the overwhelming majority) pass with zero further work
+    docs = blocklist_clean(docs, BLOCKED_TERMS)
+
+    # 0b. incremental dedup vs a prior snapshot (recrawl setting), FIRST:
+    # previously-seen docs are dropped before any compute is spent on
+    # them, and the bloom's two-pass split re-scans only the cheap
+    # column-pruned read (bloom misses stream free; only the hit tail —
+    # true overlap + ~FPR — takes the exact verify anti-join)
+    if seen_path:
+        from incubator_sedona_ray.sketch.bloom import bloom_anti_join
+
+        seen = ray.data.read_parquet(seen_path, columns=["text"])
+        # pin the gated delta: downstream stages make several passes
+        # (LM train + score, dedup joins) and must not re-execute the
+        # anti-join lineage each time. The delta is the NEW docs only —
+        # small in a recrawl; a production run checkpoints it to parquet
+        # here (state/manifest.checkpointed_write) instead
+        docs = bloom_anti_join(docs, seen, col="text", num_bits=1 << 22).materialize()
 
     # 1. language ID — stateful stage, model built once per actor
     lang = docs.map_batches(LangId, concurrency=2, batch_format="pyarrow")
@@ -100,12 +133,13 @@ def main() -> None:
     ap.add_argument("--input", default="/root/testdata/sf0.001/documents.parquet")
     ap.add_argument("--out", default="/tmp/text_prep")
     ap.add_argument("--parts", type=int, default=8)
+    ap.add_argument("--seen", default=None, help="prior-snapshot parquet (text column) for incremental dedup")
     args = ap.parse_args()
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
 
-    corpus = build(args.input)
+    corpus = build(args.input, seen_path=args.seen)
 
     # partition by doc_id hash for a resumable, skew-free write
     def add_part(batch: pa.Table) -> pa.Table:
