@@ -974,8 +974,10 @@ def run_scaling():
                 "sec_32": t_hi,
                 "per_query_8": r_lo["queries"],
                 "per_query_32": r_hi["queries"],
-                "rates_8": r_lo["rates"],
-                "rates_32": r_hi["rates"],
+                # the compact subset stdout line carries no rates/stats
+                # (they live in the full-suite sidecar) — tolerate both
+                "rates_8": r_lo.get("rates", {}),
+                "rates_32": r_hi.get("rates", {}),
                 "pages_rows": r_lo["pages_rows"],
                 "scaling_efficiency": round(eff, 3),
                 "control_efficiency": ctrl_eff,
