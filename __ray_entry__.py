@@ -2666,7 +2666,10 @@ def q_tpch_q15(sf_dir: str):
         .sum("rev")
         .materialize()  # supplier-bounded
     )
-    mx = int(per_supp.max("sum(rev)"))
+    # `or 0` guards the empty date window (max of an empty Dataset is
+    # None); per_supp is empty then, so the result stays empty like the
+    # oracle's
+    mx = int(per_supp.max("sum(rev)") or 0)
     supp = (
         _tpch_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
         .to_pandas()

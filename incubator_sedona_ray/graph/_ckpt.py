@@ -48,25 +48,43 @@ def validate_shared_dir(ckpt_dir: str) -> None:
     import ray
 
     try:
-        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+        nodes = [n for n in ray.nodes() if n.get("Alive")]
     except Exception:
-        alive = 1
-    if alive <= 1:
-        return
+        nodes = []
+    try:
+        here = ray.get_runtime_context().get_node_id()
+    except Exception:
+        here = None
+    others = [n["NodeID"] for n in nodes if n.get("NodeID") and n["NodeID"] != here]
+    if not others:
+        return  # single-node: trivially visible
     os.makedirs(ckpt_dir, exist_ok=True)
     probe = os.path.join(ckpt_dir, f"_probe_{uuid.uuid4().hex}")
     with open(probe, "w") as fh:
         fh.write("x")
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def _seen(path: str) -> bool:
         return os.path.exists(path)
 
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
     try:
-        # NodeAffinity-free: let the scheduler place it anywhere; with
-        # >1 node a node-local dir fails this probabilistically, and a
-        # shared mount always passes.
-        ok = ray.get(_seen.remote(probe))
+        # one probe PINNED to every non-driver node (an unconstrained
+        # task prefers the driver's node, where a node-local dir would
+        # pass vacuously) — all of them must see the file
+        ok = all(
+            ray.get(
+                [
+                    _seen.options(
+                        scheduling_strategy=NodeAffinitySchedulingStrategy(
+                            node_id=nid, soft=True
+                        )
+                    ).remote(probe)
+                    for nid in others
+                ]
+            )
+        )
     finally:
         os.unlink(probe)
     if not ok:

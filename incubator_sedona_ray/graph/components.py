@@ -101,7 +101,11 @@ def connected_components(
         return new, int((new < lab).sum())
 
     converged = False
-    for _ in range(max_rounds):
+    # max_rounds + 1: a run whose LAST allowed round makes the final
+    # change has converged — only the extra confirming round can tell
+    # "changed-and-done" from "still changing", so grant it before
+    # declaring non-convergence
+    for _ in range(max_rounds + 1):
         partials = [
             _scatter.options(num_returns=R).remote(topo[rid], labels[rid])
             for rid in range(R)

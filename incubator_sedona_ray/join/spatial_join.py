@@ -1318,10 +1318,6 @@ def spatial_join(
     # few rows the coalesce is cheap anyway. Dense inputs skip the exchange.
     target_blocks = max(2 * num_partitions, 64)
     if coalesce is None:
-        try:
-            n_blocks = left.num_blocks() + right.num_blocks()
-        except Exception:
-            n_blocks = None
         if cheap_fit:
             # sampled fit: l_total/r_total are SAMPLE counts, not row
             # totals — the sparsity heuristic below would always fire and
@@ -1330,11 +1326,16 @@ def spatial_join(
             # who knows the boundary also knows the input is dense; pass
             # coalesce=True explicitly for sparse filtered upstreams.
             coalesce = False
-        elif n_blocks is not None:
-            avg_rows = (l_total + r_total) / max(n_blocks, 1)
-            coalesce = n_blocks > 2 * target_blocks and avg_rows < 10_000
         else:
-            coalesce = (l_total + r_total) < 10_000 * target_blocks
+            try:
+                n_blocks = left.num_blocks() + right.num_blocks()
+            except Exception:
+                n_blocks = None
+            if n_blocks is not None:
+                avg_rows = (l_total + r_total) / max(n_blocks, 1)
+                coalesce = n_blocks > 2 * target_blocks and avg_rows < 10_000
+            else:
+                coalesce = (l_total + r_total) < 10_000 * target_blocks
     if coalesce:
         unioned = unioned.repartition(target_blocks)
 

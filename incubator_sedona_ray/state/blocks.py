@@ -181,9 +181,12 @@ def equi_join_auto(
         from ..conf import DEFAULT_CONF
 
         threshold_bytes = DEFAULT_CONF.auto_broadcast_threshold_bytes
+    # any extra safe_hash_join kwarg (left_suffix, schema hints, scrub
+    # flags) is not implemented on the broadcast path — route those to
+    # the hash join so the output schema never depends on build-side size
     if join_type not in ("inner", "left_semi", "left_anti") or len(on) != 1 or (
         right_on is not None and len(right_on) != 1
-    ):
+    ) or kw:
         return safe_hash_join(
             left, right, join_type, num_partitions, on=on, right_on=right_on,
             right_suffix=right_suffix, **kw
@@ -277,9 +280,15 @@ def broadcast_equi_join(
             return batch.filter(pa.array(uid >= 0))
         if join_type == "left_anti":
             return batch.filter(pa.array(uid < 0))
-        cnt = np.where(uid >= 0, st["counts"][np.maximum(uid, 0)], 0)
+        if len(st["counts"]):
+            cnt = np.where(uid >= 0, st["counts"][np.maximum(uid, 0)], 0)
+            lo = np.where(uid >= 0, st["starts"][np.maximum(uid, 0)], 0)
+        else:
+            # build side held only null keys: nothing ever matches, but
+            # the joined schema (empty build columns) is still emitted
+            cnt = np.zeros(len(uid), dtype=np.int64)
+            lo = cnt
         tot = int(cnt.sum())
-        lo = np.where(uid >= 0, st["starts"][np.maximum(uid, 0)], 0)
         rep = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
         ends = np.cumsum(cnt)
         offs = np.arange(tot, dtype=np.int64) - np.repeat(ends - cnt, cnt)

@@ -89,3 +89,19 @@ def test_components_raises_when_round_budget_exhausted(ray_session):
         connected_components(
             ray.data.from_arrow(e), n_nodes=n, num_partitions=3, max_rounds=3
         )
+
+
+def test_components_converges_on_last_allowed_round(ray_session):
+    # path 0-1-2 converges with its LAST change in round 2: max_rounds=2
+    # must return the correct labels (the confirming round is granted),
+    # not raise
+    e = pa.table(
+        {
+            "src": pa.array([0, 1], type=pa.int64()),
+            "dst": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    out = connected_components(
+        ray.data.from_arrow(e), n_nodes=3, num_partitions=2, max_rounds=2
+    ).to_pandas()
+    assert sorted(out["component"] if "component" in out else out.iloc[:, 1]) == [0, 0, 0]

@@ -106,3 +106,18 @@ def test_empty_right_broadcast():
     assert equi_join_auto(lds, rds, "left_anti", 4, on=("k",), right_on=("rk",)).count() == 3
     assert equi_join_auto(lds, rds, "left_semi", 4, on=("k",), right_on=("rk",)).count() == 0
     assert equi_join_auto(lds, rds, "inner", 4, on=("k",), right_on=("rk",)).count() == 0
+
+
+def test_all_null_build_keys_broadcast():
+    # non-empty build side whose keys are ALL null: drains under the
+    # threshold (so the broadcast path runs), the null filter empties the
+    # probe table, and nothing may ever match — no crash, schema intact
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"rk": pd.array([None, None], dtype="Int64"), "rv": [1, 2]})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    inner = equi_join_auto(lds, rds, "inner", 4, on=("k",), right_on=("rk",))
+    assert inner.count() == 0
+    assert sorted(inner.schema().names) == ["k", "lv", "rv"]
+    assert equi_join_auto(lds, rds, "left_semi", 4, on=("k",), right_on=("rk",)).count() == 0
+    assert equi_join_auto(lds, rds, "left_anti", 4, on=("k",), right_on=("rk",)).count() == 3
